@@ -1,0 +1,152 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+Per BASELINE.json ``input_hint`` the pipeline's only source is a table of
+pages ``(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)``.  We synthesize it **from the driver's ``documents``
+parquet** with pure native Spark SQL expressions (JVM-side, whole-stage
+codegen — no Python in the generator), which makes every downstream
+extraction query DuckDB-oracle-able: the oracle reconstructs the expected
+triples straight from ``documents`` without parsing HTML.
+
+Template (single-line, no inter-tag whitespace so the extracted-text
+invariant is an exact concat; RDFa semantics per the reference parser —
+see /root/reference/lib/RdfaParser.ts:87-590):
+
+    <!DOCTYPE html><html lang="{lang}"><head><title>{name}</title></head>
+    <body prefix="schema: http://schema.org/">
+    <div about="#it" typeof="schema:Article">
+    <h1 property="schema:name">{name}</h1>
+    <span property="schema:text">{text}</span>
+    <meta property="schema:inLanguage" content="{lang}"/>
+    <span property="schema:wordCount" content="{nw}" datatype="xsd:integer"></span>
+    <a rel="schema:isPartOf" href="{SOURCE_IRI_PREFIX}{source}">{source}</a>
+    <time property="schema:dateCreated" datetime="{date}"></time>
+    </div></body></html>
+
+with name = first 8 whitespace-split words, nw = word count,
+date = 2024-03-(page_id % 28 + 1).  Expected triples per page (subject
+S = url + "#it", language tags from @lang on <html>):
+
+    (S, rdf:type,            schema:Article)
+    (S, schema:name,         "{name}"@lang)
+    (S, schema:text,         "{text}"@lang)
+    (S, schema:inLanguage,   "{lang}"@lang)
+    (S, schema:wordCount,    "{nw}"^^xsd:integer)
+    (S, schema:isPartOf,     <source IRI>)
+    (S, schema:dateCreated,  "{date}"^^xsd:date)
+
+The ``text`` column is the reference-semantics extracted text: text
+consumed as a property literal is dropped from upward propagation
+(/root/reference/lib/RdfaParser.ts:645-673 via the v3.0.1 fix), so only
+the <title> and <a> text survive → text = name || source.
+
+``copies`` > 1 amplifies the corpus (page_id = doc_id * copies + c) so
+benchmarks can scale the page count independently of the documents table
+— every page stays fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGE_URL_PREFIX = "http://pages.example.org/page/"
+SOURCE_IRI_PREFIX = "http://corpus.example.org/source/"
+SCHEMA_ORG = "http://schema.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+NAME_WORDS = 8
+
+
+def _derived_columns(page_id: Column) -> dict[str, Column]:
+    words = F.split(F.col("text"), " ")
+    return {
+        "url": F.concat(F.lit(PAGE_URL_PREFIX), page_id.cast("string")),
+        "name": F.array_join(F.slice(words, 1, NAME_WORDS), " "),
+        "nw": F.size(words).cast("string"),
+        "date": F.concat(
+            F.lit("2024-03-"),
+            F.lpad((page_id % 28 + 1).cast("string"), 2, "0")),
+    }
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         copies: int = 1) -> DataFrame:
+    """documents.parquet → pages(url, warc_ts, html, text, lang, page_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if copies > 1:
+        reps = spark.range(copies).withColumnRenamed("id", "copy_i")
+        docs = docs.crossJoin(F.broadcast(reps))
+        page_id = (F.col("doc_id") * copies + F.col("copy_i")).cast("long")
+    else:
+        page_id = F.col("doc_id").cast("long")
+
+    d = _derived_columns(page_id)
+    html = F.concat(
+        F.lit('<!DOCTYPE html><html lang="'), F.col("lang"),
+        F.lit('"><head><title>'), d["name"],
+        F.lit('</title></head><body prefix="schema: http://schema.org/">'
+              '<div about="#it" typeof="schema:Article">'
+              '<h1 property="schema:name">'), d["name"],
+        F.lit('</h1><span property="schema:text">'), F.col("text"),
+        F.lit('</span><meta property="schema:inLanguage" content="'),
+        F.col("lang"),
+        F.lit('"/><span property="schema:wordCount" content="'), d["nw"],
+        F.lit('" datatype="xsd:integer"></span><a rel="schema:isPartOf" '
+              'href="' + SOURCE_IRI_PREFIX), F.col("source"),
+        F.lit('">'), F.col("source"),
+        F.lit('</a><time property="schema:dateCreated" datetime="'),
+        d["date"],
+        F.lit('"></time></div></body></html>'),
+    )
+    return docs.select(
+        page_id.alias("page_id"),
+        d["url"].alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=page_id.cast("double"))).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.concat(d["name"], F.col("source")).alias("text"),
+        F.col("lang"),
+    )
+
+
+def expected_triples_sql() -> str:
+    """DuckDB CTE body reconstructing the template's expected triples from
+    the pre-registered ``documents`` view — the correctness oracle for the
+    whole HTML-tokenizer + RDFa-evaluation pipeline."""
+    base = f"""
+      SELECT doc_id,
+             '{PAGE_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+             '{PAGE_URL_PREFIX}' || CAST(doc_id AS VARCHAR) || '#it' AS subj,
+             array_to_string(string_split(text, ' ')[1:{NAME_WORDS}], ' ') AS name,
+             CAST(len(string_split(text, ' ')) AS VARCHAR) AS nw,
+             '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dt,
+             text, lang, source
+      FROM documents
+    """
+    return f"""
+    WITH p AS ({base})
+    SELECT url, subj, 'iri' AS subj_kind, pred, obj_value, obj_kind,
+           obj_datatype, obj_lang
+    FROM (
+      SELECT url, subj, '{RDF_TYPE}' AS pred,
+             '{SCHEMA_ORG}Article' AS obj_value, 'iri' AS obj_kind,
+             CAST(NULL AS VARCHAR) AS obj_datatype,
+             CAST(NULL AS VARCHAR) AS obj_lang FROM p
+      UNION ALL
+      SELECT url, subj, '{SCHEMA_ORG}name', name, 'literal', NULL, lang FROM p
+      UNION ALL
+      SELECT url, subj, '{SCHEMA_ORG}text', text, 'literal', NULL, lang FROM p
+      UNION ALL
+      SELECT url, subj, '{SCHEMA_ORG}inLanguage', lang, 'literal', NULL, lang FROM p
+      UNION ALL
+      SELECT url, subj, '{SCHEMA_ORG}wordCount', nw, 'literal',
+             '{XSD}integer', NULL FROM p
+      UNION ALL
+      SELECT url, subj, '{SCHEMA_ORG}isPartOf',
+             '{SOURCE_IRI_PREFIX}' || source, 'iri', NULL, NULL FROM p
+      UNION ALL
+      SELECT url, subj, '{SCHEMA_ORG}dateCreated', dt, 'literal',
+             '{XSD}date', NULL FROM p
+    )
+    """

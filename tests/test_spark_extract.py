@@ -1,0 +1,65 @@
+"""Spark integration: the mapInArrow extraction stage must agree with
+(a) the pure-Python kernel called directly (UDF ≡ direct), and
+(b) the DuckDB SQL oracle reconstructing expected triples from documents
+    (the same comparison the correctness driver performs)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rdfa_streaming_parser_js_spark.kernel import parse_rdfa
+from rdfa_streaming_parser_js_spark.operators import (extract_page_text,
+                                                      extract_triples)
+from rdfa_streaming_parser_js_spark.sources.pages import (
+    expected_triples_sql, pages_from_documents)
+
+N_SAMPLE = 50
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    return pages_from_documents(spark, sf_dir).cache()
+
+
+def test_pages_schema(pages):
+    fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert fields == {"page_id": "bigint", "url": "string",
+                      "warc_ts": "timestamp", "html": "binary",
+                      "text": "string", "lang": "string"}
+    assert pages.count() == 500
+
+
+def test_udf_equals_direct_kernel(pages):
+    sample = pages.limit(N_SAMPLE).collect()
+    via_spark = extract_triples(
+        pages.limit(N_SAMPLE)).orderBy("url", "pred", "obj_value").collect()
+    direct = []
+    for row in sample:
+        ex = parse_rdfa(row.html, base_iri=row.url, profile="html",
+                        language=row.lang or None)
+        for s, p, o in ex.triples:
+            direct.append((row.url, s.value, p.value, o.value))
+    got = [(r.url, r.subj, r.pred, r.obj_value) for r in via_spark]
+    assert sorted(got) == sorted(direct)
+
+
+def test_extracted_text_invariant(pages):
+    """byte-identical extracted text per url vs the pages.text column."""
+    joined = (extract_page_text(pages)
+              .withColumnRenamed("text", "extracted")
+              .join(pages.select("url", "text"), "url"))
+    bad = joined.filter("extracted <> text").count()
+    assert bad == 0
+
+
+def test_matches_duckdb_oracle(pages, sf_dir):
+    got = extract_triples(pages).collect()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    expected = con.sql(expected_triples_sql()).fetchall()
+    got_set = {tuple(r) for r in got}
+    exp_set = {tuple(r) for r in expected}
+    assert len(got) == len(expected)
+    assert got_set == exp_set
