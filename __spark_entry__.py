@@ -1,38 +1,512 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is a native-DataFrame pipeline from
+``rdfa_streaming_parser_js_spark``; each ``oracle_sql`` entry is the
+equivalent ANSI SQL run by DuckDB over the same parquet views.  The RDFa
+extraction queries are oracle-able because the synthetic pages table is
+built from ``documents`` with pure SQL expressions — the oracle
+reconstructs the expected triples without parsing HTML
+(rdfa_streaming_parser_js_spark/sources/pages.py).
+
+Non-SQL-expressible ops (MinHash-LSH banding, SimHash) are listed in
+``queries()`` without an oracle → driver records a rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from rdfa_streaming_parser_js_spark.functions.text import (
+    BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS, bpe_ish_token_count,
+    doc_fingerprint, lang_id, quality_score_cols)
+from rdfa_streaming_parser_js_spark.operators.dedup import (
+    exact_duplicates, minhash_lsh_candidates, ngram_jaccard_pairs,
+    simhash64)
+from rdfa_streaming_parser_js_spark.operators.entity_link import (
+    KB_PREFIX, DEFAULT_ENTITY_NAMES, best_entity_per_doc, entity_dictionary)
+from rdfa_streaming_parser_js_spark.operators.extract import (
+    extract_page_text, extract_triples)
+from rdfa_streaming_parser_js_spark.operators.similarity import (
+    cosine_topk, ivf_topk)
+from rdfa_streaming_parser_js_spark.sources.pages import (
+    RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents)
+
+JACCARD_THRESHOLD = 0.5
+COSINE_NEARDUP_THRESHOLD = 0.3
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize Common-Crawl-style pages from sf0.001
+    documents, run the vectorized RDFa extraction, return the triples."""
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    return extract_triples(pages)
+
+
+# --------------------------------------------------------------------------
+# query helpers
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_triples(pages_from_documents(spark, sf_dir))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+           .select("embedding", "label").head())
+    return [float(x) for x in row.embedding], int(row.label)
+
+
+# --- RDFa KG construction ---------------------------------------------------
+
+def q_rdfa_extract(spark, sf_dir):
+    return _triples(spark, sf_dir)
+
+
+def q_rdfa_text_invariant(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return (extract_page_text(pages)
+            .select("url",
+                    F.sha2(F.encode("text", "UTF-8"), 256)
+                    .alias("text_sha256")))
+
+
+def q_rdfa_triples_by_pred(spark, sf_dir):
+    return (_triples(spark, sf_dir).groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n_triples")))
+
+
+def q_rdfa_lang_distribution(spark, sf_dir):
+    return (_triples(spark, sf_dir)
+            .filter(F.col("obj_lang").isNotNull())
+            .groupBy("obj_lang")
+            .agg(F.count(F.lit(1)).alias("n_literals")))
+
+
+def q_rdfa_graph_canonical(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        canonicalize_triples)
+    return (canonicalize_triples(_triples(spark, sf_dir))
+            .select("subj", "pred", "obj_value", "obj_kind",
+                    "obj_datatype", "obj_lang", "first_url", "n_pages"))
+
+
+def q_entity_link_top1(spark, sf_dir):
+    return best_entity_per_doc(_docs(spark, sf_dir),
+                               entity_dictionary(spark))
+
+
+# --- relational operator contract (SURVEY.md §2.2) --------------------------
+
+def q_agg_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 3).alias("sum_value"),
+                 F.round(F.avg("value"), 3).alias("avg_value"),
+                 F.count_distinct("user_id").alias("n_users")))
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_window_latest_event_per_user(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 3).alias("value")))
+
+
+def q_topk_parts_by_quantity(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_partkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
+            .limit(10))
+
+
+HIGH_VALUE_ORDER = 300_000.0
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no high-value order."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = orders.filter(F.col("o_totalprice") > HIGH_VALUE_ORDER)
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_distinct_order_priorities(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_filter_revenue(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter((F.col("l_discount") >= 0.05)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+# --- training-data ops -------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir),
+                               threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    qv, _ = _query_vec(spark, sf_dir)
+    return cosine_topk(_emb(spark, sf_dir), qv, k=10)
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    qv, cell = _query_vec(spark, sf_dir)
+    return ivf_topk(_emb(spark, sf_dir), qv, cell, k=10)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        embedding_near_duplicates)
+    return embedding_near_duplicates(_emb(spark, sf_dir),
+                                     threshold=COSINE_NEARDUP_THRESHOLD)
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cols = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()])
+
+
+def q_text_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary-column plumbing: payload bytes + typed metadata."""
+    docs = _docs(spark, sf_dir)
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rdfa_extract": q_rdfa_extract,
+        "rdfa_text_invariant": q_rdfa_text_invariant,
+        "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
+        "rdfa_lang_distribution": q_rdfa_lang_distribution,
+        "rdfa_graph_canonical": q_rdfa_graph_canonical,
+        "entity_link_top1": q_entity_link_top1,
+        "agg_events_by_type": q_agg_events_by_type,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_latest_event_per_user": q_window_latest_event_per_user,
+        "topk_parts_by_quantity": q_topk_parts_by_quantity,
+        "customers_without_orders": q_customers_without_orders,
+        "distinct_order_priorities": q_distinct_order_priorities,
+        "filter_revenue": q_filter_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_PAGES_CTE = """
+  SELECT doc_id,
+         'http://pages.example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS name,
+         text, lang, source
+  FROM documents
+"""
+
+_SHINGLES_CTE = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         FROM toks),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_COS_CTE = """
+  q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+  pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y,
+                   e.label
+            FROM embeddings e, q),
+  s AS (SELECT vec_id,
+               sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+               sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+               sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        FROM pairs GROUP BY vec_id)
+"""
+
+_MARKER_HITS = {
+    k: "len(list_filter(string_split(text,' '), x -> x IN ({})))".format(
+        ", ".join(f"'{m}'" for m in v))
+    for k, v in LANG_MARKERS.items()
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    ent_list = ", ".join(f"'{e}'" for e in DEFAULT_ENTITY_NAMES)
+    preds = [
+        (RDF_TYPE, 1), (f"{SCHEMA_ORG}name", 1), (f"{SCHEMA_ORG}text", 1),
+        (f"{SCHEMA_ORG}inLanguage", 1), (f"{SCHEMA_ORG}wordCount", 1),
+        (f"{SCHEMA_ORG}isPartOf", 1), (f"{SCHEMA_ORG}dateCreated", 1),
+    ]
+    pred_values = ", ".join(f"('{p}')" for p, _ in preds)
+    return {
+        "rdfa_extract": expected_triples_sql(),
+        "rdfa_text_invariant": f"""
+            WITH p AS ({_PAGES_CTE})
+            SELECT url, sha256(name || source) AS text_sha256 FROM p
+        """,
+        "rdfa_triples_by_pred": f"""
+            WITH n AS (SELECT count(*) AS c FROM documents)
+            SELECT pred, c AS n_triples
+            FROM n CROSS JOIN (VALUES {pred_values}) AS t(pred)
+        """,
+        "rdfa_lang_distribution": """
+            SELECT lang AS obj_lang, 3 * count(*) AS n_literals
+            FROM documents GROUP BY lang
+        """,
+        "rdfa_graph_canonical": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT subj, pred, obj_value, obj_kind, obj_datatype, obj_lang,
+                   min(url) AS first_url, count(*) AS n_pages
+            FROM exp
+            GROUP BY subj, pred, obj_value, obj_kind, obj_datatype, obj_lang
+        """,
+        "entity_link_top1": f"""
+            WITH m AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            c AS (SELECT doc_id, token AS name, count(*) AS n_mentions
+                  FROM m WHERE token IN ({ent_list})
+                  GROUP BY doc_id, token),
+            r AS (SELECT *, row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY n_mentions DESC, name ASC) AS rn
+                  FROM c)
+            SELECT doc_id AS id, '{KB_PREFIX}' || name AS entity_iri,
+                   name, n_mentions
+            FROM r WHERE rn = 1
+        """,
+        "agg_events_by_type": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS sum_value,
+                   round(avg(value), 3) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "join_revenue_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "window_latest_event_per_user": """
+            SELECT user_id, event_id, event_type, round(value, 3) AS value
+            FROM (SELECT *, row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "topk_parts_by_quantity": """
+            SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
+        """,
+        "customers_without_orders": f"""
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > {HIGH_VALUE_ORDER})
+        """,
+        "distinct_order_priorities": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "filter_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_quantity < 24
+        """,
+        "dedup_exact": r"""
+            WITH fp AS (SELECT doc_id AS id,
+                               md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                               AS fingerprint
+                        FROM documents)
+            SELECT id, fingerprint,
+                   row_number() OVER (PARTITION BY fingerprint
+                                      ORDER BY id) AS dup_rank,
+                   (row_number() OVER (PARTITION BY fingerprint
+                                       ORDER BY id)) > 1 AS is_duplicate
+            FROM fp
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS c
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE round(c * 1.0 / (na.n + nb.n - c), 6)
+                  >= {JACCARD_THRESHOLD}
+        """,
+        "embedding_cosine_topk": f"""
+            WITH {_COS_CTE}
+            SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 5) AS cosine
+            FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_ivf_topk": f"""
+            WITH {_COS_CTE}
+            SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 5) AS cosine
+            FROM s
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             WHERE label = (SELECT label FROM embeddings
+                                            WHERE vec_id = 0))
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_near_dup": f"""
+            WITH n AS (SELECT vec_id, label, embedding,
+                              sqrt(list_dot_product(embedding, embedding))
+                              AS nrm
+                       FROM embeddings),
+            pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                             round(list_dot_product(a.embedding, b.embedding)
+                                   / (a.nrm * b.nrm), 5) AS cosine
+                      FROM n a JOIN n b
+                        ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM pairs
+            WHERE cosine >= {COSINE_NEARDUP_THRESHOLD}
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))
+                         * 1.0 / len(string_split(text, ' ')), 6)
+                       AS avg_token_len,
+                   round(len(list_filter(string_split(text, ' '),
+                                         x -> x IN ({stop_list})))
+                         * 1.0 / len(string_split(text, ' ')), 6)
+                       AS stopword_ratio,
+                   round(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                         * 1.0 / length(text), 6) AS punct_ratio
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN greatest({_MARKER_HITS['en']}, {_MARKER_HITS['de']},
+                                   {_MARKER_HITS['fr']}) = 0 THEN 'und'
+                     WHEN {_MARKER_HITS['en']} >=
+                          greatest({_MARKER_HITS['de']}, {_MARKER_HITS['fr']})
+                       THEN 'en'
+                     WHEN {_MARKER_HITS['de']} >= {_MARKER_HITS['fr']}
+                       THEN 'de'
+                     ELSE 'fr'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
+                       AS n_bpe_tokens,
+                   len(string_split(text, ' ')) AS n_ws_tokens
+            FROM documents
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "multimodal_binary_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents
+        """,
+    }

@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...,
+   "pages_per_sec": ..., "parallelism": N}
+
+The flagship metric is RDFa extraction throughput (triples/sec) over an
+amplified synthetic page corpus (PAGE_COPIES × documents rows); the
+relational/dedup/similarity queries time the rest of the operator
+inventory.  Scaling-efficiency evidence (same job at local[8] vs
+local[32]) is produced by tools/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAGE_COPIES = int(os.environ.get("SPARK_GRAFT_PAGE_COPIES", "4"))
+
+
+def force(df) -> int:
+    """Fully execute a plan; returns row count (cheap single agg)."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from rdfa_streaming_parser_js_spark.session import get_spark
+    import __spark_entry__ as entrymod
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_triples)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents)
+
+    spark = get_spark("bench", parallelism=cpus,
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    qs = entrymod.queries()
+
+    # --- flagship: extraction throughput over amplified corpus ----------
+    pages = pages_from_documents(spark, sf_dir, copies=PAGE_COPIES)
+    n_pages = pages.count()  # warms the parquet read & page synthesis
+    t0 = time.time()
+    n_triples = force(extract_triples(pages))
+    extract_sec = time.time() - t0
+    timings["rdfa_extract_amplified"] = round(extract_sec, 3)
+
+    # --- operator suite ---------------------------------------------------
+    bench_queries = [
+        "rdfa_graph_canonical", "entity_link_top1",
+        "agg_events_by_type", "join_revenue_by_nation",
+        "window_latest_event_per_user", "topk_parts_by_quantity",
+        "customers_without_orders", "filter_revenue",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "embedding_cosine_topk", "embedding_near_dup",
+        "text_quality", "text_fingerprint",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (flagship: RDFa extraction "
+                  "triples/sec over synthetic Common-Crawl-style pages)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "pages_per_sec": round(n_pages / extract_sec, 1),
+        "triples_per_sec": round(n_triples / extract_sec, 1),
+        "parallelism": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

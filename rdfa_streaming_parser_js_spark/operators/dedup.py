@@ -1,0 +1,185 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+All native DataFrame ops (explode → groupBy → join); no Python UDFs.
+Scale shape: every variant is (map-side fan-out) → (partial agg) →
+(equi-join on a bucket key) — the self-join never goes all-pairs, it is
+always restricted to a shared-bucket key (shingle, LSH band, cosine
+block), which is what keeps it feasible at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint
+
+# Deterministic MinHash parameters: h_i(x) = (a_i*x + b_i) mod P, over
+# xxhash64 shingle values. P = 2^31-1 keeps a*h < 2^62 so the modular
+# arithmetic stays inside ANSI-safe long math (no overflow).
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8  # → rows per band = num_hashes / bands
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a tiny LCG (seeded, no RNG state)."""
+    params, x = [], 88172645463325252
+    for _ in range(num_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (MINHASH_PRIME - 1)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles per document."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int"))
+                   for j in range(n)]))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Content-hash dedup: every doc tagged with its cluster fingerprint,
+    canonical = lowest id in cluster (dup_rank 1)."""
+    from pyspark.sql import Window
+    fp = docs.select(F.col(id_col).alias("id"),
+                     doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy("id")
+    return (fp.withColumn("dup_rank", F.row_number().over(w).cast("long"))
+            .withColumn("is_duplicate", F.col("dup_rank") > 1))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard.
+
+    jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|); the intersection count
+    comes from a shingle-bucket self-join (only docs sharing a shingle
+    ever meet — no all-pairs), sizes from a per-doc agg broadcast back.
+    """
+    sh = shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n_shingles", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n_shingles", "n_b"), "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_hashes: int = DEFAULT_NUM_HASHES,
+                       n: int = 3) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures — one shuffle:
+    explode shingles → groupBy(id) with num_hashes min() aggregates
+    (map-side partial aggregation does the heavy lifting)."""
+    sh = shingles(docs, id_col, text_col, n)
+    hv = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME))
+    mins = [
+        F.min(F.pmod(hv * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)))
+        .alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_hashes: int = DEFAULT_NUM_HASHES,
+                           bands: int = DEFAULT_BANDS,
+                           n: int = 3) -> DataFrame:
+    """LSH banding: split signatures into bands, hash each band, docs
+    colliding in any band are candidate near-dups (id_a < id_b)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    band_arr = F.array(*[
+        F.xxhash64(F.lit(bi), *[F.element_at("sig", bi * rows + r + 1)
+                                for r in range(rows)])
+        for bi in range(bands)])
+    banded = sig.select(
+        "id", F.posexplode(band_arr).alias("band", "band_hash"))
+    return (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over whitespace tokens.
+
+    Per-bit ±1 vote aggregation: explode tokens → 64 conditional-sum
+    aggregates (all map-side combinable) → reassemble the sign bits.
+    """
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    votes = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0,
+               F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        for i in range(64)
+    ]
+    out = agg.withColumn("simhash", bits[0])
+    for b in bits[1:]:
+        out = out.withColumn("simhash", F.col("simhash").bitwiseOR(b))
+    return out.select("id", "simhash")
+
+
+def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
+                              block_col: str = "label") -> DataFrame:
+    """Cosine near-dup pairs within coarse blocks (IVF-style: ``label``
+    plays the centroid-assignment role, so the self-join is per-block,
+    never all-pairs)."""
+    from .similarity import with_unit_vector
+    e = with_unit_vector(emb).select(
+        F.col("vec_id").alias("id"), F.col(block_col).alias("block"),
+        F.col("unit"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.unit"), F.col("b.unit"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (e.alias("a")
+            .join(e.alias("b"),
+                  (F.col("a.block") == F.col("b.block"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round(dot, 5).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,62 @@
+"""Mention detection + entity-link scoring (BASELINE.json north_star:
+"batched mention detection and entity-link scoring").
+
+Shape at 10^12 pages: explode page text into candidate mention tokens
+(map-only), equi-join a **broadcast** entity dictionary (the dictionary
+is small — no shuffle of the big side), aggregate mention evidence per
+(page, entity), then a window top-1 per page.  The only shuffle is the
+per-page aggregation, partitioned by the page key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KB_PREFIX = "http://kb.example.org/entity/"
+
+# Deterministic demo dictionary over the synthetic docs vocabulary.
+DEFAULT_ENTITY_NAMES = (
+    "spark", "join", "hash", "window", "stream", "vector", "query",
+    "table", "shuffle", "batch",
+)
+
+
+def entity_dictionary(spark: SparkSession,
+                      names=DEFAULT_ENTITY_NAMES) -> DataFrame:
+    rows = [(n, KB_PREFIX + n) for n in sorted(names)]
+    return spark.createDataFrame(rows, "name string, entity_iri string")
+
+
+def detect_mentions(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, token) — one row per token occurrence (evidence unit)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"))
+
+
+def link_entities(docs: DataFrame, dictionary: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc candidate entities with evidence counts.
+
+    Broadcast hash join: mentions ⋈ dictionary on the token key.
+    """
+    mentions = detect_mentions(docs, id_col, text_col)
+    cand = mentions.join(
+        F.broadcast(dictionary),
+        mentions.token == dictionary.name)
+    return (cand.groupBy("id", "entity_iri", "name")
+            .agg(F.count(F.lit(1)).alias("n_mentions")))
+
+
+def best_entity_per_doc(docs: DataFrame, dictionary: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Window top-1: highest evidence count, ties → lexicographic name."""
+    scored = link_entities(docs, dictionary, id_col, text_col)
+    w = Window.partitionBy("id").orderBy(F.desc("n_mentions"), F.asc("name"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("id", "entity_iri", "name", "n_mentions"))

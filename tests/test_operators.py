@@ -1,0 +1,176 @@
+"""Operator correctness vs independent oracles (DuckDB / numpy / pure
+Python) at sf0.001 — the fast layer under tools/check_oracles.py."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates_clusters(docs):
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        exact_duplicates)
+    rows = exact_duplicates(docs).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_fp: dict[str, list] = {}
+    for r in rows:
+        by_fp.setdefault(r.fingerprint, []).append(r)
+    assert len(rows) == len(texts)
+    for members in by_fp.values():
+        norms = {" ".join(texts[m.id].lower().split()) for m in members}
+        assert len(norms) == 1  # same cluster ⇒ same normalized text
+        ranks = sorted(m.dup_rank for m in members)
+        assert ranks == list(range(1, len(members) + 1))
+        canonical = min(m.id for m in members)
+        for m in members:
+            assert m.is_duplicate == (m.id != canonical)
+
+
+def test_ngram_jaccard_against_python(docs):
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {r.doc_id: shingles(r.text) for r in docs.collect()}
+    expected = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if j >= 0.5:
+                expected[(a, b)] = j
+    assert got == expected
+
+
+def test_minhash_estimates_jaccard(docs):
+    """MinHash signature agreement ≈ true Jaccard for known near-dups."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        minhash_signatures, ngram_jaccard_pairs)
+    sigs = {r.id: r.sig
+            for r in minhash_signatures(docs, num_hashes=64).collect()}
+    true_pairs = ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    assert true_pairs, "corpus should contain near-duplicates"
+    for p in true_pairs:
+        a, b = sigs[p.id_a], sigs[p.id_b]
+        est = sum(x == y for x, y in zip(a, b)) / len(a)
+        assert abs(est - p.jaccard) < 0.3
+
+
+def test_lsh_recalls_high_jaccard_pairs(docs):
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        minhash_lsh_candidates, ngram_jaccard_pairs)
+    cand = {(r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(docs).collect()}
+    strong = {(r.id_a, r.id_b)
+              for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert strong, "corpus should contain strong near-duplicates"
+    assert strong <= cand  # high-sim pairs must be recalled
+
+
+def test_simhash_hamming_close_for_duplicates(docs):
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        ngram_jaccard_pairs, simhash64)
+    sh = {r.id: r.simhash for r in simhash64(docs).collect()}
+    dups = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert dups
+    for p in dups:
+        ham = bin((sh[p.id_a] ^ sh[p.id_b]) & (2**64 - 1)).count("1")
+        assert ham <= 12, (p, ham)
+
+
+def test_cosine_topk_vs_numpy(emb):
+    from rdfa_streaming_parser_js_spark.operators.similarity import (
+        cosine_topk)
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = mat[0]
+    cos = {i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+           for i, v in mat.items()}
+    expected = sorted(cos, key=lambda i: (-round(cos[i], 5), i))[:10]
+    got = cosine_topk(emb, list(mat[0]), k=10).collect()
+    assert [r.vec_id for r in got] == expected
+    for r in got:
+        assert abs(r.cosine - cos[r.vec_id]) < 1e-4
+
+
+def test_ivf_topk_subset_of_cell(emb):
+    from rdfa_streaming_parser_js_spark.operators.similarity import ivf_topk
+    row = emb.filter("vec_id = 0").head()
+    got = ivf_topk(emb, [float(x) for x in row.embedding],
+                   int(row.label), k=5).collect()
+    cell_ids = {r.vec_id for r in
+                emb.filter(F.col("label") == row.label).collect()}
+    assert {r.vec_id for r in got} <= cell_ids
+    assert got[0].vec_id == 0 and got[0].cosine == pytest.approx(1.0)
+
+
+def test_entity_link_against_python(docs, spark):
+    from rdfa_streaming_parser_js_spark.operators.entity_link import (
+        DEFAULT_ENTITY_NAMES, best_entity_per_doc, entity_dictionary)
+    got = {r.id: (r.name, r.n_mentions)
+           for r in best_entity_per_doc(docs,
+                                        entity_dictionary(spark)).collect()}
+    ents = set(DEFAULT_ENTITY_NAMES)
+    for r in docs.collect():
+        counts: dict[str, int] = {}
+        for tok in r.text.split(" "):
+            if tok in ents:
+                counts[tok] = counts.get(tok, 0) + 1
+        if not counts:
+            assert r.doc_id not in got
+            continue
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[r.doc_id] == best
+
+
+def test_text_functions_vs_duckdb(docs, sf_dir):
+    from rdfa_streaming_parser_js_spark.functions.text import (
+        bpe_ish_token_count, doc_fingerprint)
+    got = {r.doc_id: (r.n, r.fp) for r in docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n"),
+        doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    con = duckdb.connect()
+    exp = con.sql(rf"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')),
+               md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        FROM '{sf_dir}/documents.parquet'""").fetchall()
+    for doc_id, n, fp in exp:
+        assert got[doc_id] == (n, fp)
+
+
+def test_salted_counts_match_plain_groupby(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        hub_subjects, salted_object_counts)
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_triples)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents)
+    triples = extract_triples(
+        pages_from_documents(spark, sf_dir)).cache()
+    hot = hub_subjects(triples, k=5)
+    salted = {(r.obj_value, r.n_triples)
+              for r in salted_object_counts(triples, hot).collect()}
+    plain = {(r.obj_value, r["count"])
+             for r in triples.groupBy("obj_value").count().collect()}
+    assert salted == plain

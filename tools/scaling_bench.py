@@ -1,0 +1,70 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule): run the
+identical extraction job at two parallelism levels (local[N] and
+local[4N]) on the same input and report throughput at both + efficiency.
+
+Each level runs in its own subprocess (one SparkContext per JVM).
+
+Usage: python tools/scaling_bench.py [sf_dir] [N] [copies]
+Writes markdown to stdout; tools/update_bench_md.sh pipes it to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+sf_dir, cpus, copies = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+from rdfa_streaming_parser_js_spark.session import get_spark
+from rdfa_streaming_parser_js_spark.sources.pages import pages_from_documents
+from rdfa_streaming_parser_js_spark.operators.extract import extract_triples
+
+spark = get_spark(f"scaling-{cpus}", parallelism=cpus,
+                  shuffle_partitions=max(cpus, 16))
+spark.sparkContext.setLogLevel("ERROR")
+pages = pages_from_documents(spark, sf_dir, copies=copies)
+# materialize the input once so we time extraction, not parquet+synthesis
+pages = pages.repartition(cpus * 2).cache()
+n_pages = pages.count()
+t0 = time.time()
+n_triples = extract_triples(pages).count()
+sec = time.time() - t0
+spark.stop()
+print(json.dumps({"cpus": cpus, "n_pages": n_pages,
+                  "n_triples": n_triples, "sec": round(sec, 3),
+                  "triples_per_sec": round(n_triples / sec, 1)}))
+"""
+
+
+def run_level(sf_dir: str, cpus: int, copies: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, sf_dir, str(cpus), str(copies)],
+        capture_output=True, text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    lo = run_level(sf_dir, n, copies)
+    hi = run_level(sf_dir, 4 * n, copies)
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4.0
+    print(f"## Scaling efficiency — RDFa extraction, {sf_dir}, "
+          f"{lo['n_pages']} pages / {lo['n_triples']} triples\n")
+    print("| parallelism | wall sec | triples/sec |")
+    print("|---|---|---|")
+    print(f"| local[{n}] | {lo['sec']} | {lo['triples_per_sec']} |")
+    print(f"| local[{4*n}] | {hi['sec']} | {hi['triples_per_sec']} |")
+    print(f"\n**Scaling efficiency N→4N: {eff:.3f}** "
+          f"(target ≥ 0.8 per BASELINE.json)\n")
+    print(json.dumps({"n": n, "low": lo, "high": hi,
+                      "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
