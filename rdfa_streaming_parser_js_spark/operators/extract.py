@@ -63,41 +63,65 @@ def _term_cols(term, url: str, skolemize: bool):
 def extract_triples(pages: DataFrame, profile: str = "html",
                     skolemize: bool = True, url_col: str = "url",
                     html_col: str = "html",
-                    lang_col: str | None = "lang") -> DataFrame:
-    """pages(url, html[, lang]) → triples DataFrame (TRIPLES_SCHEMA)."""
+                    lang_col: str | None = "lang",
+                    passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """pages(url, html[, lang]) → triples DataFrame (TRIPLES_SCHEMA).
+
+    ``passthrough`` columns (e.g. ``warc_ts`` for the streaming pipeline's
+    event-time watermark) are carried through unchanged, repeated on every
+    triple of their page — avoiding a post-extraction join back to pages.
+    """
     cols = [url_col, html_col] + ([lang_col] if lang_col else [])
-    pruned = pages.select(*cols)
+    n_base = len(cols)
+    pruned = pages.select(*cols, *passthrough)
+    dtypes = dict(pruned.dtypes)
+    schema = TRIPLES_SCHEMA + "".join(
+        f", {c} {dtypes[c]}" for c in passthrough)
+    out_names = list(_OUT_FIELDS) + list(passthrough)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        buf: list[list] = [[] for _ in _OUT_FIELDS]
+        buf: list[list] = [[] for _ in out_names]
+        pass_types: list[pa.DataType] = []
 
         def flush():
-            arrays = [pa.array(col, type=pa.string()) for col in buf]
+            arrays = [pa.array(col, type=pa.string())
+                      for col in buf[:len(_OUT_FIELDS)]]
+            arrays += [pa.array(col, type=t) for col, t in
+                       zip(buf[len(_OUT_FIELDS):], pass_types)]
             for col in buf:
                 col.clear()
-            return pa.RecordBatch.from_arrays(arrays, names=list(_OUT_FIELDS))
+            return pa.RecordBatch.from_arrays(arrays, names=out_names)
 
         for batch in batches:
+            if not pass_types:
+                pass_types.extend(
+                    batch.schema.field(n_base + i).type
+                    for i in range(len(passthrough)))
             urls = batch.column(0).to_pylist()
             htmls = batch.column(1).to_pylist()
-            langs = (batch.column(2).to_pylist() if batch.num_columns > 2
+            langs = (batch.column(2).to_pylist() if lang_col
                      else [None] * len(urls))
-            for url, html, lang in zip(urls, htmls, langs):
+            extra = [batch.column(n_base + i).to_pylist()
+                     for i in range(len(passthrough))]
+            for i, (url, html, lang) in enumerate(zip(urls, htmls, langs)):
                 extractor = parse_rdfa(html or b"", base_iri=url or "",
                                        profile=profile,
                                        language=lang or None)
                 for s, p, o in extractor.triples:
                     sv, sk, _, _ = _term_cols(s, url, skolemize)
                     ov, ok, odt, olang = _term_cols(o, url, skolemize)
-                    row = (url, sv, sk, p.value, ov, ok, odt, olang)
+                    row = (url, sv, sk, p.value, ov, ok, odt, olang,
+                           *(col[i] for col in extra))
                     for col, v in zip(buf, row):
                         col.append(v)
                 if len(buf[0]) >= _OUT_BATCH_ROWS:
                     yield flush()
         if buf[0]:
+            if not pass_types:
+                pass_types.extend(pa.string() for _ in passthrough)
             yield flush()
 
-    return pruned.mapInArrow(run, TRIPLES_SCHEMA)
+    return pruned.mapInArrow(run, schema)
 
 
 def extract_page_text(pages: DataFrame, profile: str = "html",
