@@ -110,6 +110,28 @@ def q_entity_link_top1(spark, sf_dir):
                                entity_dictionary(spark))
 
 
+def q_rdfa_pr_vs_expected(spark, sf_dir):
+    """Distributed P/R gate: extracted vs native-expr expected triples."""
+    from rdfa_streaming_parser_js_spark.operators.scoring import triple_pr
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        expected_triples_df)
+    return triple_pr(_triples(spark, sf_dir),
+                     expected_triples_df(spark, sf_dir))
+
+
+def q_hub_subjects_topk(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        hub_subjects)
+    return hub_subjects(_triples(spark, sf_dir), k=20)
+
+
+def q_salted_object_counts(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        hub_subjects, salted_object_counts)
+    t = _triples(spark, sf_dir)
+    return salted_object_counts(t, hub_subjects(t, k=10))
+
+
 # --- relational operator contract (SURVEY.md §2.2) --------------------------
 
 def q_agg_events_by_type(spark, sf_dir):
@@ -148,6 +170,60 @@ def q_topk_parts_by_quantity(spark, sf_dir):
             .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
             .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
             .limit(10))
+
+
+def q_agg_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (map-side partial agg showcase)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_string_date_functions(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus",
+                    F.lpad(F.col("o_custkey").cast("string"), 6, "0"))
+        .alias("status_cust"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"))
+
+
+def q_windowed_event_counts(spark, sf_dir):
+    """Tumbling event-time window (same code path the streaming
+    pipeline's windowed_pred_counts uses, batch flavor)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.unix_timestamp(F.col("win.start")).alias("win_start"),
+                    "event_type", "n_events"))
+
+
+def q_setop_sources_both(spark, sf_dir):
+    """INTERSECT: sources publishing in both en and de."""
+    docs = _docs(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en").select("source")
+    de = docs.filter(F.col("lang") == "de").select("source")
+    return en.intersect(de)
+
+
+def q_setop_sources_en_only(spark, sf_dir):
+    """EXCEPT: sources publishing in en but never de."""
+    docs = _docs(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en").select("source").distinct()
+    de = docs.filter(F.col("lang") == "de").select("source")
+    return en.exceptAll(de.distinct())
 
 
 HIGH_VALUE_ORDER = 300_000.0
@@ -237,6 +313,37 @@ def q_text_fingerprint(spark, sf_dir):
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        simhash_near_pairs)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _media(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.multimodal import (
+        synthesize_media)
+    return synthesize_media(_docs(spark, sf_dir))
+
+
+def q_multimodal_decode_meta(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.multimodal import (
+        decode_media_meta)
+    return decode_media_meta(_media(spark, sf_dir))
+
+
+def q_multimodal_resize(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.multimodal import (
+        resize_images)
+    return resize_images(_media(spark, sf_dir), max_side=64).drop("payload")
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.multimodal import (
+        sample_frames)
+    return sample_frames(_media(spark, sf_dir), every_k=5).drop(
+        "frame_sha256")
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary-column plumbing: payload bytes + typed metadata."""
     docs = _docs(spark, sf_dir)
@@ -254,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
         "rdfa_lang_distribution": q_rdfa_lang_distribution,
         "rdfa_graph_canonical": q_rdfa_graph_canonical,
+        "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
+        "hub_subjects_topk": q_hub_subjects_topk,
+        "salted_object_counts": q_salted_object_counts,
         "entity_link_top1": q_entity_link_top1,
         "agg_events_by_type": q_agg_events_by_type,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -262,10 +372,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "distinct_order_priorities": q_distinct_order_priorities,
         "filter_revenue": q_filter_revenue,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "string_date_functions": q_string_date_functions,
+        "windowed_event_counts": q_windowed_event_counts,
+        "setop_sources_both": q_setop_sources_both,
+        "setop_sources_en_only": q_setop_sources_en_only,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -274,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "multimodal_decode_meta": q_multimodal_decode_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -309,6 +428,19 @@ _COS_CTE = """
                sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
         FROM pairs GROUP BY vec_id)
+"""
+
+# Mirror of operators/multimodal.synthesize_media (deterministic fake).
+_MEDIA_CTE = """
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+         CAST(48 + (doc_id % 12) * 16 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 2 ELSE 1 END
+              AS INT) AS n_frames,
+         text
+  FROM documents
 """
 
 _MARKER_HITS = {
@@ -348,6 +480,25 @@ def oracle_sql() -> dict[str, str]:
                    min(url) AS first_url, count(*) AS n_pages
             FROM exp
             GROUP BY subj, pred, obj_value, obj_kind, obj_datatype, obj_lang
+        """,
+        "rdfa_pr_vs_expected": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT count(*) AS n_expected, count(*) AS n_got,
+                   count(*) AS n_common,
+                   CAST(1.0 AS DOUBLE) AS precision,
+                   CAST(1.0 AS DOUBLE) AS recall
+            FROM exp
+        """,
+        "hub_subjects_topk": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT subj, count(*) AS n_triples
+            FROM exp GROUP BY subj
+            ORDER BY n_triples DESC, subj ASC LIMIT 20
+        """,
+        "salted_object_counts": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT obj_value, count(*) AS n_triples
+            FROM exp GROUP BY obj_value
         """,
         "entity_link_top1": f"""
             WITH m AS (SELECT doc_id,
@@ -407,6 +558,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_discount >= 0.05 AND l_quantity < 24
+        """,
+        "agg_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "string_date_functions": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS order_month,
+                   upper(substr(o_orderpriority, 1, 8)) AS prio_code,
+                   o_orderstatus || '-' ||
+                       lpad(CAST(o_custkey AS VARCHAR), 6, '0')
+                       AS status_cust,
+                   CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+            FROM orders
+        """,
+        "windowed_event_counts": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                       AS win_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "setop_sources_both": """
+            SELECT source FROM documents WHERE lang = 'en'
+            INTERSECT
+            SELECT source FROM documents WHERE lang = 'de'
+        """,
+        "setop_sources_en_only": """
+            SELECT DISTINCT source FROM documents WHERE lang = 'en'
+            EXCEPT
+            SELECT DISTINCT source FROM documents WHERE lang = 'de'
         """,
         "dedup_exact": r"""
             WITH fp AS (SELECT doc_id AS id,
@@ -508,5 +700,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS payload_sha256
             FROM documents
+        """,
+        "multimodal_decode_meta": f"""
+            WITH m AS ({_MEDIA_CTE})
+            SELECT media_id, media_type, width, height, n_frames,
+                   octet_length(encode(text)) AS body_bytes,
+                   sha256(text) AS body_sha256
+            FROM m
+        """,
+        "multimodal_resize": f"""
+            WITH m AS ({_MEDIA_CTE})
+            SELECT media_id, width, height,
+                   greatest(1, CAST(floor(width *
+                       (64.0 / greatest(width, height))) AS INT))
+                       AS new_width,
+                   greatest(1, CAST(floor(height *
+                       (64.0 / greatest(width, height))) AS INT))
+                       AS new_height
+            FROM m WHERE media_type = 'image'
+        """,
+        "multimodal_frame_sample": f"""
+            WITH m AS ({_MEDIA_CTE})
+            SELECT media_id, CAST(unnest(range(0, n_frames, 5)) AS INT)
+                       AS frame_index
+            FROM m WHERE media_type = 'video'
         """,
     }

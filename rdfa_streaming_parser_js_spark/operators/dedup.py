@@ -163,6 +163,37 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return out.select("id", "simhash")
 
 
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit band blocking.
+
+    Pigeonhole: two 64-bit hashes within Hamming distance ≤ 3 must agree
+    on at least one of four 16-bit bands — so candidates come from four
+    band-equality buckets (never all-pairs), then the exact Hamming
+    distance (``bit_count(xor)``) filters."""
+    sig = simhash64(docs, id_col, text_col)
+    bands = F.array(*[
+        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+        for b in range(4)])
+    banded = sig.select("id", "simhash",
+                        F.posexplode(bands).alias("band", "band_val"))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_val") == F.col("b.band_val"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
                               block_col: str = "label") -> DataFrame:
     """Cosine near-dup pairs within coarse blocks (IVF-style: ``label``

@@ -110,6 +110,44 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     )
 
 
+def expected_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-Spark reconstruction of the template's expected triples —
+    the distributed 'expected' side for P/R scoring (operators/scoring),
+    mirroring ``expected_triples_sql`` column for column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    page_id = F.col("doc_id").cast("long")
+    d = _derived_columns(page_id)
+    null_s = F.lit(None).cast("string")
+    base = docs.select(
+        d["url"].alias("url"),
+        F.concat(d["url"], F.lit("#it")).alias("subj"),
+        d["name"].alias("name"), d["nw"].alias("nw"),
+        d["date"].alias("dt"), "text", "lang", "source")
+
+    def t(pred, obj, kind="literal", dtype=None, lang=None):
+        return base.select(
+            "url", "subj", F.lit("iri").alias("subj_kind"),
+            F.lit(pred).alias("pred"), obj.alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(dtype) if dtype else null_s).alias("obj_datatype"),
+            (F.col("lang") if lang else null_s).alias("obj_lang"))
+
+    parts = [
+        t(RDF_TYPE, F.lit(f"{SCHEMA_ORG}Article"), kind="iri"),
+        t(f"{SCHEMA_ORG}name", F.col("name"), lang=True),
+        t(f"{SCHEMA_ORG}text", F.col("text"), lang=True),
+        t(f"{SCHEMA_ORG}inLanguage", F.col("lang"), lang=True),
+        t(f"{SCHEMA_ORG}wordCount", F.col("nw"), dtype=f"{XSD}integer"),
+        t(f"{SCHEMA_ORG}isPartOf",
+          F.concat(F.lit(SOURCE_IRI_PREFIX), F.col("source")), kind="iri"),
+        t(f"{SCHEMA_ORG}dateCreated", F.col("dt"), dtype=f"{XSD}date"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def expected_triples_sql() -> str:
     """DuckDB CTE body reconstructing the template's expected triples from
     the pre-registered ``documents`` view — the correctness oracle for the
