@@ -63,26 +63,59 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard.
+    """Near-dup pairs by EXACT n-gram Jaccard, PPJoin-style.
 
-    jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|); the intersection count
-    comes from a shingle-bucket self-join (only docs sharing a shingle
-    ever meet — no all-pairs), sizes from a per-doc agg broadcast back.
+    A naive shingle-bucket self-join is quadratic in the document
+    frequency of each shingle — hot shingles ("of the and") own the
+    runtime and get worse at scale.  Prefix filtering makes the join
+    exact AND sub-quadratic:
+
+    1. order every document's shingles by ascending global document
+       frequency (rarest first, ties by shingle);
+    2. for Jaccard ≥ t a pair must share a shingle within each side's
+       first ``floor((1-t)·|A|) + 1`` shingles — so only *prefixes* are
+       indexed/joined, and prefixes are dominated by RARE shingles
+       (small buckets, no skew);
+    3. the size filter ``t·|A| ≤ |B| ≤ |A|/t`` prunes candidates in the
+       join condition itself;
+    4. exact intersection counts are computed only for surviving
+       candidate pairs.
+
+    Same output as the naive join (the DuckDB oracle is the naive
+    all-shared-shingles formulation), ~linear in data size for fixed
+    near-dup density.
     """
     sh = shingles(docs, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    inter = (sh.alias("a")
-             .join(sh.alias("b"),
-                   (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    ranked = (sh.join(freq, "shingle")
+              .withColumn("pos", F.row_number().over(w))
+              .join(sizes, "id"))
+    prefix = ranked.filter(
+        F.col("pos") <= F.floor((1 - threshold) * F.col("n_shingles")) + 1)
+
+    pa_ = prefix.select(F.col("id").alias("id_a"), "shingle",
+                        F.col("n_shingles").alias("n_a"))
+    pb_ = prefix.select(F.col("id").alias("id_b"), "shingle",
+                        F.col("n_shingles").alias("n_b"))
+    cand = (pa_.join(pb_,
+                     (pa_.shingle == pb_.shingle)
+                     & (pa_.id_a < pb_.id_b)
+                     & (pb_.n_b >= threshold * pa_.n_a)
+                     & (pa_.n_a >= threshold * pb_.n_b))
+            .select("id_a", "id_b", "n_a", "n_b")
+            .distinct())
+
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (cand.join(sa, "id_a")
+             .join(sb, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b", "n_a", "n_b")
              .agg(F.count(F.lit(1)).alias("n_common")))
     return (inter
-            .join(sizes.withColumnRenamed("id", "id_a")
-                  .withColumnRenamed("n_shingles", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b")
-                  .withColumnRenamed("n_shingles", "n_b"), "id_b")
             .withColumn("jaccard",
                         F.round(F.col("n_common")
                                 / (F.col("n_a") + F.col("n_b")
