@@ -105,6 +105,23 @@ def q_rdfa_graph_canonical(spark, sf_dir):
                     "obj_datatype", "obj_lang", "first_url", "n_pages"))
 
 
+def q_graph_source_lang_matrix(spark, sf_dir):
+    """Graph self-join on subject: pages per (source, language).
+
+    The materialized graph is bucketed by subj_hash
+    (operators/canonicalize.materialize_graph), so on a cluster this
+    subject-keyed self-join is co-located — no shuffle of either side.
+    """
+    t = _triples(spark, sf_dir)
+    part_of = (t.filter(F.col("pred").endswith("isPartOf"))
+               .select("subj", F.col("obj_value").alias("source_iri")))
+    in_lang = (t.filter(F.col("pred").endswith("inLanguage"))
+               .select("subj", F.col("obj_value").alias("page_lang")))
+    return (part_of.join(in_lang, "subj")
+            .groupBy("source_iri", "page_lang")
+            .agg(F.count(F.lit(1)).alias("n_pages")))
+
+
 def q_entity_link_top1(spark, sf_dir):
     return best_entity_per_doc(_docs(spark, sf_dir),
                                entity_dictionary(spark))
@@ -364,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         "hub_subjects_topk": q_hub_subjects_topk,
         "salted_object_counts": q_salted_object_counts,
+        "graph_source_lang_matrix": q_graph_source_lang_matrix,
         "entity_link_top1": q_entity_link_top1,
         "agg_events_by_type": q_agg_events_by_type,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -499,6 +517,12 @@ def oracle_sql() -> dict[str, str]:
             WITH exp AS ({expected_triples_sql()})
             SELECT obj_value, count(*) AS n_triples
             FROM exp GROUP BY obj_value
+        """,
+        "graph_source_lang_matrix": """
+            SELECT 'http://corpus.example.org/source/' || source
+                       AS source_iri,
+                   lang AS page_lang, count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
         """,
         "entity_link_top1": f"""
             WITH m AS (SELECT doc_id,

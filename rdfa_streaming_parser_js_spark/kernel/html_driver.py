@@ -195,25 +195,73 @@ class XmlSaxDriver:
         self.sink.on_end()
 
 
+class HtmlParseListener:
+    """API-parity hook with the reference's ``IHtmlParseListener``
+    (/root/reference/lib/IHtmlParseListener.ts:4-29): observes the raw
+    tokenizer event stream alongside RDFa processing.  Subclass and
+    override; events fire AFTER the extractor handles each one, matching
+    the reference's ordering (/root/reference/lib/RdfaParser.ts:893-912).
+    """
+
+    def on_tag_open(self, name: str, attributes: dict) -> None: ...
+
+    def on_text(self, data: str) -> None: ...
+
+    def on_tag_close(self) -> None: ...
+
+    def on_end(self) -> None: ...
+
+
+class _TeeSink:
+    """Forwards tokenizer events to the extractor, then the listener."""
+
+    def __init__(self, extractor: RdfaExtractor,
+                 listener: HtmlParseListener) -> None:
+        self._x = extractor
+        self._l = listener
+
+    def on_tag_open(self, name: str, attributes: dict) -> None:
+        self._x.on_tag_open(name, attributes)
+        self._l.on_tag_open(name, attributes)
+
+    def on_text(self, data: str) -> None:
+        self._x.on_text(data)
+        self._l.on_text(data)
+
+    def on_tag_close(self) -> None:
+        self._x.on_tag_close()
+        self._l.on_tag_close()
+
+    def on_end(self) -> None:
+        self._x.on_end()
+        self._l.on_end()
+
+
 def parse_rdfa(html: str | bytes, base_iri: str = "",
                profile: str | None = "html",
                content_type: str | None = None,
                language: str | None = None, vocab: str | None = None,
-               features=None) -> RdfaExtractor:
+               features=None,
+               html_parse_listener: HtmlParseListener | None = None,
+               ) -> RdfaExtractor:
     """Parse one document and return the extractor (triples + text).
 
     This is the per-document kernel entry point; the Spark layer calls it
-    once per row inside an Arrow-batched UDF.
+    once per row inside an Arrow-batched UDF.  ``html_parse_listener``
+    mirrors the reference's ``htmlParseListener`` option
+    (/root/reference/lib/RdfaParser.ts:944-947).
     """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     extractor = RdfaExtractor(base_iri=base_iri, profile=profile,
                               content_type=content_type, language=language,
                               vocab=vocab, features=features)
+    sink = (_TeeSink(extractor, html_parse_listener)
+            if html_parse_listener else extractor)
     if extractor.profile == "xml":
-        driver: XmlSaxDriver | HtmlSaxDriver = XmlSaxDriver(extractor)
+        driver: XmlSaxDriver | HtmlSaxDriver = XmlSaxDriver(sink)
     else:
-        driver = HtmlSaxDriver(extractor)
+        driver = HtmlSaxDriver(sink)
     driver.feed(html)
     driver.finish()
     return extractor

@@ -1,0 +1,57 @@
+"""HTML-parse-listener hook parity — transcribed from the reference's
+listener test (/root/reference/test/RdfParser-test.ts:3416-3461)."""
+
+from __future__ import annotations
+
+from rdfa_streaming_parser_js_spark.kernel import (
+    HtmlParseListener, NamedNode, parse_rdfa)
+
+
+class Recorder(HtmlParseListener):
+    def __init__(self):
+        self.opens, self.texts, self.closes, self.ends = [], [], 0, 0
+
+    def on_tag_open(self, name, attributes):
+        self.opens.append((name, dict(attributes)))
+
+    def on_text(self, data):
+        self.texts.append(data)
+
+    def on_tag_close(self):
+        self.closes += 1
+
+    def on_end(self):
+        self.ends += 1
+
+
+DOC = """<html>
+<head></head>
+<body>
+    <h2 about="http://example2.org/" property="http://purl.org/dc/terms/title">The Trouble with Bob</h2>
+</body>
+</html>"""
+
+
+def test_listener_receives_tokenizer_stream():
+    rec = Recorder()
+    ex = parse_rdfa(DOC, base_iri="http://example.org/",
+                    html_parse_listener=rec)
+    assert [(s.value, p.value, o.value) for s, p, o in ex.triples] == [
+        ("http://example2.org/", "http://purl.org/dc/terms/title",
+         "The Trouble with Bob")]
+    assert isinstance(ex.triples[0][0], NamedNode)
+
+    assert [n for n, _ in rec.opens] == ["html", "head", "body", "h2"]
+    assert rec.opens[0][1] == {}
+    assert rec.opens[3][1] == {
+        "about": "http://example2.org/",
+        "property": "http://purl.org/dc/terms/title"}
+    assert rec.closes == 4
+    assert rec.ends == 1
+    assert "The Trouble with Bob" in rec.texts
+    assert rec.texts.count("\n") >= 2
+
+
+def test_listener_absent_is_default():
+    ex = parse_rdfa(DOC, base_iri="http://example.org/")
+    assert len(ex.triples) == 1
