@@ -1,4 +1,4 @@
-"""End-to-end kernel fixtures: 181 cases mechanically transcribed from the
+"""End-to-end kernel fixtures: 185 cases mechanically transcribed from the
 reference's jest suite (/root/reference/test/RdfParser-test.ts) by
 tools/transcribe_fixtures.py. Comparison is graph isomorphism, matching
 the reference's ``toBeRdfIsomorphic``."""

@@ -55,3 +55,57 @@ def test_listener_receives_tokenizer_stream():
 def test_listener_absent_is_default():
     ex = parse_rdfa(DOC, base_iri="http://example.org/")
     assert len(ex.triples) == 1
+
+
+# -- emitTriple guard parity (reference RdfParser-test.ts:95-122) ---------
+
+def _emit_probe():
+    from rdfa_streaming_parser_js_spark.kernel import RdfaExtractor
+    return RdfaExtractor(base_iri="http://example.org/")
+
+
+def test_emit_triple_valid_terms():
+    from rdfa_streaming_parser_js_spark.kernel import NamedNode
+    x = _emit_probe()
+    x.emit_triple(NamedNode("http://s"), NamedNode("http://p"),
+                  NamedNode("http://o"))
+    assert len(x.triples) == 1
+
+
+def test_emit_triple_invalid_terms_dropped():
+    from rdfa_streaming_parser_js_spark.kernel import NamedNode
+    for s, p, o in [("s", "http://p", "http://o"),
+                    ("http://s", "p", "http://o"),
+                    ("http://s", "http://p", "o")]:
+        x = _emit_probe()
+        x.emit_triple(NamedNode(s), NamedNode(p), NamedNode(o))
+        assert x.triples == []
+
+
+def test_base_tag_without_href_keeps_base_iri():
+    # reference RdfParser-test.ts:325-335
+    ex = parse_rdfa("""<html>
+<head>
+    <base />
+</head>
+<body prefix="dc: http://purl.org/dc/terms/ schema: http://schema.org/">
+    <div property="dc:title" resource="img.jpg"></div>
+</body>
+</html>""", base_iri="http://example.org/")
+    assert ex.util.base_iri.value == "http://example.org/"
+    assert any(o.value == "http://example.org/img.jpg"
+               for _, _, o in ex.triples)
+
+
+def test_listener_errors_propagate():
+    # mirror of 'should error when an error is thrown in onTagOpen/...'
+    # (RdfParser-test.ts:125-173): exceptions surface to the caller
+    import pytest
+
+    class Boom(HtmlParseListener):
+        def on_text(self, data):
+            raise RuntimeError("Dummy error")
+
+    with pytest.raises(RuntimeError, match="Dummy error"):
+        parse_rdfa(DOC, base_iri="http://example.org/",
+                   html_parse_listener=Boom())
