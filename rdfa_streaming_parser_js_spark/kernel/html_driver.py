@@ -160,12 +160,17 @@ def _decode_html_entities_for_xml(text: str) -> str:
 class XmlSaxDriver:
     """XML driver (profile 'xml': SVG, XHTML-as-XML, generic XML).
 
-    Lenient at EOF like htmlparser2's xmlMode: documents that end with
-    unclosed elements get them implicitly closed instead of erroring."""
+    Lenient like htmlparser2's xmlMode: a well-formedness error stops
+    consumption of the document at that point (everything parsed so far
+    is kept, open elements are implicitly closed) instead of raising —
+    at corpus scale one broken page must not kill a task.  The error is
+    recorded on ``self.error`` (the per-document analogue of the
+    reference's stream 'error' event, /root/reference/lib/RdfaParser.ts:880)."""
 
     def __init__(self, sink: RdfaExtractor) -> None:
         self.sink = sink
         self._depth = 0
+        self.error: str | None = None
         parser = expat.ParserCreate()
         parser.buffer_text = True
         parser.StartElementHandler = self._start
@@ -182,13 +187,19 @@ class XmlSaxDriver:
         self.sink.on_tag_close()
 
     def feed(self, data: str) -> None:
-        self._parser.Parse(_decode_html_entities_for_xml(data), False)
+        if self.error is not None:
+            return
+        try:
+            self._parser.Parse(_decode_html_entities_for_xml(data), False)
+        except expat.ExpatError as e:
+            self.error = str(e)
 
     def finish(self) -> None:
-        try:
-            self._parser.Parse(b"", True)
-        except expat.ExpatError:
-            pass  # truncated document: close what's still open
+        if self.error is None:
+            try:
+                self._parser.Parse(b"", True)
+            except expat.ExpatError as e:
+                self.error = str(e)  # truncated document
         while self._depth > 0:
             self._depth -= 1
             self.sink.on_tag_close()
@@ -264,4 +275,5 @@ def parse_rdfa(html: str | bytes, base_iri: str = "",
         driver = HtmlSaxDriver(sink)
     driver.feed(html)
     driver.finish()
+    extractor.parse_error = getattr(driver, "error", None)
     return extractor

@@ -63,3 +63,28 @@ def test_matches_duckdb_oracle(pages, sf_dir):
     exp_set = {tuple(r) for r in expected}
     assert len(got) == len(expected)
     assert got_set == exp_set
+
+def test_parallelism_invariance(pages):
+    """Skolemized output is identical at any partitioning / task layout —
+    the distributed replacement for the reference's process-global bnode
+    counter (SURVEY.md §1.5)."""
+    cols = ["url", "subj", "subj_kind", "pred", "obj_value", "obj_kind"]
+    one = extract_triples(pages.repartition(1)).select(*cols)
+    many = extract_triples(pages.repartition(16)).select(*cols)
+    assert one.exceptAll(many).count() == 0
+    assert many.exceptAll(one).count() == 0
+
+
+def test_bnode_skolemization_deterministic(spark):
+    """Pages with blank-node chains get url-scoped stable labels."""
+    import pyspark.sql.functions as F
+    html = (b'<div prefix="s: http://schema.org/" about="#a" rel="s:x">'
+            b'<div rel="s:y"><span property="s:n">v</span></div></div>')
+    rows = [(f"http://e.org/p{i}", bytearray(html), "en") for i in range(4)]
+    df = spark.createDataFrame(rows, "url string, html binary, lang string")
+    out1 = {tuple(r) for r in extract_triples(df).collect()}
+    out2 = {tuple(r) for r in extract_triples(df.repartition(4)).collect()}
+    assert out1 == out2
+    bnodes = {r[1] for r in out1 if r[2] == "bnode"}
+    assert len(bnodes) == 8  # two distinct skolem bnodes per page
+    assert all(b.startswith("_:") and len(b) == 66 for b in bnodes)
