@@ -77,3 +77,36 @@ def test_windowed_pred_counts_streaming(spark, pages, tmp_path):
     n_windows = spark.sql(
         "SELECT count(DISTINCT win_start) AS n FROM win_counts").head().n
     assert n_windows > 1
+
+
+def test_stateful_first_seen_dedup_across_batches(spark, pages, tmp_path):
+    """applyInPandasWithState: re-crawled urls are suppressed across
+    micro-batches within one run (state lives in the state store)."""
+    from rdfa_streaming_parser_js_spark.streaming.stateful import (
+        stream_dedup_first_seen)
+
+    pages_dir = str(tmp_path / "pages")
+    half = pages.filter(F.col("page_id") % 2 == 0)
+    # file 1: first crawl; file 2: full re-crawl (every url again, later ts)
+    half.write.parquet(pages_dir)
+    (pages.withColumn("warc_ts",
+                      F.col("warc_ts") + F.expr("INTERVAL 10 DAYS"))
+     .write.mode("append").parquet(pages_dir))
+
+    stream = (spark.readStream.schema(pages.schema)
+              .option("maxFilesPerTrigger", 1).parquet(pages_dir))
+    q = (stream_dedup_first_seen(stream)
+         .writeStream.format("memory").queryName("first_seen")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.sql("SELECT url, warc_ts FROM first_seen").collect()
+    n_urls = pages.select("url").distinct().count()
+    assert len(got) == n_urls  # each url exactly once
+    # urls in the first file keep their ORIGINAL (not re-crawl) timestamp
+    first_ts = {r.url: r.warc_ts for r in
+                half.select("url", "warc_ts").collect()}
+    for r in got:
+        if r.url in first_ts:
+            assert r.warc_ts == first_ts[r.url]
