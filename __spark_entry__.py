@@ -108,9 +108,11 @@ def q_rdfa_graph_canonical(spark, sf_dir):
 def q_graph_source_lang_matrix(spark, sf_dir):
     """Graph self-join on subject: pages per (source, language).
 
-    The materialized graph is bucketed by subj_hash
-    (operators/canonicalize.materialize_graph), so on a cluster this
-    subject-keyed self-join is co-located — no shuffle of either side.
+    Here both sides come from a fresh extraction, so the subject join
+    shuffles; in production the same query reads the MATERIALIZED graph
+    (operators/canonicalize.materialize_graph / sources/catalog, bucketed
+    by subject hash), making this join co-located — see
+    tests/test_catalog.py for the bucket-layout guarantees.
     """
     t = _triples(spark, sf_dir)
     part_of = (t.filter(F.col("pred").endswith("isPartOf"))

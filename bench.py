@@ -95,10 +95,9 @@ def main() -> None:
         "pages_per_sec": round(n_pages / extract_sec, 1),
         "triples_per_sec": round(n_triples / extract_sec, 1),
         "parallelism": cpus,
-        # measured separately by tools/scaling_bench.py (subprocess-per-
-        # level, best-of-3); full table + methodology in BENCH.md
-        "scaling": {"levels": "local[4] -> local[16]", "efficiency": 0.93,
-                    "source": "tools/scaling_bench.py"},
+        # scaling efficiency is NOT measured here (needs one JVM per
+        # parallelism level): run tools/scaling_bench.py; table in BENCH.md
+        "scaling_evidence": "tools/scaling_bench.py (see BENCH.md)",
     }
     spark.stop()
     print(json.dumps(out))

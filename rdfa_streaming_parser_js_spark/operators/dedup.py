@@ -89,13 +89,21 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
+    # Exact rational arithmetic for the prefix length and size filter:
+    # float forms like floor((1-0.9)*10) evaluate to 0 instead of 1
+    # (double rounding), silently dropping qualifying pairs.  With
+    # t = t_num/t_den: prefix_len = n - ceil(t·n) + 1, all in longs.
+    t_num = round(threshold * 1_000_000)
+    t_den = 1_000_000
+
     from pyspark.sql import Window
     w = Window.partitionBy("id").orderBy("df", "shingle")
+    n = F.col("n_shingles")
+    ceil_tn = F.floor((F.lit(t_num) * n + F.lit(t_den - 1)) / F.lit(t_den))
     ranked = (sh.join(freq, "shingle")
               .withColumn("pos", F.row_number().over(w))
               .join(sizes, "id"))
-    prefix = ranked.filter(
-        F.col("pos") <= F.floor((1 - threshold) * F.col("n_shingles")) + 1)
+    prefix = ranked.filter(F.col("pos") <= n - ceil_tn + 1)
 
     pa_ = prefix.select(F.col("id").alias("id_a"), "shingle",
                         F.col("n_shingles").alias("n_a"))
@@ -104,8 +112,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     cand = (pa_.join(pb_,
                      (pa_.shingle == pb_.shingle)
                      & (pa_.id_a < pb_.id_b)
-                     & (pb_.n_b >= threshold * pa_.n_a)
-                     & (pa_.n_a >= threshold * pb_.n_b))
+                     # t·|A| ≤ |B| and t·|B| ≤ |A|, integer-exact
+                     & (F.lit(t_num) * pa_.n_a <= F.lit(t_den) * pb_.n_b)
+                     & (F.lit(t_num) * pb_.n_b <= F.lit(t_den) * pa_.n_a))
             .select("id_a", "id_b", "n_a", "n_b")
             .distinct())
 
@@ -199,16 +208,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit band blocking.
+    """SimHash near-dup pairs via band blocking, recall-exact.
 
-    Pigeonhole: two 64-bit hashes within Hamming distance ≤ 3 must agree
-    on at least one of four 16-bit bands — so candidates come from four
-    band-equality buckets (never all-pairs), then the exact Hamming
+    Pigeonhole: hashes within Hamming distance ≤ h must agree on at
+    least one of h+1 disjoint bit bands — so the band count is DERIVED
+    from ``max_hamming`` (h+1 bands over 64 bits), candidates come from
+    band-equality buckets (never all-pairs), and the exact Hamming
     distance (``bit_count(xor)``) filters."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     sig = simhash64(docs, id_col, text_col)
     bands = F.array(*[
-        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
-        for b in range(4)])
+        F.shiftrightunsigned("simhash", offsets[b])
+        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+        for b in range(n_bands)])
     banded = sig.select("id", "simhash",
                         F.posexplode(bands).alias("band", "band_val"))
     cand = (banded.alias("a")

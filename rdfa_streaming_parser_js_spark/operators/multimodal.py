@@ -51,9 +51,12 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
     height = (F.lit(48) + (mid % 12) * 16).cast("int")
     n_frames = (F.when(mtype == "video", mid % 30 + 2)
                 .otherwise(F.lit(1))).cast("int")
+    # concat_ws silently SKIPS null columns, which would emit a 4-field
+    # header that crashes decode — coalesce keeps the field count fixed.
     header = F.concat_ws("|", F.lit("FAKE"), mtype,
                          width.cast("string"), height.cast("string"),
-                         n_frames.cast("string"), F.col(text_col))
+                         n_frames.cast("string"),
+                         F.coalesce(F.col(text_col), F.lit("")))
     return docs.select(
         mid.alias("media_id"), mtype.alias("media_type"),
         F.struct(width.alias("width"), height.alias("height"),
@@ -70,7 +73,11 @@ def _decode_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:
         raise NotImplementedError(
             "real codec decode not available in this environment; "
             "only the deterministic FAKE container is supported")
-    mtype, w, h, nf, body = payload[5:].split(b"|", 4)
+    parts = payload[5:].split(b"|", 4)
+    if len(parts) != 5:
+        raise ValueError(
+            f"malformed FAKE container: {len(parts) + 1} fields, need 6")
+    mtype, w, h, nf, body = parts
     return mtype.decode(), int(w), int(h), int(nf), body
 
 

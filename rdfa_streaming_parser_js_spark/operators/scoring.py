@@ -34,11 +34,15 @@ def triple_pr(got: DataFrame, expected: DataFrame,
     """
     g = got.select(*keys).distinct().cache()
     e = expected.select(*keys).distinct().cache()
-    common = g.alias("g").join(
-        e.alias("e"), _null_safe_on(g, e, keys), "inner")
-    n_got = g.count()
-    n_exp = e.count()
-    n_common = common.count()
+    try:
+        common = g.alias("g").join(
+            e.alias("e"), _null_safe_on(g, e, keys), "inner")
+        n_got = g.count()
+        n_exp = e.count()
+        n_common = common.count()
+    finally:
+        g.unpersist()
+        e.unpersist()
     spark = got.sparkSession
     row = [(n_exp, n_got, n_common,
             round(n_common / n_got, 6) if n_got else 0.0,

@@ -44,11 +44,14 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
-    plan = plan_string(df)
+    """Number of shuffle exchanges in the physical plan.
+
+    Counts in 'simple' mode (operator tree only — 'formatted' repeats
+    every node in a details section, which would double-count)."""
+    plan = plan_string(df, "simple")
     return sum(1 for ln in plan.splitlines()
-               if ln.strip().startswith("Exchange")
-               or " Exchange" in ln and "Reused" not in ln)
+               if "Exchange" in ln and "ReusedExchange" not in ln
+               and "BroadcastExchange" not in ln)
 
 
 def assert_map_only(df: DataFrame) -> None:

@@ -40,7 +40,8 @@ MANIFEST_SCHEMA = StructType([
     StructField("bucket", LongType()),
     StructField("n_pages", LongType()),
     StructField("n_triples", LongType()),
-    StructField("wall_sec", DoubleType()),
+    StructField("commit_wall_sec", DoubleType()),  # whole chunk's wall
+    StructField("committed_at", DoubleType()),     # epoch sec of commit
 ])
 
 
@@ -73,17 +74,27 @@ class CheckpointedExtraction:
                 self.manifest(spark).select("bucket").distinct().collect()}
 
     def metrics(self, spark: SparkSession) -> DataFrame:
-        """Triple-count metrics per bucket (latest commit wins)."""
-        return (self.manifest(spark)
-                .groupBy("bucket")
-                .agg(F.max("n_pages").alias("n_pages"),
-                     F.max("n_triples").alias("n_triples"),
-                     F.count(F.lit(1)).alias("n_commits")))
+        """Triple-count metrics per bucket — latest commit wins (by
+        ``committed_at``), with the commit history length alongside."""
+        from pyspark.sql import Window
+        w = Window.partitionBy("bucket").orderBy(F.desc("committed_at"))
+        latest = (self.manifest(spark)
+                  .withColumn("rn", F.row_number().over(w)))
+        counts = latest.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_commits"))
+        return (latest.filter(F.col("rn") == 1)
+                .select("bucket", "n_pages", "n_triples")
+                .join(counts, "bucket"))
 
     # -- data -------------------------------------------------------------
 
     def triples(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.triples_dir)
+        from ..operators.extract import TRIPLES_SCHEMA
+        try:
+            return spark.read.parquet(self.triples_dir)
+        except Exception:  # empty corpus: no data files written yet
+            return spark.createDataFrame(
+                [], TRIPLES_SCHEMA + ", bucket int")
 
     # -- execution --------------------------------------------------------
 
@@ -111,25 +122,28 @@ class CheckpointedExtraction:
             t0 = time.time()
             chunk_pages = bucketed.filter(F.col("bucket").isin(chunk))
             triples = extract_triples(
-                chunk_pages, passthrough=("bucket",))
+                chunk_pages, passthrough=("bucket",)).cache()
+            # Stats from the cached chunk itself — a read-back of the
+            # output dir would fail on an all-empty first commit (no
+            # parquet files yet to infer a schema from).
+            stats = {r.bucket: (r.n_pages, r.n_triples) for r in
+                     (triples.groupBy("bucket")
+                      .agg(F.count_distinct("url").alias("n_pages"),
+                           F.count(F.lit(1)).alias("n_triples"))
+                      .collect())}
             # Data first: dynamic overwrite replaces any partial output of
             # a previously-failed attempt at these buckets.
-            (triples.repartition(len(chunk), "bucket")
+            (triples.repartition(max(len(chunk), 1), "bucket")
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("bucket")
              .parquet(self.triples_dir))
+            triples.unpersist()
             # Metadata last: the manifest row IS the commit point.
-            stats = {r.bucket: (r.n_pages, r.n_triples) for r in
-                     (spark.read.parquet(self.triples_dir)
-                      .filter(F.col("bucket").isin(chunk))
-                      .groupBy("bucket")
-                      .agg(F.count_distinct("url").alias("n_pages"),
-                           F.count(F.lit(1)).alias("n_triples"))
-                      .collect())}
             wall = time.time() - t0
             rows = [(run_id, int(b), int(stats.get(b, (0, 0))[0]),
-                     int(stats.get(b, (0, 0))[1]), round(wall, 3))
+                     int(stats.get(b, (0, 0))[1]), round(wall, 3),
+                     time.time())
                     for b in chunk]
             (spark.createDataFrame(rows, MANIFEST_SCHEMA)
              .coalesce(1).write.mode("append").parquet(self.manifest_dir))

@@ -9,7 +9,8 @@ import pytest
 
 from rdfa_streaming_parser_js_spark.operators.extract import extract_triples
 from rdfa_streaming_parser_js_spark.plans.explain import (
-    assert_map_only, has_broadcast_join, plan_string, scan_read_schema)
+    assert_map_only, count_exchanges, has_broadcast_join,
+    has_pushed_filter, plan_string, scan_read_schema)
 from rdfa_streaming_parser_js_spark.plans.lineage import (
     CheckpointedExtraction)
 from rdfa_streaming_parser_js_spark.sources.pages import pages_from_documents
@@ -75,6 +76,15 @@ def test_rerun_is_noop_and_reprocess_is_idempotent(spark, pages, tmp_path):
 
 def test_extraction_plan_is_map_only(spark, pages):
     assert_map_only(extract_triples(pages))
+    assert count_exchanges(extract_triples(pages)) == 0
+
+
+def test_canonicalize_is_single_shuffle(spark, pages):
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        canonicalize_triples)
+    # distinct-with-provenance must be ONE exchange (partial agg before)
+    assert count_exchanges(canonicalize_triples(
+        extract_triples(pages))) == 1
 
 
 def test_pages_scan_prunes_columns(spark):
@@ -93,5 +103,4 @@ def test_nation_join_broadcasts(spark):
 def test_filter_pushdown_reaches_scan(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") < 24).select("l_orderkey")
-    plan = plan_string(q)
-    assert "PushedFilters: [" in plan and "l_quantity" in plan, plan
+    assert has_pushed_filter(q, "l_quantity"), plan_string(q)

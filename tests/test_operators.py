@@ -174,3 +174,69 @@ def test_salted_counts_match_plain_groupby(spark, sf_dir):
     plain = {(r.obj_value, r["count"])
              for r in triples.groupBy("obj_value").count().collect()}
     assert salted == plain
+
+
+# -- regression tests from code review ------------------------------------
+
+def test_ppjoin_high_threshold_exact(spark):
+    """threshold=0.9 prefix length must not be float-truncated: doc B =
+    doc A minus its rarest shingle has J=9/10 and must be found."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    words = [f"w{i}" for i in range(12)]  # 12 tokens -> 10 3-gram shingles
+    a = " ".join(words)
+    b = " ".join(words[1:])  # drops exactly one shingle -> J = 9/10
+    docs = spark.createDataFrame([(1, a), (2, b), (3, "x y z q r s")],
+                                 "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.jaccard) for r in
+           ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert got == {(1, 2, 0.9)}
+
+
+def test_simhash_banding_recall_matches_bruteforce(spark):
+    """Band blocking must be recall-exact for the requested max_hamming
+    (h+1 bands, pigeonhole) — compare against the all-pairs answer."""
+    import pyspark.sql.functions as F
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        simhash64, simhash_near_pairs)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    for h in (3, 8, 17):
+        banded = {(r.id_a, r.id_b, r.hamming) for r in
+                  simhash_near_pairs(docs, max_hamming=h).collect()}
+        sig = simhash64(docs)
+        brute = (sig.alias("a").crossJoin(sig.alias("b"))
+                 .filter(F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"),
+                         F.bit_count(F.col("a.simhash")
+                                     .bitwiseXOR(F.col("b.simhash")))
+                         .cast("int").alias("hamming"))
+                 .filter(F.col("hamming") <= h))
+        assert banded == {(r.id_a, r.id_b, r.hamming)
+                          for r in brute.collect()}
+
+
+def test_multimodal_null_text_safe(spark):
+    from rdfa_streaming_parser_js_spark.operators.multimodal import (
+        decode_media_meta, synthesize_media)
+    docs = spark.createDataFrame([(0, None), (1, "some text")],
+                                 "doc_id long, text string")
+    rows = {r.media_id: r for r in
+            decode_media_meta(synthesize_media(docs)).collect()}
+    assert rows[0].body_bytes == 0 and rows[0].width == 64
+    assert rows[1].body_bytes == len("some text")
+
+
+def test_lineage_empty_corpus(spark, tmp_path):
+    from rdfa_streaming_parser_js_spark.plans.lineage import (
+        CheckpointedExtraction)
+    empty = spark.createDataFrame(
+        [], "url string, html binary, lang string")
+    ck = CheckpointedExtraction(str(tmp_path / "kg"), n_buckets=4)
+    r = ck.run(empty, buckets_per_commit=2, run_id="e")
+    assert r["commits"] == 2
+    assert ck.completed_buckets(spark) == {0, 1, 2, 3}
+    assert ck.triples(spark).count() == 0
+    m = ck.metrics(spark).collect()
+    assert all(row.n_triples == 0 for row in m) and len(m) == 4
