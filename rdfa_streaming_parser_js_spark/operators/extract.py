@@ -64,14 +64,23 @@ def extract_triples(pages: DataFrame, profile: str = "html",
                     skolemize: bool = True, url_col: str = "url",
                     html_col: str = "html",
                     lang_col: str | None = "lang",
+                    content_type_col: str | None = None,
                     passthrough: tuple[str, ...] = ()) -> DataFrame:
     """pages(url, html[, lang]) → triples DataFrame (TRIPLES_SCHEMA).
 
     ``passthrough`` columns (e.g. ``warc_ts`` for the streaming pipeline's
     event-time watermark) are carried through unchanged, repeated on every
     triple of their page — avoiding a post-extraction join back to pages.
+
+    ``content_type_col`` routes each row to its RDFa profile by MIME type
+    (text/html → html, application/xhtml+xml → xhtml, image/svg+xml /
+    application/xml / text/xml → xml), mirroring the reference's
+    contentType option (/root/reference/lib/RdfaProfile.ts:150-161); rows
+    with an unmapped/missing content type fall back to ``profile``.
     """
     cols = [url_col, html_col] + ([lang_col] if lang_col else [])
+    if content_type_col:
+        cols.append(content_type_col)
     n_base = len(cols)
     pruned = pages.select(*cols, *passthrough)
     dtypes = dict(pruned.dtypes)
@@ -101,11 +110,14 @@ def extract_triples(pages: DataFrame, profile: str = "html",
             htmls = batch.column(1).to_pylist()
             langs = (batch.column(2).to_pylist() if lang_col
                      else [None] * len(urls))
+            ctypes = (batch.column(n_base - 1).to_pylist()
+                      if content_type_col else [None] * len(urls))
             extra = [batch.column(n_base + i).to_pylist()
                      for i in range(len(passthrough))]
             for i, (url, html, lang) in enumerate(zip(urls, htmls, langs)):
                 extractor = parse_rdfa(html or b"", base_iri=url or "",
                                        profile=profile,
+                                       content_type=ctypes[i],
                                        language=lang or None)
                 for s, p, o in extractor.triples:
                     sv, sk, _, _ = _term_cols(s, url, skolemize)

@@ -88,3 +88,24 @@ def test_bnode_skolemization_deterministic(spark):
     bnodes = {r[1] for r in out1 if r[2] == "bnode"}
     assert len(bnodes) == 8  # two distinct skolem bnodes per page
     assert all(b.startswith("_:") and len(b) == 66 for b in bnodes)
+
+
+def test_content_type_routing(spark):
+    """Per-row MIME routing: html and svg pages in ONE DataFrame, each
+    parsed under its profile (reference RdfaProfile.ts:150-161)."""
+    html_doc = (b'<html><body><div about="#a" property="dc:title" '
+                b'prefix="dc: http://purl.org/dc/terms/">T</div>'
+                b'</body></html>')
+    svg_doc = (b'<svg xmlns="http://www.w3.org/2000/svg" version="1.2" '
+               b'prefix="dc: http://purl.org/dc/terms/">'
+               b'<desc property="dc:description">An SVG</desc></svg>')
+    df = spark.createDataFrame(
+        [("http://e.org/h", bytearray(html_doc), "text/html"),
+         ("http://e.org/s", bytearray(svg_doc), "image/svg+xml")],
+        "url string, html binary, ctype string")
+    got = extract_triples(df, lang_col=None, content_type_col="ctype")
+    rows = {(r.url, r.pred): r.obj_value for r in got.collect()}
+    assert rows[("http://e.org/h",
+                 "http://purl.org/dc/terms/title")] == "T"
+    assert rows[("http://e.org/s",
+                 "http://purl.org/dc/terms/description")] == "An SVG"
