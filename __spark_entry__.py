@@ -32,7 +32,8 @@ from rdfa_streaming_parser_js_spark.operators.extract import (
 from rdfa_streaming_parser_js_spark.operators.similarity import (
     cosine_topk, ivf_topk)
 from rdfa_streaming_parser_js_spark.sources.pages import (
-    RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents)
+    RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents,
+    rich_expected_triples_sql as _rich_sql)
 
 JACCARD_THRESHOLD = 0.5
 COSINE_NEARDUP_THRESHOLD = 0.3
@@ -127,6 +128,24 @@ def q_graph_source_lang_matrix(spark, sf_dir):
 def q_entity_link_top1(spark, sf_dir):
     return best_entity_per_doc(_docs(spark, sf_dir),
                                entity_dictionary(spark))
+
+
+def q_rdfa_extract_rich(spark, sf_dir):
+    """Rich corpus: blank-node chaining (typeof without about) and
+    rdf:List construction, oracle-checked INCLUDING skolemized bnode
+    identity (lang_col=None: the template carries no language)."""
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    return extract_triples(rich_pages_from_documents(spark, sf_dir),
+                           lang_col=None)
+
+
+def q_rdfa_ntriples(spark, sf_dir):
+    """Canonical N-Triples serialization of the extracted graph —
+    whole-stage-codegen sink format (no Python)."""
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        ntriples_lines)
+    return ntriples_lines(_triples(spark, sf_dir))
 
 
 def q_rdfa_pr_vs_expected(spark, sf_dir):
@@ -376,6 +395,8 @@ def q_multimodal_binary_meta(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rdfa_extract": q_rdfa_extract,
+        "rdfa_extract_rich": q_rdfa_extract_rich,
+        "rdfa_ntriples": q_rdfa_ntriples,
         "rdfa_text_invariant": q_rdfa_text_invariant,
         "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
         "rdfa_lang_distribution": q_rdfa_lang_distribution,
@@ -481,6 +502,28 @@ def oracle_sql() -> dict[str, str]:
     pred_values = ", ".join(f"('{p}')" for p, _ in preds)
     return {
         "rdfa_extract": expected_triples_sql(),
+        "rdfa_extract_rich": _rich_sql(),
+        "rdfa_ntriples": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT url,
+                   CASE WHEN subj_kind = 'iri' THEN '<' || subj || '>'
+                        ELSE subj END
+                   || ' <' || pred || '> '
+                   || CASE WHEN obj_kind = 'iri'
+                             THEN '<' || obj_value || '>'
+                           WHEN obj_kind = 'bnode' THEN obj_value
+                           ELSE '"' || replace(replace(obj_value,
+                                    chr(92), chr(92) || chr(92)),
+                                    '"', chr(92) || '"') || '"'
+                                || CASE WHEN obj_lang IS NOT NULL
+                                          THEN '@' || obj_lang
+                                        WHEN obj_datatype IS NOT NULL
+                                          THEN '^^<' || obj_datatype || '>'
+                                        ELSE '' END
+                      END
+                   || ' .' AS line
+            FROM exp
+        """,
         "rdfa_text_invariant": f"""
             WITH p AS ({_PAGES_CTE})
             SELECT url, sha256(name || source) AS text_sha256 FROM p

@@ -110,6 +110,81 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     )
 
 
+RICH_URL_PREFIX = "http://pages.example.org/rich/"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def rich_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second synthetic corpus exercising the bnode + rdf:List machinery:
+    nested ``typeof`` without ``about`` (→ minted blank node) and two
+    ``inlist`` keywords (→ rdf:first/rest/nil cons cells).
+
+    Deterministic skolemization makes even the BLANK NODES oracle-able:
+    the kernel mints g_0 (author), g_1, g_2 (list cells) in document
+    order, and the Spark layer skolemizes to ``'_:' || sha256(url ||
+    '|g_N')`` — which DuckDB can reconstruct (rich_expected_triples_sql).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    w1, w2, w3 = (F.element_at(words, i) for i in (1, 2, 3))
+    url = F.concat(F.lit(RICH_URL_PREFIX), F.col("doc_id").cast("string"))
+    html = F.concat(
+        F.lit('<!DOCTYPE html><html><head><title>'), w1,
+        F.lit('</title></head><body prefix="schema: http://schema.org/">'
+              '<div about="#it" typeof="schema:Article">'
+              '<div property="schema:author" typeof="schema:Person">'
+              '<span property="schema:name">Author '), F.col("source"),
+        F.lit('</span></div><span inlist="" property="schema:keywords">'),
+        w2,
+        F.lit('</span><span inlist="" property="schema:keywords">'), w3,
+        F.lit('</span></div></body></html>'))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("page_id"),
+        url.alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double")))
+        .alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        w1.alias("text"),
+        F.col("lang"))
+
+
+def rich_expected_triples_sql() -> str:
+    """DuckDB oracle for the rich corpus, including skolemized bnodes."""
+    base = f"""
+      SELECT '{RICH_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+             '{RICH_URL_PREFIX}' || CAST(doc_id AS VARCHAR) || '#it' AS it,
+             '_:' || sha256('{RICH_URL_PREFIX}' || CAST(doc_id AS VARCHAR)
+                            || '|g_0') AS b0,
+             '_:' || sha256('{RICH_URL_PREFIX}' || CAST(doc_id AS VARCHAR)
+                            || '|g_1') AS b1,
+             '_:' || sha256('{RICH_URL_PREFIX}' || CAST(doc_id AS VARCHAR)
+                            || '|g_2') AS b2,
+             string_split(text, ' ')[2] AS w2,
+             string_split(text, ' ')[3] AS w3,
+             'Author ' || source AS author_name
+      FROM documents
+    """
+    def row(s, p, o, sk="iri", ok="iri"):
+        return (f"SELECT url, {s} AS subj, '{sk}' AS subj_kind, "
+                f"'{p}' AS pred, {o} AS obj_value, '{ok}' AS obj_kind, "
+                f"CAST(NULL AS VARCHAR) AS obj_datatype, "
+                f"CAST(NULL AS VARCHAR) AS obj_lang FROM p")
+    parts = [
+        row("it", f"{RDF_NS}type", f"'{SCHEMA_ORG}Article'"),
+        row("b0", f"{RDF_NS}type", f"'{SCHEMA_ORG}Person'", sk="bnode"),
+        row("it", f"{SCHEMA_ORG}author", "b0", ok="bnode"),
+        row("b0", f"{SCHEMA_ORG}name", "author_name",
+            sk="bnode", ok="literal"),
+        row("b1", f"{RDF_NS}first", "w2", sk="bnode", ok="literal"),
+        row("b1", f"{RDF_NS}rest", "b2", sk="bnode", ok="bnode"),
+        row("b2", f"{RDF_NS}first", "w3", sk="bnode", ok="literal"),
+        row("b2", f"{RDF_NS}rest", f"'{RDF_NS}nil'", sk="bnode"),
+        row("it", f"{SCHEMA_ORG}keywords", "b1", ok="bnode"),
+    ]
+    return "WITH p AS (" + base + ")\n" + "\nUNION ALL\n".join(parts)
+
+
 def expected_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-Spark reconstruction of the template's expected triples —
     the distributed 'expected' side for P/R scoring (operators/scoring),

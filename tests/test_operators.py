@@ -240,3 +240,25 @@ def test_lineage_empty_corpus(spark, tmp_path):
     assert ck.triples(spark).count() == 0
     m = ck.metrics(spark).collect()
     assert all(row.n_triples == 0 for row in m) and len(m) == 4
+
+
+def test_ntriples_escaping(spark):
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        ntriples_lines)
+    rows = [("http://e.org/p", "http://e.org/s", "iri", "http://e.org/p1",
+             'he said "hi"\nback\\slash\ttab', "literal", None, None),
+            ("http://e.org/p", "_:abc", "bnode", "http://e.org/p2",
+             "v", "literal", None, "en"),
+            ("http://e.org/p", "http://e.org/s", "iri", "http://e.org/p3",
+             "5", "literal", "http://www.w3.org/2001/XMLSchema#integer",
+             None)]
+    df = spark.createDataFrame(
+        rows, "url string, subj string, subj_kind string, pred string, "
+              "obj_value string, obj_kind string, obj_datatype string, "
+              "obj_lang string")
+    lines = {r.line for r in ntriples_lines(df).collect()}
+    assert ('<http://e.org/s> <http://e.org/p1> '
+            '"he said \\"hi\\"\\nback\\\\slash\\ttab" .') in lines
+    assert '_:abc <http://e.org/p2> "v"@en .' in lines
+    assert ('<http://e.org/s> <http://e.org/p3> '
+            '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .') in lines
