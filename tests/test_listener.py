@@ -109,3 +109,39 @@ def test_listener_errors_propagate():
     with pytest.raises(RuntimeError, match="Dummy error"):
         parse_rdfa(DOC, base_iri="http://example.org/",
                    html_parse_listener=Boom())
+
+
+def test_chunked_feed_equals_whole_document():
+    """The reference consumes arbitrary chunk splits (Node Transform,
+    /root/reference/lib/RdfaParser.ts:77-80); our drivers must tokenize
+    identically when fed byte-at-a-time across tag boundaries."""
+    import json
+    from pathlib import Path
+    from rdfa_streaming_parser_js_spark.kernel import RdfaExtractor
+    from rdfa_streaming_parser_js_spark.kernel.html_driver import (
+        HtmlSaxDriver)
+    from rdfa_streaming_parser_js_spark.kernel.isomorphism import (
+        flatten_triples)
+
+    cases = json.loads(
+        (Path(__file__).parent / "fixtures" / "rdfa_cases.json")
+        .read_text())["cases"]
+    html_cases = [c for c in cases
+                  if c["options"].get("profile", "") in ("", "html")
+                  and "features" not in c["options"]][:25]
+    assert len(html_cases) == 25
+    for case in html_cases:
+        base = case["options"].get("base_iri", "")
+        whole = RdfaExtractor(base_iri=base, profile="html")
+        d = HtmlSaxDriver(whole)
+        d.feed(case["html"])
+        d.finish()
+
+        chunked = RdfaExtractor(base_iri=base, profile="html")
+        d2 = HtmlSaxDriver(chunked)
+        for i in range(0, len(case["html"]), 7):
+            d2.feed(case["html"][i:i + 7])
+        d2.finish()
+        assert (flatten_triples(whole.triples)
+                == flatten_triples(chunked.triples)), case["name"]
+        assert whole.extracted_text() == chunked.extracted_text()
