@@ -120,7 +120,15 @@ class CheckpointedExtraction:
                 break
             chunk = remaining[i:i + buckets_per_commit]
             t0 = time.time()
-            chunk_pages = bucketed.filter(F.col("bucket").isin(chunk))
+            # Repartition BEFORE extraction on (bucket, url): extraction
+            # parallelism must not be hostage to the input's file split
+            # count, and pages of one bucket may spread over several
+            # tasks (url in the key) — the write's partitionBy still
+            # groups them into bucket=K/ dirs.
+            n_tasks = max(spark.sparkContext.defaultParallelism,
+                          len(chunk))
+            chunk_pages = (bucketed.filter(F.col("bucket").isin(chunk))
+                           .repartition(n_tasks, "bucket", "url"))
             triples = extract_triples(
                 chunk_pages, passthrough=("bucket",)).cache()
             # Stats from the cached chunk itself — a read-back of the
@@ -132,9 +140,10 @@ class CheckpointedExtraction:
                            F.count(F.lit(1)).alias("n_triples"))
                       .collect())}
             # Data first: dynamic overwrite replaces any partial output of
-            # a previously-failed attempt at these buckets.
-            (triples.repartition(max(len(chunk), 1), "bucket")
-             .write.mode("overwrite")
+            # a previously-failed attempt at these buckets.  No second
+            # shuffle: tasks already hold (bucket, url) co-partitioned
+            # triples; partitionBy groups them into bucket=K/ dirs.
+            (triples.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("bucket")
              .parquet(self.triples_dir))
