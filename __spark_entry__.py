@@ -130,6 +130,13 @@ def q_entity_link_top1(spark, sf_dir):
                                entity_dictionary(spark))
 
 
+def q_entity_link_scored(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.entity_link import (
+        scored_entity_links)
+    return scored_entity_links(_docs(spark, sf_dir),
+                               entity_dictionary(spark))
+
+
 def q_rdfa_extract_rich(spark, sf_dir):
     """Rich corpus: blank-node chaining (typeof without about) and
     rdf:List construction, oracle-checked INCLUDING skolemized bnode
@@ -406,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_object_counts": q_salted_object_counts,
         "graph_source_lang_matrix": q_graph_source_lang_matrix,
         "entity_link_top1": q_entity_link_top1,
+        "entity_link_scored": q_entity_link_scored,
         "agg_events_by_type": q_agg_events_by_type,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_latest_event_per_user": q_window_latest_event_per_user,
@@ -583,6 +591,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, '{KB_PREFIX}' || name AS entity_iri,
                    name, n_mentions
             FROM r WHERE rn = 1
+        """,
+        "entity_link_scored": f"""
+            WITH m AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            c AS (SELECT doc_id, token AS name, count(*) AS n_mentions
+                  FROM m WHERE token IN ({ent_list})
+                  GROUP BY doc_id, token),
+            d AS (SELECT name, count(DISTINCT doc_id) AS doc_freq FROM c
+                  GROUP BY name),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT c.doc_id AS id, '{KB_PREFIX}' || c.name AS entity_iri,
+                   c.name, c.n_mentions, d.doc_freq,
+                   round(c.n_mentions * ln(1.0 + CAST(n.n_docs AS DOUBLE)
+                                                 / d.doc_freq), 6) AS score
+            FROM c JOIN d USING (name) CROSS JOIN n
         """,
         "agg_events_by_type": """
             SELECT event_type,

@@ -60,3 +60,28 @@ def best_entity_per_doc(docs: DataFrame, dictionary: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") == 1)
             .select("id", "entity_iri", "name", "n_mentions"))
+
+
+def scored_entity_links(docs: DataFrame, dictionary: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """TF-IDF-weighted link scoring: mention count × corpus rarity.
+
+    ``score = n_mentions · ln(1 + N/df)`` where df = how many documents
+    mention the entity — a ubiquitous name ("table") is weak evidence, a
+    rare one is strong.  df is tiny (≤ dictionary size) so it broadcasts
+    back; the big side shuffles only once (the per-doc aggregation in
+    link_entities)."""
+    cand = link_entities(docs, dictionary, id_col, text_col)
+    n_docs = docs.count()
+    df_ = cand.groupBy("name").agg(
+        F.count_distinct("id").alias("doc_freq"))
+    return (cand.join(F.broadcast(df_), "name")
+            .withColumn(
+                "score",
+                F.round(F.col("n_mentions")
+                        * F.log(F.lit(1.0)
+                                + F.lit(float(n_docs)) / F.col("doc_freq")),
+                        6))
+            .select("id", "entity_iri", "name", "n_mentions",
+                    "doc_freq", "score"))
