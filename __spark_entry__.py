@@ -327,6 +327,12 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), qv, cell, k=10)
 
 
+def q_embedding_lsh_topk(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.similarity import lsh_topk
+    qv, _ = _query_vec(spark, sf_dir)
+    return lsh_topk(_emb(spark, sf_dir), qv, k=10)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         embedding_near_duplicates)
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -478,6 +485,16 @@ _COS_CTE = """
                sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
         FROM pairs GROUP BY vec_id)
 """
+
+def _LSH_BUCKET_EXPR(vec: str) -> str:
+    """SQL mirror of operators/similarity.lsh_bucket (1-based lists)."""
+    from rdfa_streaming_parser_js_spark.operators.similarity import (
+        lsh_projection_dims)
+    dims = lsh_projection_dims(64, 8)
+    return " + ".join(
+        f"(CASE WHEN {vec}[{d + 1}] >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, d in enumerate(dims))
+
 
 # Mirror of operators/multimodal.synthesize_media (deterministic fake).
 _MEDIA_CTE = """
@@ -732,6 +749,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id IN (SELECT vec_id FROM embeddings
                              WHERE label = (SELECT label FROM embeddings
                                             WHERE vec_id = 0))
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_lsh_topk": f"""
+            WITH {_COS_CTE},
+            b AS (SELECT vec_id, {_LSH_BUCKET_EXPR('embedding')} AS bucket
+                  FROM embeddings),
+            qb AS (SELECT {_LSH_BUCKET_EXPR('qe')} AS qbucket FROM q)
+            SELECT s.vec_id,
+                   round(dot / (sqrt(nx) * sqrt(ny)), 5) AS cosine
+            FROM s JOIN b USING (vec_id) CROSS JOIN qb
+            WHERE b.bucket = qb.qbucket
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "embedding_near_dup": f"""

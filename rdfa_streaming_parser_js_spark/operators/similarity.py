@@ -67,3 +67,52 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], query_cell: int,
     top-k within it.  The filter is pushed down to the parquet scan."""
     pruned = emb.filter(F.col(cell_col) == query_cell)
     return cosine_topk(pruned, query_vec, k, vec_col, id_col)
+
+
+# Pseudo-random but DETERMINISTIC projection dimensions for sign-LSH
+# (no RNG state: dims derive from a fixed multiplicative hash).
+def lsh_projection_dims(dim: int, n_bits: int = 8) -> list[int]:
+    dims, seen, x = [], set(), 0
+    while len(dims) < n_bits:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        d = x % dim
+        if d not in seen:
+            seen.add(d)
+            dims.append(int(d))
+    return dims
+
+
+def lsh_bucket(vec: Column, dims: list[int]) -> Column:
+    """Sign-projection bucket id: bit b = sign(vec[dims[b]]).
+
+    Axis-aligned random projections — the hyperplanes are coordinate
+    axes chosen pseudo-randomly, so the bucket is a cheap native
+    expression (no per-row Python, no stored hyperplane table)."""
+    bits = [
+        F.when(F.element_at(vec, d + 1) >= 0,
+               F.lit(1 << b)).otherwise(F.lit(0))
+        for b, d in enumerate(dims)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out.cast("int")
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_bits: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """LSH-bucketed ANN: score only vectors sharing the query's
+    sign-projection bucket (expected 1/2^n_bits of the table), exact
+    cosine top-k within the bucket.  Standard ANN recall trade-off —
+    ``cosine_topk`` is the exact baseline to validate against.  On a
+    bucket-partitioned table the filter prunes partitions."""
+    dim = len(query_vec)
+    dims = lsh_projection_dims(dim, n_bits)
+    qbucket = 0
+    for b, d in enumerate(dims):
+        if float(query_vec[d]) >= 0:
+            qbucket |= 1 << b
+    pruned = emb.filter(
+        lsh_bucket(_as_double(F.col(vec_col)), dims) == qbucket)
+    return cosine_topk(pruned, query_vec, k, vec_col, id_col)
