@@ -147,6 +147,13 @@ def q_rdfa_extract_rich(spark, sf_dir):
                            lang_col=None)
 
 
+def q_rdfa_page_stats(spark, sf_dir):
+    """Per-page diagnostics table (quarantine/monitoring path)."""
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_page_stats)
+    return extract_page_stats(pages_from_documents(spark, sf_dir))
+
+
 def q_rdfa_ntriples(spark, sf_dir):
     """Canonical N-Triples serialization of the extracted graph —
     whole-stage-codegen sink format (no Python)."""
@@ -410,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_extract": q_rdfa_extract,
         "rdfa_extract_rich": q_rdfa_extract_rich,
         "rdfa_ntriples": q_rdfa_ntriples,
+        "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_text_invariant": q_rdfa_text_invariant,
         "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
         "rdfa_lang_distribution": q_rdfa_lang_distribution,
@@ -528,6 +536,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rdfa_extract": expected_triples_sql(),
         "rdfa_extract_rich": _rich_sql(),
+        "rdfa_page_stats": f"""
+            WITH p AS ({_PAGES_CTE})
+            SELECT url, CAST(7 AS BIGINT) AS n_triples,
+                   CAST(length(name || source) AS BIGINT) AS text_chars,
+                   CAST(NULL AS VARCHAR) AS parse_error
+            FROM p
+        """,
         "rdfa_ntriples": f"""
             WITH exp AS ({expected_triples_sql()})
             SELECT url,

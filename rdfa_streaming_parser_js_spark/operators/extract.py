@@ -136,6 +136,44 @@ def extract_triples(pages: DataFrame, profile: str = "html",
     return pruned.mapInArrow(run, schema)
 
 
+_STATS_SCHEMA = ("url string, n_triples long, text_chars long, "
+                 "parse_error string")
+
+
+def extract_page_stats(pages: DataFrame, profile: str = "html",
+                       url_col: str = "url", html_col: str = "html",
+                       lang_col: str | None = "lang") -> DataFrame:
+    """Per-page diagnostics: triple count, extracted-text length, and the
+    recoverable parse error if any (kernel ``parse_error``, the
+    per-document analogue of the reference's stream 'error' event).  At
+    corpus scale this is the quarantine/monitoring table — broken pages
+    are rows here, never task failures."""
+    cols = [url_col, html_col] + ([lang_col] if lang_col else [])
+    pruned = pages.select(*cols)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            langs = (batch.column(2).to_pylist() if lang_col
+                     else [None] * len(urls))
+            n_triples, text_chars, errors = [], [], []
+            for url, html, lang in zip(urls, htmls, langs):
+                ex = parse_rdfa(html or b"", base_iri=url or "",
+                                profile=profile, language=lang or None)
+                n_triples.append(len(ex.triples))
+                text_chars.append(len(ex.extracted_text()))
+                errors.append(ex.parse_error)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()),
+                 pa.array(n_triples, type=pa.int64()),
+                 pa.array(text_chars, type=pa.int64()),
+                 pa.array(errors, type=pa.string())],
+                names=["url", "n_triples", "text_chars", "parse_error"])
+
+    return pruned.mapInArrow(run, _STATS_SCHEMA)
+
+
 def extract_page_text(pages: DataFrame, profile: str = "html",
                       url_col: str = "url", html_col: str = "html",
                       lang_col: str | None = "lang") -> DataFrame:

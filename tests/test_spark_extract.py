@@ -109,3 +109,21 @@ def test_content_type_routing(spark):
                  "http://purl.org/dc/terms/title")] == "T"
     assert rows[("http://e.org/s",
                  "http://purl.org/dc/terms/description")] == "An SVG"
+
+
+def test_page_stats_quarantine(spark):
+    """Broken xml pages land as diagnostic rows, not task failures."""
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_page_stats)
+    ok = b'<svg xmlns="http://www.w3.org/2000/svg" property="dc:title" about="" prefix="dc: http://purl.org/dc/terms/">T</svg>'
+    broken = b'</div><div>not well-formed'
+    df = spark.createDataFrame(
+        [("http://e.org/ok", bytearray(ok), None),
+         ("http://e.org/bad", bytearray(broken), None)],
+        "url string, html binary, lang string")
+    rows = {r.url: r for r in
+            extract_page_stats(df, profile="xml").collect()}
+    assert rows["http://e.org/ok"].parse_error is None
+    assert rows["http://e.org/ok"].n_triples == 1
+    assert rows["http://e.org/bad"].parse_error is not None
+    assert rows["http://e.org/bad"].n_triples == 0
