@@ -120,15 +120,13 @@ class CheckpointedExtraction:
                 break
             chunk = remaining[i:i + buckets_per_commit]
             t0 = time.time()
-            # Repartition BEFORE extraction on (bucket, url): extraction
-            # parallelism must not be hostage to the input's file split
-            # count, and pages of one bucket may spread over several
-            # tasks (url in the key) — the write's partitionBy still
-            # groups them into bucket=K/ dirs.
-            n_tasks = max(spark.sparkContext.defaultParallelism,
-                          len(chunk))
+            # Repartition BEFORE extraction, hashed on bucket: extraction
+            # parallelism must not be hostage to the input's file-split
+            # count, and bucket-aligned tasks write exactly one file per
+            # bucket=K/ dir.  Parallelism == buckets per chunk; size
+            # n_buckets ≥ cluster cores (at 10^12 pages it is ≫).
             chunk_pages = (bucketed.filter(F.col("bucket").isin(chunk))
-                           .repartition(n_tasks, "bucket", "url"))
+                           .repartition(len(chunk), "bucket"))
             triples = extract_triples(
                 chunk_pages, passthrough=("bucket",)).cache()
             # Stats from the cached chunk itself — a read-back of the
