@@ -278,6 +278,45 @@ def q_setop_sources_en_only(spark, sf_dir):
     return en.exceptAll(de.distinct())
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) + per-session stats."""
+    from rdfa_streaming_parser_js_spark.operators.sessions import (
+        session_stats)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30)
+
+
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP aggregation: (status, priority) → status → grand total."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_percentiles_by_event_type(spark, sf_dir):
+    """Exact percentiles (p50/p90/p99) of event value per type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile("value", F.lit(p)), 6)
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.5, 0.9, 0.99)]))
+
+
+SAMPLE_PCT = 10
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible 10% sample via content hash — the sampling primitive
+    a training-data pipeline needs (same rows on every run/cluster, no
+    RNG state; md5 so the DuckDB oracle reproduces it bit-for-bit)."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    slot = (F.ascii(F.substring(h, 1, 1)) * 256
+            + F.ascii(F.substring(h, 2, 1))) % 100
+    return docs.filter(slot < SAMPLE_PCT).select("doc_id", "lang")
+
+
 HIGH_VALUE_ORDER = 300_000.0
 
 
@@ -440,6 +479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "setop_sources_both": q_setop_sources_both,
         "setop_sources_en_only": q_setop_sources_en_only,
+        "sessionize_events": q_sessionize_events,
+        "rollup_orders": q_rollup_orders,
+        "percentiles_by_event_type": q_percentiles_by_event_type,
+        "deterministic_sample": q_deterministic_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -724,6 +767,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT source FROM documents WHERE lang = 'en'
             EXCEPT
             SELECT DISTINCT source FROM documents WHERE lang = 'de'
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                               > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                        AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+                   round(sum(value), 3) AS sum_value
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "percentiles_by_event_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "deterministic_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+                  % 100 < {SAMPLE_PCT}
         """,
         "dedup_exact": r"""
             WITH fp AS (SELECT doc_id AS id,

@@ -262,3 +262,23 @@ def test_ntriples_escaping(spark):
     assert '_:abc <http://e.org/p2> "v"@en .' in lines
     assert ('<http://e.org/s> <http://e.org/p3> '
             '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .') in lines
+
+
+def test_sessionize_single_shuffle_and_gap_semantics(spark):
+    import datetime
+    import pyspark.sql.functions as F
+    from rdfa_streaming_parser_js_spark.operators.sessions import (
+        session_stats, sessionize)
+    from rdfa_streaming_parser_js_spark.plans.explain import count_exchanges
+    t0 = datetime.datetime(2024, 1, 1)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    ev = spark.createDataFrame(
+        [(1, mins(0), 1.0), (1, mins(10), 2.0), (1, mins(50), 3.0),
+         (2, mins(0), 4.0)],
+        "user_id long, ts timestamp, value double")
+    s = {(r.user_id, r.session_seq): r for r in
+         session_stats(ev, gap_minutes=30).collect()}
+    assert s[(1, 1)].n_events == 2 and s[(1, 2)].n_events == 1
+    assert s[(2, 1)].n_events == 1
+    # both windows + the rollup share ONE hash partitioning on user_id
+    assert count_exchanges(sessionize(ev)) == 1
