@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--buckets-per-commit", type=int, default=8)
+    ap.add_argument("--mode", choices=("batch", "streaming"),
+                    default="batch",
+                    help="streaming: incremental file-stream ingestion "
+                         "with a Structured Streaming checkpoint")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,11 +53,27 @@ def main() -> None:
 
     pages = pages_from_documents(spark, args.sf_dir, copies=args.copies)
 
-    ck = CheckpointedExtraction(f"{args.out_dir}/extract",
-                                n_buckets=args.n_buckets)
-    run_info = ck.run(pages, buckets_per_commit=args.buckets_per_commit)
-
-    triples = ck.triples(spark)
+    if args.mode == "streaming":
+        # Stage pages as a file-stream source dir; resume lives in the
+        # Structured Streaming checkpoint instead of the bucket manifest.
+        from rdfa_streaming_parser_js_spark.streaming import (
+            run_extraction_stream)
+        pages_dir = f"{args.out_dir}/pages_in"
+        pages.write.mode("overwrite").parquet(pages_dir)
+        q = run_extraction_stream(
+            spark, pages_dir, f"{args.out_dir}/extract/triples",
+            f"{args.out_dir}/stream_ck", max_files_per_trigger=8)
+        q.awaitTermination()
+        run_info = {"mode": "streaming",
+                    "progress": q.lastProgress and
+                    q.lastProgress.get("numInputRows")}
+        triples = spark.read.parquet(f"{args.out_dir}/extract/triples")
+    else:
+        ck = CheckpointedExtraction(f"{args.out_dir}/extract",
+                                    n_buckets=args.n_buckets)
+        run_info = ck.run(pages,
+                          buckets_per_commit=args.buckets_per_commit)
+        triples = ck.triples(spark)
     materialize_graph(triples, f"{args.out_dir}/graph")
     hubs = hub_subjects(triples, k=10).collect()
 
@@ -70,7 +90,8 @@ def main() -> None:
         "n_graph_buckets": graph.select("bucket").distinct().count(),
         "n_entity_links": links.count(),
         "top_hub_subjects": [(r.subj, r.n_triples) for r in hubs[:3]],
-        "lineage_buckets": ck.metrics(spark).count(),
+        "lineage_buckets": (ck.metrics(spark).count()
+                            if args.mode == "batch" else None),
     }
     print("PIPELINE_METRICS " + json.dumps(metrics))
     spark.stop()
