@@ -363,6 +363,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: Jaccard pairs → connected
+    components (iterative min-label propagation)."""
+    from rdfa_streaming_parser_js_spark.operators.components import (
+        dedup_clusters)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                threshold=JACCARD_THRESHOLD)
+    return dedup_clusters(pairs)
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     qv, _ = _query_vec(spark, sf_dir)
     return cosine_topk(_emb(spark, sf_dir), qv, k=10)
@@ -488,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -834,6 +845,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = id_b
             WHERE round(c * 1.0 / (na.n + nb.n - c), 6)
                   >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS c
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            jp AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes na ON na.doc_id = id_a
+                   JOIN sizes nb ON nb.doc_id = id_b
+                   WHERE round(c * 1.0 / (na.n + nb.n - c), 6)
+                         >= {JACCARD_THRESHOLD}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                      UNION SELECT id_b, id_a FROM jp),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            walk(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, w.comp FROM walk w
+              JOIN edges e ON e.a = w.id WHERE w.comp < e.b
+            )
+            SELECT id, min(comp) AS cluster_id,
+                   id = min(comp) AS is_canonical
+            FROM walk GROUP BY id
         """,
         "embedding_cosine_topk": f"""
             WITH {_COS_CTE}

@@ -1,0 +1,68 @@
+"""Connected components over a pair graph — iterative min-label
+propagation (the union-find step after any near-dup pair generator:
+pairs only say "a ~ b"; dedup POLICY needs the transitive cluster).
+
+Algorithm: every node starts labeled with its own id; each round, a
+node adopts the min label among itself and its neighbors; fixpoint =
+components labeled by their min member id.  Converges in O(diameter)
+rounds — near-dup clusters are shallow (duplicates of duplicates), so
+a handful of rounds in practice.  Per round: one shuffle (groupBy id).
+``localCheckpoint`` every few rounds cuts the growing lineage — the
+standard guard for iterative DataFrame algorithms.
+
+The driver-side loop is control flow only (a convergence counter); all
+data movement is distributed.  GraphFrames does the same under the
+hood; implementing directly avoids the external dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """(id, comp): comp = min node id reachable from id."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .distinct().cache())
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .cache())
+
+    for i in range(max_iterations):
+        msgs = (sym.join(labels, sym.a == labels.id)
+                .select(F.col("b").alias("id"), "comp"))
+        new_labels = (labels.union(msgs)
+                      .groupBy("id").agg(F.min("comp").alias("comp")))
+        # Materialize each round: without this, round N's count() would
+        # recompute the entire label chain from round 0 (and the pair
+        # generator feeding it) — iteration cost would grow linearly.
+        if i % 3 == 2:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
+        changed = (labels.alias("o")
+                   .join(new_labels.alias("n"), "id")
+                   .filter(F.col("o.comp") != F.col("n.comp"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Near-dup pairs → (id, cluster_id, is_canonical): canonical = the
+    min-id member; everything else in the cluster is droppable."""
+    comp = connected_components(pairs, src, dst)
+    return (comp.select(F.col("id"),
+                        F.col("comp").alias("cluster_id"),
+                        (F.col("id") == F.col("comp"))
+                        .alias("is_canonical")))

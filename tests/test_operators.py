@@ -282,3 +282,15 @@ def test_sessionize_single_shuffle_and_gap_semantics(spark):
     assert s[(2, 1)].n_events == 1
     # both windows + the rollup share ONE hash partitioning on user_id
     assert count_exchanges(sessionize(ev)) == 1
+
+
+def test_connected_components_min_label(spark):
+    from rdfa_streaming_parser_js_spark.operators.components import (
+        dedup_clusters)
+    # chain 1-2-3, pair 10-11, chain forces >1 propagation round
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (3, 7)], "id_a long, id_b long")
+    got = {r.id: (r.cluster_id, r.is_canonical) for r in
+           dedup_clusters(edges).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   7: (1, False), 10: (10, True), 11: (10, False)}
