@@ -33,7 +33,8 @@ from rdfa_streaming_parser_js_spark.operators.similarity import (
     cosine_topk, ivf_topk)
 from rdfa_streaming_parser_js_spark.sources.pages import (
     RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents,
-    rich_expected_triples_sql as _rich_sql)
+    rich_expected_triples_sql as _rich_sql,
+    xmlcopy_expected_triples_sql as _xmlcopy_sql)
 
 JACCARD_THRESHOLD = 0.5
 COSINE_NEARDUP_THRESHOLD = 0.3
@@ -144,6 +145,15 @@ def q_rdfa_extract_rich(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.sources.pages import (
         rich_pages_from_documents)
     return extract_triples(rich_pages_from_documents(spark, sf_dir),
+                           lang_col=None)
+
+
+def q_rdfa_extract_xmlcopy(spark, sf_dir):
+    """rdfa:Pattern/rdfa:copy + rdf:XMLLiteral corpus, oracle-checked
+    (lang_col=None: no language in this template)."""
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        xmlcopy_pages_from_documents)
+    return extract_triples(xmlcopy_pages_from_documents(spark, sf_dir),
                            lang_col=None)
 
 
@@ -466,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_extract": q_rdfa_extract,
         "rdfa_extract_rich": q_rdfa_extract_rich,
         "rdfa_ntriples": q_rdfa_ntriples,
+        "rdfa_extract_xmlcopy": q_rdfa_extract_xmlcopy,
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_text_invariant": q_rdfa_text_invariant,
         "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
@@ -590,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rdfa_extract": expected_triples_sql(),
         "rdfa_extract_rich": _rich_sql(),
+        "rdfa_extract_xmlcopy": _xmlcopy_sql(),
         "rdfa_page_stats": f"""
             WITH p AS ({_PAGES_CTE})
             SELECT url, CAST(7 AS BIGINT) AS n_triples,

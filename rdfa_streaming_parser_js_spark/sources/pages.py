@@ -185,6 +185,71 @@ def rich_expected_triples_sql() -> str:
     return "WITH p AS (" + base + ")\n" + "\nUNION ALL\n".join(parts)
 
 
+XMLCOPY_URL_PREFIX = "http://pages.example.org/xc/"
+RDFA_NS = "http://www.w3.org/ns/rdfa#"
+
+
+def xmlcopy_pages_from_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Third corpus: rdfa:Pattern/rdfa:copy (the reference's only
+    self-join-like construct, /root/reference/lib/RdfaParser.ts:819-868)
+    and rdf:XMLLiteral serialization with deterministic alphabetical
+    xmlns re-declaration (/root/reference/lib/RdfaParser.ts:123-139)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    w1, w2, w3 = (F.element_at(words, i) for i in (1, 2, 3))
+    url = F.concat(F.lit(XMLCOPY_URL_PREFIX),
+                   F.col("doc_id").cast("string"))
+    html = F.concat(
+        F.lit('<html><body prefix="schema: http://schema.org/ '
+              'rdf: http://www.w3.org/1999/02/22-rdf-syntax-ns# '
+              'rdfa: http://www.w3.org/ns/rdfa#">'
+              '<div about="#x" typeof="">'
+              '<link property="rdfa:copy" href="#pat"/></div>'
+              '<div about="#y" typeof="">'
+              '<link property="rdfa:copy" href="#pat"/></div>'
+              '<div resource="#pat" typeof="rdfa:Pattern">'
+              '<span property="schema:name">'), w1,
+        F.lit('</span></div><div about="#x">'
+              '<span property="schema:desc" datatype="rdf:XMLLiteral">'),
+        w2, F.lit(' <b>'), w3, F.lit('</b></span></div></body></html>'))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("page_id"),
+        url.alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        w1.alias("text"), F.col("lang"))
+
+
+def xmlcopy_expected_triples_sql() -> str:
+    xmlns = ('xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+             'xmlns:rdfa="http://www.w3.org/ns/rdfa#" '
+             'xmlns:schema="http://schema.org/"')
+    base = f"""
+      SELECT '{XMLCOPY_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+             '{XMLCOPY_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS u,
+             string_split(text, ' ')[1] AS w1,
+             string_split(text, ' ')[2] AS w2,
+             string_split(text, ' ')[3] AS w3
+      FROM documents
+    """
+    return f"""
+    WITH p AS ({base})
+    SELECT url, u || '#x' AS subj, 'iri' AS subj_kind,
+           '{SCHEMA_ORG}name' AS pred, w1 AS obj_value,
+           'literal' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang FROM p
+    UNION ALL
+    SELECT url, u || '#y', 'iri', '{SCHEMA_ORG}name', w1, 'literal',
+           NULL, NULL FROM p
+    UNION ALL
+    SELECT url, u || '#x', 'iri', '{SCHEMA_ORG}desc',
+           w2 || ' <b {xmlns}>' || w3 || '</b>', 'literal',
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral',
+           NULL FROM p
+    """
+
+
 def expected_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-Spark reconstruction of the template's expected triples —
     the distributed 'expected' side for P/R scoring (operators/scoring),
