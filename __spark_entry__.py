@@ -327,6 +327,39 @@ def q_deterministic_sample(spark, sf_dir):
     return docs.filter(slot < SAMPLE_PCT).select("doc_id", "lang")
 
 
+STRATA_PCT = {"en": 5, "de": 20, "fr": 20, "es": 20, "zh": 20}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sampling rates — downsample the
+    dominant language, keep the tail (the class-balance primitive for
+    training-data curation).  Same content-hash slots as
+    deterministic_sample, so reproducible anywhere."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    slot = (F.ascii(F.substring(h, 1, 1)) * 256
+            + F.ascii(F.substring(h, 2, 1))) % 100
+    pct = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v))
+          for k, v in STRATA_PCT.items()],
+        F.lit(0))
+    return (docs.filter(slot < pct)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")))
+
+
+def q_approx_stats(spark, sf_dir):
+    """Approximate-aggregate toolbox (HLL distinct + approx quantiles)
+    next to their exact counterparts.  Rows-only check: sketch outputs
+    are engine-specific by design; the exact columns anchor them."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 6)
+        .alias("approx_p50"))
+
+
 HIGH_VALUE_ORDER = 300_000.0
 
 
@@ -504,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "percentiles_by_event_type": q_percentiles_by_event_type,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "approx_stats": q_approx_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -830,6 +865,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
                    + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
                   % 100 < {SAMPLE_PCT}
+        """,
+        "stratified_sample": f"""
+            WITH s AS (
+              SELECT lang,
+                     (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+                     % 100 AS slot
+              FROM documents)
+            SELECT lang, count(*) AS n_sampled FROM s
+            WHERE slot < CASE lang {' '.join(
+                f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items())}
+                         ELSE 0 END
+            GROUP BY lang
         """,
         "dedup_exact": r"""
             WITH fp AS (SELECT doc_id AS id,
