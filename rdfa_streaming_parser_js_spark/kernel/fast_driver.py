@@ -1,0 +1,236 @@
+"""Fast HTML tokenizer: same event stream as ``HtmlSaxDriver``, ~2-4×
+faster.
+
+``html.parser``'s ``goahead`` loop pays per-character bookkeeping
+(``updatepos``, interesting-char regex scans, charref piecemeal
+handling) that dominates kernel time on real pages.  This driver keeps
+byte-compatible *parsing* by reusing ``html.parser``'s own module-level
+tolerant regexes (``tagfind_tolerant``, ``attrfind_tolerant``,
+``locatestarttagend_tolerant``) inside a tight ``str.find('<')`` scan,
+and inherits all html-mode *semantics* (void elements, open-implies-
+close, foreign-content depth, stray-end-tag recovery) from
+``HtmlSaxDriver`` unchanged.
+
+Parity is enforced by differential tests: the full transcribed fixture
+corpus and a seeded 5000-document tag-soup fuzz are run through BOTH
+drivers and must produce identical triples and extracted text
+(tests/test_fast_driver.py).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import html.parser as _hp
+
+import re
+
+from .extractor import RdfaExtractor
+from .html_driver import HtmlSaxDriver
+
+_CDATA_ELEMS = ("script", "style")
+_CDATA_CLOSE = {e: re.compile(r"</\s*%s" % e, re.IGNORECASE)
+                for e in _CDATA_ELEMS}
+
+
+def _unescape(text: str) -> str:
+    return html_mod.unescape(text) if "&" in text else text
+
+
+class FastHtmlSaxDriver(HtmlSaxDriver):
+    """Drop-in replacement for HtmlSaxDriver with a fast scan loop."""
+
+    def __init__(self, sink: RdfaExtractor) -> None:
+        super().__init__(sink)
+        self._tail = ""
+        self._cdata_elem: str | None = None
+
+    # -- feeding -------------------------------------------------------
+
+    def feed(self, data: str) -> None:
+        self._tail = self._scan(self._tail + data, final=False)
+
+    def close(self) -> None:
+        if self._tail:
+            rest = self._scan(self._tail, final=True)
+            self._tail = ""
+            if rest:  # trailing text / unterminated construct → data
+                self.handle_data(_unescape(rest)
+                                 if self._cdata_elem is None else rest)
+
+    # -- scanner -------------------------------------------------------
+
+    def _scan(self, s: str, final: bool) -> str:
+        i, n = 0, len(s)
+        while i < n:
+            if self._cdata_elem is not None:
+                m = _CDATA_CLOSE[self._cdata_elem].search(s, i)
+                if not m:
+                    # html.parser buffers unterminated CDATA content and
+                    # silently DROPS it at EOF (goahead breaks without
+                    # emitting when interesting doesn't match)
+                    return "" if final else s[i:]
+                close = m.start()
+                if i < close:
+                    self.handle_data(s[i:close])  # raw: no unescape
+                self._cdata_elem = None
+                i = close
+                # fall through to end-tag handling at s[i] == '<'
+
+            lt = s.find("<", i)
+            if lt < 0:
+                lt = n
+            if i < lt:
+                text = s[i:lt]
+                if not final and lt == n:
+                    # hold back a possibly-split trailing charref
+                    amp = text.rfind("&")
+                    if amp >= 0 and ";" not in text[amp:] \
+                            and len(text) - amp < 34:
+                        if amp:
+                            self.handle_data(_unescape(text[:amp]))
+                        return text[amp:]
+                self.handle_data(_unescape(text))
+            if lt >= n:
+                return ""
+            i = lt
+            nxt = s[i + 1] if i + 1 < n else ""
+            if nxt == "/":
+                m = _hp.endtagfind.match(s, i)  # </tag >
+                if m:
+                    self.handle_endtag(m.group(1).lower())
+                    i = m.end()
+                    continue
+                gt = s.find(">", i)
+                if gt < 0:
+                    if not final:
+                        return s[i:]
+                    i = self._salvage(s, i)
+                    continue
+                # bogus end tag: html.parser salvages the tag name if the
+                # contents start like one, else drops it (bogus comment)
+                m2 = _hp.tagfind_tolerant.match(s, i + 2)
+                if m2:
+                    self.handle_endtag(m2.group(1).lower())
+                i = gt + 1
+                continue
+            if nxt == "!":
+                if s.startswith("<!--", i):
+                    m = _hp.commentclose.search(s, i + 4)
+                    if not m:
+                        if not final:
+                            return s[i:]
+                        i = self._salvage(s, i)
+                        continue
+                    i = m.end()
+                    continue
+                if s.startswith("<![", i):
+                    end = s.find("]>", i + 3)
+                    if end < 0:
+                        if not final:
+                            return s[i:]
+                        i = self._salvage(s, i)
+                        continue
+                    i = end + 2
+                    continue
+                gt = s.find(">", i)  # doctype & friends: ignored
+                if gt < 0:
+                    if not final:
+                        return s[i:]
+                    i = self._salvage(s, i)
+                    continue
+                i = gt + 1
+                continue
+            if nxt == "?":
+                gt = s.find(">", i)
+                if gt < 0:
+                    if not final:
+                        return s[i:]
+                    i = self._salvage(s, i)
+                    continue
+                i = gt + 1
+                continue
+            if not _hp.starttagopen.match(s, i):  # '<' + ASCII letter
+                # '<' not opening a construct → literal text, like
+                # html.parser's invalid-'<' path
+                if not final and i + 1 >= n:
+                    return s[i:]
+                self.handle_data("<")
+                i += 1
+                continue
+
+            # start tag — mirrors html.parser check_for_whole_start_tag
+            # + parse_starttag decision structure exactly
+            m = _hp.locatestarttagend_tolerant.match(s, i)
+            j = m.end()
+            nxt2 = s[j:j + 1]
+            if nxt2 == ">":
+                endpos = j + 1
+            elif nxt2 == "/":
+                if s.startswith("/>", j):
+                    endpos = j + 2
+                elif j + 1 >= n:
+                    if not final:
+                        return s[i:]  # possibly split across chunks
+                    i = self._salvage(s, i)
+                    continue
+                else:
+                    self.handle_data(s[i:j])  # junk: '<...' becomes text
+                    i = j
+                    continue
+            elif nxt2 == "" or nxt2 in (
+                    "abcdefghijklmnopqrstuvwxyz="
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+                # end of input, possibly inside an attribute value —
+                # buffer boundary (check_for_whole_start_tag returns -1)
+                if not final:
+                    return s[i:]
+                i = self._salvage(s, i)
+                continue
+            else:
+                endpos = j if j > i else i + 1
+
+            mt = _hp.tagfind_tolerant.match(s, i + 1)
+            tag = mt.group(1).lower()
+            attrs = []
+            k = mt.end()
+            while k < endpos:
+                am = _hp.attrfind_tolerant.match(s, k)
+                if not am:
+                    break
+                name, rest, value = am.group(1, 2, 3)
+                if not rest:
+                    value = None
+                elif value[:1] == "'" == value[-1:] \
+                        or value[:1] == '"' == value[-1:]:
+                    value = value[1:-1]
+                if value:
+                    value = _unescape(value)
+                attrs.append((name.lower(), value))
+                k = am.end()
+
+            endtext = s[k:endpos].strip()
+            if endtext not in (">", "/>"):
+                self.handle_data(s[i:endpos])
+            elif endtext == "/>":
+                self.handle_startendtag(tag, attrs)
+            else:
+                self.handle_starttag(tag, attrs)
+                if tag in _CDATA_ELEMS:  # html.parser enters CDATA mode
+                    self._cdata_elem = tag  # regardless of context
+            i = endpos
+        return ""
+
+    def _salvage(self, s: str, i: int) -> int:
+        """Incomplete construct at EOF: html.parser consumes up to the
+        next '>' (inclusive) or '<' (exclusive), emits that slice as
+        charref-decoded data, and RESUMES parsing (goahead's k<0 path)."""
+        k = s.find(">", i + 1)
+        if k < 0:
+            k = s.find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        self.handle_data(_unescape(s[i:k])
+                         if self._cdata_elem is None else s[i:k])
+        return k

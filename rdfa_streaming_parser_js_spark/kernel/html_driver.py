@@ -272,7 +272,10 @@ def parse_rdfa(html: str | bytes, base_iri: str = "",
     if extractor.profile == "xml":
         driver: XmlSaxDriver | HtmlSaxDriver = XmlSaxDriver(sink)
     else:
-        driver = HtmlSaxDriver(sink)
+        # fast regex scanner; event-stream parity with HtmlSaxDriver is
+        # enforced by differential tests (tests/test_fast_driver.py)
+        from .fast_driver import FastHtmlSaxDriver
+        driver = FastHtmlSaxDriver(sink)
     driver.feed(html)
     driver.finish()
     extractor.parse_error = getattr(driver, "error", None)
