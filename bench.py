@@ -91,6 +91,8 @@ def main() -> None:
         "window_latest_event_per_user", "topk_parts_by_quantity",
         "customers_without_orders", "filter_revenue",
         "agg_lineitem_pricing", "windowed_event_counts",
+        "sessionize_events", "rollup_orders", "percentiles_by_event_type",
+        "embedding_lsh_topk", "multimodal_frame_sample",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_pairs",
         "embedding_cosine_topk", "embedding_near_dup",
