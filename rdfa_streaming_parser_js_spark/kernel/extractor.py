@@ -26,6 +26,14 @@ from .profiles import RDFA_FEATURES, RdfaFeatures
 from .terms import BlankNode, NamedNode
 from .util import RDF, RDFA, XHTML_VOCAB, Util, content_type_to_profile, parse_prefixes
 
+# Hoisted constant terms (NamedNode is immutable value-equality):
+# constructing these per emitted triple showed up in profiles.
+_RDF_TYPE = NamedNode(RDF + "type")
+_RDF_FIRST = NamedNode(RDF + "first")
+_RDF_REST = NamedNode(RDF + "rest")
+_RDF_NIL = NamedNode(RDF + "nil")
+_RDFA_USES_VOCABULARY = NamedNode(RDFA + "usesVocabulary")
+
 
 class RdfaError(Exception):
     """Raised for states where the reference would emit a stream error."""
@@ -186,7 +194,7 @@ class RdfaExtractor:
                 tag.vocab = attributes["vocab"]
                 self.emit_triple(
                     util.get_base_iri_term(tag),
-                    NamedNode(RDFA + "usesVocabulary"),
+                    _RDFA_USES_VOCABULARY,
                     NamedNode(tag.vocab))
             else:
                 tag.vocab = stack[0].vocab
@@ -322,7 +330,7 @@ class RdfaExtractor:
                     attributes.get("typeof"), tag, True, True):
                 self.emit_triple(
                     util.get_resource_or_base_iri(typed_resource, tag),
-                    NamedNode(RDF + "type"), type_term)
+                    _RDF_TYPE, type_term)
 
         # 8: reset list mapping on new subject
         if new_subject:
@@ -544,15 +552,15 @@ class RdfaExtractor:
                         for i, value in enumerate(values):
                             obj = util.get_resource_or_base_iri(value, tag)
                             self.emit_triple(
-                                bnodes[i], NamedNode(RDF + "first"), obj)
+                                bnodes[i], _RDF_FIRST, obj)
                             self.emit_triple(
-                                bnodes[i], NamedNode(RDF + "rest"),
+                                bnodes[i], _RDF_REST,
                                 bnodes[i + 1] if i < last
-                                else NamedNode(RDF + "nil"))
+                                else _RDF_NIL)
                         self.emit_triple(subject, predicate, bnodes[0])
                     else:
                         self.emit_triple(
-                            subject, predicate, NamedNode(RDF + "nil"))
+                            subject, predicate, _RDF_NIL)
 
         self.stack.pop()
 
@@ -614,11 +622,11 @@ class RdfaExtractor:
                 self.util.get_resource_or_base_iri(subject, active_tag),
                 predicate, bnode)
             self.emit_triple(
-                bnode, NamedNode(RDF + "first"),
+                bnode, _RDF_FIRST,
                 self.util.get_resource_or_base_iri(
                     current_object_resource, active_tag))
             self.emit_triple(
-                bnode, NamedNode(RDF + "rest"), NamedNode(RDF + "nil"))
+                bnode, _RDF_REST, _RDF_NIL)
         else:
             values = active_tag.list_mapping_local.setdefault(
                 predicate.value, [])
