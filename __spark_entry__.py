@@ -8,8 +8,9 @@ built from ``documents`` with pure SQL expressions — the oracle
 reconstructs the expected triples without parsing HTML
 (rdfa_streaming_parser_js_spark/sources/pages.py).
 
-Non-SQL-expressible ops (MinHash-LSH banding, SimHash) are listed in
-``queries()`` without an oracle → driver records a rows-only check.
+MinHash/SimHash are hash-gated too: their base hash is the 60-bit md5
+prefix (operators/dedup.md5_hash60), which DuckDB reproduces
+bit-for-bit, so the oracle rebuilds the full signature pipelines in SQL.
 """
 
 from __future__ import annotations
@@ -23,8 +24,10 @@ from rdfa_streaming_parser_js_spark.functions.text import (
     BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS, bpe_ish_token_count,
     doc_fingerprint, lang_id, quality_score_cols)
 from rdfa_streaming_parser_js_spark.operators.dedup import (
-    exact_duplicates, minhash_lsh_candidates, ngram_jaccard_pairs,
-    simhash64)
+    DEFAULT_BANDS, DEFAULT_NUM_HASHES, MINHASH_PRIME, SIMHASH_BITS,
+    _minhash_params, exact_duplicates, md5_hash60_sql,
+    minhash_lsh_candidates, ngram_jaccard_pairs, simhash64,
+    simhash_bands)
 from rdfa_streaming_parser_js_spark.operators.entity_link import (
     KB_PREFIX, DEFAULT_ENTITY_NAMES, best_entity_per_doc, entity_dictionary)
 from rdfa_streaming_parser_js_spark.operators.extract import (
@@ -34,6 +37,7 @@ from rdfa_streaming_parser_js_spark.operators.similarity import (
 from rdfa_streaming_parser_js_spark.sources.pages import (
     RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents,
     rich_expected_triples_sql as _rich_sql,
+    role_time_expected_triples_sql as _role_time_sql,
     xmlcopy_expected_triples_sql as _xmlcopy_sql)
 
 JACCARD_THRESHOLD = 0.5
@@ -155,6 +159,17 @@ def q_rdfa_extract_xmlcopy(spark, sf_dir):
         xmlcopy_pages_from_documents)
     return extract_triples(xmlcopy_pages_from_documents(spark, sf_dir),
                            lang_col=None)
+
+
+def q_rdfa_extract_role_time(spark, sf_dir):
+    """@role / xml:base / safe-CURIE / <time>-datatype-sniffing corpus
+    (profile 'xml'), oracle-checked — covers kernel E15, E13 (xml:base
+    flavor), E11 across all six xsd time classes, and
+    datatype-beats-language."""
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        role_time_pages_from_documents)
+    return extract_triples(role_time_pages_from_documents(spark, sf_dir),
+                           profile="xml", lang_col=None)
 
 
 def q_rdfa_page_stats(spark, sf_dir):
@@ -348,16 +363,28 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_approx_stats(spark, sf_dir):
-    """Approximate-aggregate toolbox (HLL distinct + approx quantiles)
-    next to their exact counterparts.  Rows-only check: sketch outputs
-    are engine-specific by design; the exact columns anchor them."""
+    """Approximate-aggregate toolbox (HLL distinct + approx quantiles),
+    anchored for the oracle gate: the exact columns are hash-compared
+    directly, and the sketch outputs — whose exact bits are
+    engine-specific by design — are gated through error-bound booleans
+    (HLL within ±5% of the exact distinct count; approx median between
+    the exact p45 and p55).  A sketch regression flips a boolean and
+    fails the hash check."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.agg(
+    agg = ev.agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
-        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 6)
-        .alias("approx_p50"))
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000))
+        .alias("approx_p50"),
+        F.percentile("value", F.lit(0.45)).alias("p45"),
+        F.percentile("value", F.lit(0.55)).alias("p55"))
+    return agg.select(
+        "exact_users", "exact_p50",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("approx_users_ok"),
+        F.col("approx_p50").between(F.col("p45"), F.col("p55"))
+        .alias("approx_p50_ok"))
 
 
 HIGH_VALUE_ORDER = 300_000.0
@@ -510,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_extract_rich": q_rdfa_extract_rich,
         "rdfa_ntriples": q_rdfa_ntriples,
         "rdfa_extract_xmlcopy": q_rdfa_extract_xmlcopy,
+        "rdfa_extract_role_time": q_rdfa_extract_role_time,
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_text_invariant": q_rdfa_text_invariant,
         "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
@@ -582,6 +610,82 @@ _SHINGLES_CTE = """
   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
+def _minhash_sig_cte() -> str:
+    """CTE chain: shingles → 60-bit md5 hash mod P → one min-aggregate
+    per hash function — bit-identical to
+    operators/dedup.minhash_signatures (md5_hash60 base hash)."""
+    P = MINHASH_PRIME
+    mins = ",\n                 ".join(
+        f"min((h * {a} + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_params(DEFAULT_NUM_HASHES)))
+    return f"""{_SHINGLES_CTE},
+  hv AS (SELECT doc_id, {md5_hash60_sql('s')} % {P} AS h FROM sh),
+  sig AS (SELECT doc_id, {mins}
+          FROM hv GROUP BY doc_id)"""
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB mirror of operators/dedup.minhash_lsh_candidates."""
+    rows = DEFAULT_NUM_HASHES // DEFAULT_BANDS
+    selects = []
+    for bi in range(DEFAULT_BANDS):
+        concat = " || ',' || ".join(
+            f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        bh = md5_hash60_sql(f"CAST({bi} AS VARCHAR) || ',' || {concat}")
+        selects.append(
+            f"SELECT doc_id, {bi} AS band, {bh} AS bh FROM sig")
+    banded = "\n            UNION ALL ".join(selects)
+    return f"""
+        WITH {_minhash_sig_cte()},
+        banded AS ({banded})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_sig_cte() -> str:
+    """CTE chain mirroring operators/dedup.simhash64 (60-bit default):
+    per-token 60-bit md5 hash → ±1 vote sums per bit → sign-bit
+    reassembly (disjoint powers of two, so + == OR)."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS))
+    bits = "\n               + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return f"""stoks AS (SELECT doc_id AS id,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+  shh AS (SELECT id, {md5_hash60_sql('tok')} AS h FROM stoks),
+  votes AS (SELECT id, {votes}
+            FROM shh GROUP BY id),
+  ssig AS (SELECT id, {bits} AS simhash FROM votes)"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """DuckDB mirror of operators/dedup.simhash_near_pairs."""
+    widths, offsets = simhash_bands(SIMHASH_BITS, max_hamming)
+    selects = [
+        f"SELECT id, simhash, {b} AS band, "
+        f"(simhash >> {offsets[b]}) & {(1 << widths[b]) - 1} AS bv "
+        f"FROM ssig"
+        for b in range(max_hamming + 1)]
+    banded = "\n            UNION ALL ".join(selects)
+    return f"""
+        WITH {_simhash_sig_cte()},
+        sbanded AS ({banded}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                        a.simhash AS sh_a, b.simhash AS sh_b
+                 FROM sbanded a JOIN sbanded b
+                   ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
 _COS_CTE = """
   q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
   pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y,
@@ -637,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfa_extract": expected_triples_sql(),
         "rdfa_extract_rich": _rich_sql(),
         "rdfa_extract_xmlcopy": _xmlcopy_sql(),
+        "rdfa_extract_role_time": _role_time_sql(),
         "rdfa_page_stats": f"""
             WITH p AS ({_PAGES_CTE})
             SELECT url, CAST(7 AS BIGINT) AS n_triples,
@@ -843,7 +948,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
-                   round(sum(value), 3) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3)
+                        AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_seq
         """,
         "rollup_orders": """
@@ -859,6 +965,13 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p90,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "approx_stats": """
+            SELECT count(DISTINCT user_id) AS exact_users,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   TRUE AS approx_users_ok,
+                   TRUE AS approx_p50_ok
+            FROM events
         """,
         "deterministic_sample": f"""
             SELECT doc_id, lang FROM documents
@@ -906,6 +1019,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(c * 1.0 / (na.n + nb.n - c), 6)
                   >= {JACCARD_THRESHOLD}
         """,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": f"""
+            WITH {_simhash_sig_cte()}
+            SELECT id, simhash FROM ssig
+        """,
+        "dedup_simhash_pairs": _simhash_pairs_sql(max_hamming=8),
         "dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

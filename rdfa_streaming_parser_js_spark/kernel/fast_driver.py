@@ -28,7 +28,10 @@ from .extractor import RdfaExtractor
 from .html_driver import HtmlSaxDriver
 
 _CDATA_ELEMS = ("script", "style")
-_CDATA_CLOSE = {e: re.compile(r"</\s*%s" % e, re.IGNORECASE)
+# Full close pattern, mirroring html.parser's set_cdata_mode
+# ``interesting`` regex: near-misses ('</scriptx>', '</script foo>',
+# '</script/>') never end CDATA content and are part of the raw text.
+_CDATA_CLOSE = {e: re.compile(r"</\s*%s\s*>" % e, re.IGNORECASE)
                 for e in _CDATA_ELEMS}
 
 
@@ -65,16 +68,20 @@ class FastHtmlSaxDriver(HtmlSaxDriver):
             if self._cdata_elem is not None:
                 m = _CDATA_CLOSE[self._cdata_elem].search(s, i)
                 if not m:
-                    # html.parser buffers unterminated CDATA content and
-                    # silently DROPS it at EOF (goahead breaks without
-                    # emitting when interesting doesn't match)
+                    # html.parser buffers CDATA until the FULL close tag
+                    # arrives and silently DROPS unterminated content at
+                    # EOF (goahead breaks without emitting, and the
+                    # end-of-input flush is gated on ``not cdata_elem``)
                     return "" if final else s[i:]
-                close = m.start()
-                if i < close:
-                    self.handle_data(s[i:close])  # raw: no unescape
+                if i < m.start():
+                    # one raw chunk, no unescape — html.parser emits the
+                    # whole CDATA run at once when the close is found
+                    self.handle_data(s[i:m.start()])
+                elem = self._cdata_elem
                 self._cdata_elem = None
-                i = close
-                # fall through to end-tag handling at s[i] == '<'
+                self.handle_endtag(elem)
+                i = m.end()
+                continue
 
             lt = s.find("<", i)
             if lt < 0:

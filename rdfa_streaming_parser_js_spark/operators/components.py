@@ -33,26 +33,32 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .withColumn("comp", F.col("id"))
               .cache())
 
+    prev_sum = object()  # sentinel: never equals a real sum
     for i in range(max_iterations):
         msgs = (sym.join(labels, sym.a == labels.id)
                 .select(F.col("b").alias("id"), "comp"))
         new_labels = (labels.union(msgs)
                       .groupBy("id").agg(F.min("comp").alias("comp")))
-        # Materialize each round: without this, round N's count() would
+        # Materialize each round: without this, round N's action would
         # recompute the entire label chain from round 0 (and the pair
         # generator feeding it) — iteration cost would grow linearly.
         if i % 3 == 2:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
-        changed = (labels.alias("o")
-                   .join(new_labels.alias("n"), "id")
-                   .filter(F.col("o.comp") != F.col("n.comp"))
-                   .count())
+        # ONE action per round: materializes the cache AND yields the
+        # convergence signal.  Labels are monotone non-increasing
+        # (new = min(old, neighbors)), so the label sum strictly
+        # decreases until the fixpoint — equal sums ⟺ zero changed
+        # labels, with no old-vs-new join and no second job.
+        cur_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
-            break
+        if cur_sum is None or cur_sum == prev_sum:
+            break  # empty graph, or fixpoint reached
+        prev_sum = cur_sum
     sym.unpersist()
     return labels
 

@@ -12,15 +12,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import doc_fingerprint
 
+# DataFrames persisted by operators in this module, so callers (bench
+# loops, tests, multi-query pipelines) can release executor storage
+# between queries instead of accumulating blocks for the session's
+# lifetime.  Lazy DataFrames returned to callers make an in-function
+# unpersist impossible — the blocks are still needed at materialization.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every DataFrame persisted by dedup operators; returns
+    how many were released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped
+    _PERSISTED.clear()
+    return n
+
 # Deterministic MinHash parameters: h_i(x) = (a_i*x + b_i) mod P, over
-# xxhash64 shingle values. P = 2^31-1 keeps a*h < 2^62 so the modular
+# md5-prefix shingle values. P = 2^31-1 keeps a*h < 2^62 so the modular
 # arithmetic stays inside ANSI-safe long math (no overflow).
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 8  # → rows per band = num_hashes / bands
+
+# SimHash signature width.  60 (not 64) because the base hash is the
+# 60-bit md5 prefix below; the 4-bit narrowing changes nothing
+# structurally (bands and Hamming filters derive from the width).
+SIMHASH_BITS = 60
+
+
+def md5_hash60(col) -> F.Column:
+    """Deterministic 60-bit hash: the first 15 hex digits of md5.
+
+    Chosen over ``xxhash64`` so the DuckDB oracle reproduces signatures
+    bit-for-bit (``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``) —
+    MinHash/SimHash outputs become fully hash-gated instead of
+    rows-only.  Always non-negative, so modular arithmetic needs no
+    sign handling on either engine.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_sql(expr: str) -> str:
+    """The DuckDB mirror of :func:`md5_hash60` over SQL ``expr``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -84,8 +127,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Same output as the naive join (the DuckDB oracle is the naive
     all-shared-shingles formulation), ~linear in data size for fixed
     near-dup density.
+
+    Storage envelope at 100 TB: the exploded shingle table is
+    ≈ tokens × docs rows — far beyond executor RAM, so it is persisted
+    DISK_ONLY (local spill, streamed back per use), never MEMORY.
+    Callers running many queries in one session should call
+    ``release_persisted()`` after materializing results.
     """
-    sh = shingles(docs, id_col, text_col, n).cache()
+    sh = shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.DISK_ONLY)
+    _PERSISTED.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
@@ -141,7 +192,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     explode shingles → groupBy(id) with num_hashes min() aggregates
     (map-side partial aggregation does the heavy lifting)."""
     sh = shingles(docs, id_col, text_col, n)
-    hv = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME))
+    hv = F.pmod(md5_hash60(F.col("shingle")), F.lit(MINHASH_PRIME))
     mins = [
         F.min(F.pmod(hv * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)))
         .alias(f"h{i}")
@@ -162,8 +213,9 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
     band_arr = F.array(*[
-        F.xxhash64(F.lit(bi), *[F.element_at("sig", bi * rows + r + 1)
-                                for r in range(rows)])
+        md5_hash60(F.concat_ws(
+            ",", F.lit(bi), *[F.element_at("sig", bi * rows + r + 1)
+                              for r in range(rows)]))
         for bi in range(bands)])
     banded = sig.select(
         "id", F.posexplode(band_arr).alias("band", "band_hash"))
@@ -178,26 +230,28 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 64-bit SimHash over whitespace tokens.
+              text_col: str = "text",
+              n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — ``n_bits``-bit SimHash over whitespace tokens
+    (default 60: the md5-prefix base hash width, DuckDB-reproducible).
 
-    Per-bit ±1 vote aggregation: explode tokens → 64 conditional-sum
+    Per-bit ±1 vote aggregation: explode tokens → n_bits conditional-sum
     aggregates (all map-side combinable) → reassemble the sign bits.
     """
     toks = (docs.select(F.col(id_col).alias("id"),
                         F.explode(F.split(F.col(text_col), " "))
                         .alias("tok"))
-            .withColumn("h", F.xxhash64("tok")))
+            .withColumn("h", md5_hash60(F.col("tok"))))
     votes = [
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy("id").agg(*votes)
     bits = [
         F.when(F.col(f"v{i}") > 0,
                F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
-        for i in range(64)
+        for i in range(n_bits)
     ]
     out = agg.withColumn("simhash", bits[0])
     for b in bits[1:]:
@@ -205,23 +259,31 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return out.select("id", "simhash")
 
 
+def simhash_bands(n_bits: int, max_hamming: int) -> tuple[list, list]:
+    """(widths, offsets) of the h+1 disjoint pigeonhole bit bands."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(n_bits, n_bands)
+    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    return widths, offsets
+
+
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       n_bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash near-dup pairs via band blocking, recall-exact.
 
     Pigeonhole: hashes within Hamming distance ≤ h must agree on at
     least one of h+1 disjoint bit bands — so the band count is DERIVED
-    from ``max_hamming`` (h+1 bands over 64 bits), candidates come from
-    band-equality buckets (never all-pairs), and the exact Hamming
-    distance (``bit_count(xor)``) filters."""
-    if not 0 <= max_hamming < 64:
-        raise ValueError("max_hamming must be in [0, 63]")
+    from ``max_hamming`` (h+1 bands over the hash width), candidates
+    come from band-equality buckets (never all-pairs), and the exact
+    Hamming distance (``bit_count(xor)``) filters."""
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError("max_hamming must be in [0, n_bits)")
+    widths, offsets = simhash_bands(n_bits, max_hamming)
     n_bands = max_hamming + 1
-    base, extra = divmod(64, n_bands)
-    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
-    offsets = [sum(widths[:b]) for b in range(n_bands)]
-    sig = simhash64(docs, id_col, text_col)
+    sig = simhash64(docs, id_col, text_col, n_bits)
     bands = F.array(*[
         F.shiftrightunsigned("simhash", offsets[b])
         .bitwiseAND(F.lit((1 << widths[b]) - 1))

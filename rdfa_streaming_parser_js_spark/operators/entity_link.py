@@ -73,15 +73,22 @@ def scored_entity_links(docs: DataFrame, dictionary: DataFrame,
     back; the big side shuffles only once (the per-doc aggregation in
     link_entities)."""
     cand = link_entities(docs, dictionary, id_col, text_col)
-    n_docs = docs.count()
+    # N as a broadcast scalar IN the DAG — a driver-side docs.count()
+    # here would force a separate full pass over the corpus before the
+    # job even starts; as a 1-row broadcast crossJoin it runs inside
+    # the same job (and the count scan prunes to zero data columns).
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("corpus_n_docs"))
     df_ = cand.groupBy("name").agg(
         F.count_distinct("id").alias("doc_freq"))
     return (cand.join(F.broadcast(df_), "name")
+            .crossJoin(F.broadcast(n_docs))
             .withColumn(
                 "score",
                 F.round(F.col("n_mentions")
                         * F.log(F.lit(1.0)
-                                + F.lit(float(n_docs)) / F.col("doc_freq")),
+                                + F.col("corpus_n_docs")
+                                / F.col("doc_freq")),
                         6))
             .select("id", "entity_iri", "name", "n_mentions",
                     "doc_freq", "score"))

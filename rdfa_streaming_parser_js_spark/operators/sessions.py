@@ -42,8 +42,13 @@ def session_stats(events: DataFrame, gap_minutes: int = 30,
                   ts_col: str = "ts") -> DataFrame:
     """Per-session rollup: bounds, event count, value sum."""
     s = sessionize(events, gap_minutes, user_col, ts_col)
+    # Decimal sum, not double: partial-aggregation order is
+    # nondeterministic across partitions, and a double sum's last bits
+    # can cross a rounding boundary run-to-run.  decimal(18,6) is exact
+    # and associative, so the rounded result is bit-stable anywhere.
     return (s.groupBy(user_col, "session_seq")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.unix_timestamp(F.min(ts_col)).alias("start_epoch"),
                  F.unix_timestamp(F.max(ts_col)).alias("end_epoch"),
-                 F.round(F.sum("value"), 3).alias("sum_value")))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
+                 .cast("double").alias("sum_value")))

@@ -72,6 +72,9 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], query_cell: int,
 # Pseudo-random but DETERMINISTIC projection dimensions for sign-LSH
 # (no RNG state: dims derive from a fixed multiplicative hash).
 def lsh_projection_dims(dim: int, n_bits: int = 8) -> list[int]:
+    if dim < n_bits:
+        raise ValueError(
+            f"need dim >= n_bits distinct projection dims ({dim=}, {n_bits=})")
     dims, seen, x = [], set(), 0
     while len(dims) < n_bits:
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)

@@ -129,14 +129,23 @@ class CheckpointedExtraction:
                            .repartition(len(chunk), "bucket"))
             triples = extract_triples(
                 chunk_pages, passthrough=("bucket",)).cache()
-            # Stats from the cached chunk itself — a read-back of the
-            # output dir would fail on an all-empty first commit (no
+            # Page counts come from the INPUT chunk, not the extracted
+            # triples: a page that parses to zero triples was still
+            # processed and must be counted (quarantine/monitoring
+            # reads n_pages as "work done", not "pages with output").
+            page_counts = {r.bucket: r.n_pages for r in
+                           (chunk_pages.groupBy("bucket")
+                            .agg(F.count(F.lit(1)).alias("n_pages"))
+                            .collect())}
+            # Triple stats from the cached chunk itself — a read-back of
+            # the output dir would fail on an all-empty first commit (no
             # parquet files yet to infer a schema from).
-            stats = {r.bucket: (r.n_pages, r.n_triples) for r in
-                     (triples.groupBy("bucket")
-                      .agg(F.count_distinct("url").alias("n_pages"),
-                           F.count(F.lit(1)).alias("n_triples"))
-                      .collect())}
+            stats = {r.bucket: (page_counts.get(r.bucket, 0), r.n_triples)
+                     for r in (triples.groupBy("bucket")
+                               .agg(F.count(F.lit(1)).alias("n_triples"))
+                               .collect())}
+            for b, np_ in page_counts.items():
+                stats.setdefault(b, (np_, 0))
             # Data first: dynamic overwrite replaces any partial output of
             # a previously-failed attempt at these buckets.  No second
             # shuffle: tasks already hold (bucket, url) co-partitioned

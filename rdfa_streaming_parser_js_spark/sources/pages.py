@@ -250,6 +250,116 @@ def xmlcopy_expected_triples_sql() -> str:
     """
 
 
+ROLE_TIME_URL_PREFIX = "http://pages.example.org/rt/"
+XHV = "http://www.w3.org/1999/xhtml/vocab#"
+EX_NS = "http://ex.example.org/ns#"
+RT_BASE_PREFIX = "http://base.example.org/"
+
+# doc_id % 6 → (<time> lexical form class, sniffed xsd datatype); the
+# forms cover every TIME_REGEXES class (kernel/util.py:34-44, ported
+# from /root/reference/lib/Util.ts:17-30).
+_TIME_CLASSES = ("date", "dateTime", "time", "duration",
+                 "gYearMonth", "gYear")
+
+
+def role_time_pages_from_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Fourth corpus (profile 'xml'): @role (reference
+    RdfaParser.ts:253-268, tests RdfaParser-test.ts:981-1247), xml:base
+    subtree rebasing (RdfaParser.ts:208-211), safe CURIEs in @about,
+    and <time> xsd-datatype sniffing across all six lexical classes
+    (Util.ts:17-30) — plus datatype-beats-language and dual prefix
+    mappings (xmlns: and @prefix on one document).
+
+    xml:base sits on the SAME element as @about/@role: both engines
+    drop local bases declared on skipped (RDFa-attribute-less)
+    elements, so that placement is the part of the semantics a corpus
+    query can pin down deterministically.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    w1, w2 = F.element_at(words, 1), F.element_at(words, 2)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.concat(F.lit(ROLE_TIME_URL_PREFIX), ds)
+    dd = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    m6 = did % 6
+    tv = (F.when(m6 == 0, F.concat(F.lit("2024-03-"), dd))
+          .when(m6 == 1, F.concat(F.lit("2024-03-"), dd,
+                                  F.lit("T12:34:00")))
+          .when(m6 == 2, F.concat(F.lit("10:34:0"),
+                                  (did % 10).cast("string")))
+          .when(m6 == 3, F.concat(F.lit("P"), (did % 9 + 1).cast("string"),
+                                  F.lit("D")))
+          .when(m6 == 4, F.concat(F.lit("2024-0"),
+                                  (did % 9 + 1).cast("string")))
+          .otherwise(F.concat(F.lit("19"),
+                              (did % 90 + 10).cast("string"))))
+    html = F.concat(
+        F.lit(f'<doc xmlns:schema="{SCHEMA_ORG}" '
+              f'prefix="ex: {EX_NS}">'
+              '<item about="[ex:item'), ds,
+        F.lit(']" id="main" role="button schema:link" '
+              f'xml:base="{RT_BASE_PREFIX}'), ds,
+        F.lit('/" lang="'), F.col("lang"),
+        F.lit('"><span property="schema:name">'), w1,
+        F.lit('</span><time property="schema:temporal">'), tv,
+        F.lit('</time><span about="rel.html" property="schema:desc">'),
+        w2, F.lit("</span></item></doc>"))
+    return docs.select(
+        did.cast("long").alias("page_id"),
+        url.alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        w1.alias("text"), F.col("lang"))
+
+
+def role_time_expected_triples_sql() -> str:
+    """DuckDB oracle for the role_time corpus (5 triples per page)."""
+    tv_sql = """CASE doc_id % 6
+        WHEN 0 THEN '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        WHEN 1 THEN '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T12:34:00'
+        WHEN 2 THEN '10:34:0' || CAST(doc_id % 10 AS VARCHAR)
+        WHEN 3 THEN 'P' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'D'
+        WHEN 4 THEN '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+        ELSE '19' || CAST(doc_id % 90 + 10 AS VARCHAR) END"""
+    dt_sql = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN '{XSD}{c}'" for i, c in enumerate(_TIME_CLASSES[:5])
+    ) + f" ELSE '{XSD}{_TIME_CLASSES[5]}' END"
+    base = f"""
+      SELECT '{ROLE_TIME_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+             '{RT_BASE_PREFIX}' || CAST(doc_id AS VARCHAR) || '/#main' AS rsubj,
+             '{RT_BASE_PREFIX}' || CAST(doc_id AS VARCHAR) || '/rel.html' AS dsubj,
+             '{EX_NS}item' || CAST(doc_id AS VARCHAR) AS it,
+             string_split(text, ' ')[1] AS w1,
+             string_split(text, ' ')[2] AS w2,
+             lower(lang) AS lng,
+             {tv_sql} AS tv,
+             {dt_sql} AS tdt
+      FROM documents
+    """
+    null_v = "CAST(NULL AS VARCHAR)"
+    return f"""
+    WITH p AS ({base})
+    SELECT url, rsubj AS subj, 'iri' AS subj_kind,
+           '{XHV}role' AS pred, '{XHV}button' AS obj_value,
+           'iri' AS obj_kind, {null_v} AS obj_datatype,
+           {null_v} AS obj_lang FROM p
+    UNION ALL
+    SELECT url, rsubj, 'iri', '{XHV}role', '{SCHEMA_ORG}link', 'iri',
+           NULL, NULL FROM p
+    UNION ALL
+    SELECT url, it, 'iri', '{SCHEMA_ORG}name', w1, 'literal',
+           NULL, lng FROM p
+    UNION ALL
+    SELECT url, it, 'iri', '{SCHEMA_ORG}temporal', tv, 'literal',
+           tdt, NULL FROM p
+    UNION ALL
+    SELECT url, dsubj, 'iri', '{SCHEMA_ORG}desc', w2, 'literal',
+           NULL, lng FROM p
+    """
+
+
 def expected_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-Spark reconstruction of the template's expected triples —
     the distributed 'expected' side for P/R scoring (operators/scoring),

@@ -118,3 +118,69 @@ def test_chunked_parity():
         d.finish()
         assert (flatten_triples(ex.triples),
                 ex.extracted_text()) == whole, f"trial {trial}: {doc!r}"
+
+
+# CDATA (script/style) content-model corner cases: html.parser stays in
+# CDATA mode until a FULL end-tag match ('</' \s* name \s* '>') naming
+# the CDATA element; near-misses ('</scriptx>', '</script foo>',
+# '</script/>', '</styles>') are raw text.  A prefix-match scanner
+# exits CDATA too early on all of these.
+CDATA_CASES = [
+    "<script>x</scriptx>more</script>",
+    "<script>var s = 'a</scriptfoo>b';</script><p property='dc:t'>T</p>",
+    "<style>a::before{content:'</styles>'}</style>",
+    "<script>x</script foo>y</script>",
+    "<script>x</script/>y</script>",
+    "<script>x</ script>after",
+    "<script>x</SCRIPT >after",
+    "<style>s</stylex></style><span property='p'>v</span>",
+    "<script>x</scriptx>",           # unterminated: dropped at EOF
+    "<script>x</script",             # partial close at EOF
+    "<script>x</scr",                # partial near-miss at EOF
+    "<script>a<b>c&amp;d</e></script>t",
+    "<script></script' ></script>",
+    "<script>x</script\t\n>y",
+    "<p property='a'>A<script>ig<div property='no'>n</div></scripty>"
+    "</script><span property='b'>B</span></p>",
+]
+
+
+@pytest.mark.parametrize("doc", CDATA_CASES)
+def test_cdata_near_miss_parity(doc):
+    opts = {"base_iri": "http://example.org/d/p"}
+    assert _run(FastHtmlSaxDriver, doc, opts) \
+        == _run(HtmlSaxDriver, doc, opts)
+
+
+@pytest.mark.parametrize("doc", CDATA_CASES)
+def test_cdata_near_miss_chunked(doc):
+    """Byte-at-a-time feed must match the whole-document fast parse."""
+    opts = {"base_iri": "http://example.org/d/p"}
+    whole = _run(HtmlSaxDriver, doc, opts)
+    ex = RdfaExtractor(base_iri=opts["base_iri"], profile="html")
+    d = FastHtmlSaxDriver(ex)
+    for ch in doc:
+        d.feed(ch)
+    d.finish()
+    assert (flatten_triples(ex.triples), ex.extracted_text()) == whole
+
+
+CDATA_BITS = ["</script", "</scriptx>", "</script foo>", "</script/>",
+              "</ script>", "</scr", "</style>", "</styles>", "x", "'",
+              '"', ">", "<", "&amp;", "a b", "</script>", "</SCRIPT>",
+              "</script >", "\n", "</st", "ipt>"]
+
+
+def test_cdata_fuzz_parity_2000():
+    rng = random.Random(20260818)
+    opts = {"base_iri": "http://example.org/d/p"}
+    for trial in range(2000):
+        body = "".join(rng.choice(CDATA_BITS)
+                       for _ in range(rng.randrange(0, 8)))
+        elem = rng.choice(["script", "style"])
+        doc = (f"<p property='dc:a'>x</p><{elem}>{body}"
+               + rng.choice(["", f"</{elem}>"])
+               + "<span property='dc:b'>y</span>")
+        slow = _run(HtmlSaxDriver, doc, opts)
+        fast = _run(FastHtmlSaxDriver, doc, opts)
+        assert fast == slow, f"trial {trial}: {doc!r}"

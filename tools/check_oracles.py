@@ -21,7 +21,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
-        return f"f:{v:.9g}"
+        # Full-precision repr = bit equality.  The driver hashes exact
+        # bytes; a 9-sig-digit canon here let a last-bit double-sum
+        # divergence through in round 1 (sessionize_events).
+        return f"f:{v!r}"
     if isinstance(v, int):
         return f"i:{v}"
     if v is None:
