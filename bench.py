@@ -97,7 +97,8 @@ def main() -> None:
 
     # --- operator suite ---------------------------------------------------
     bench_queries = [
-        "rdfa_graph_canonical", "entity_link_top1",
+        "rdfa_graph_canonical", "rdfa_extract_role_time",
+        "entity_link_top1",
         "agg_events_by_type", "join_revenue_by_nation",
         "window_latest_event_per_user", "topk_parts_by_quantity",
         "customers_without_orders", "filter_revenue",
