@@ -686,16 +686,31 @@ def _simhash_pairs_sql(max_hamming: int) -> str:
     """
 
 
-_COS_CTE = """
-  q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-  pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y,
-                   e.label
-            FROM embeddings e, q),
-  s AS (SELECT vec_id,
-               sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-               sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
-               sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
-        FROM pairs GROUP BY vec_id)
+def _fold_dot_sql(a: str, b: str) -> str:
+    """Strict left-fold dot product — bit-identical to Spark's
+    ``F.aggregate(F.zip_with(a, b, *), 0.0, +)`` sequential fold.
+    DuckDB's ``list_dot_product`` accumulates in a different order
+    (vectorized), so its last bits differ and ``round(x, 5)`` lands on
+    the other side of a rounding boundary for ~0.2% of pairs — an
+    unnest+sum GROUP BY is order-undefined too.  Only an explicit
+    ordered reduce reproduces the IEEE operation sequence exactly."""
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)")
+
+
+# Unit-normalize then fold-dot, mirroring operators/similarity
+# (with_unit_vector + _dot) operation for operation.
+_COS_CTE = f"""
+  ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+  eu AS (SELECT vec_id, label,
+                list_transform(v, x -> x / sqrt({_fold_dot_sql('v', 'v')}))
+                    AS u
+         FROM ev),
+  q AS (SELECT u AS qu FROM eu WHERE vec_id = 0),
+  s AS (SELECT vec_id, label, {_fold_dot_sql('u', 'qu')} AS cos_raw
+        FROM eu, q)
 """
 
 def _LSH_BUCKET_EXPR(vec: str) -> str:
@@ -1052,38 +1067,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_cosine_topk": f"""
             WITH {_COS_CTE}
-            SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 5) AS cosine
+            SELECT vec_id, round(cos_raw, 5) AS cosine
             FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "embedding_ivf_topk": f"""
             WITH {_COS_CTE}
-            SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 5) AS cosine
+            SELECT vec_id, round(cos_raw, 5) AS cosine
             FROM s
-            WHERE vec_id IN (SELECT vec_id FROM embeddings
-                             WHERE label = (SELECT label FROM embeddings
-                                            WHERE vec_id = 0))
+            WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "embedding_lsh_topk": f"""
             WITH {_COS_CTE},
             b AS (SELECT vec_id, {_LSH_BUCKET_EXPR('embedding')} AS bucket
                   FROM embeddings),
-            qb AS (SELECT {_LSH_BUCKET_EXPR('qe')} AS qbucket FROM q)
-            SELECT s.vec_id,
-                   round(dot / (sqrt(nx) * sqrt(ny)), 5) AS cosine
+            qb AS (SELECT {_LSH_BUCKET_EXPR('embedding')} AS qbucket
+                   FROM embeddings WHERE vec_id = 0)
+            SELECT s.vec_id, round(cos_raw, 5) AS cosine
             FROM s JOIN b USING (vec_id) CROSS JOIN qb
             WHERE b.bucket = qb.qbucket
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "embedding_near_dup": f"""
-            WITH n AS (SELECT vec_id, label, embedding,
-                              sqrt(list_dot_product(embedding, embedding))
-                              AS nrm
-                       FROM embeddings),
+            WITH {_COS_CTE},
             pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                             round(list_dot_product(a.embedding, b.embedding)
-                                   / (a.nrm * b.nrm), 5) AS cosine
-                      FROM n a JOIN n b
+                             round({_fold_dot_sql('a.u', 'b.u')}, 5)
+                                 AS cosine
+                      FROM eu a JOIN eu b
                         ON a.label = b.label AND a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM pairs
             WHERE cosine >= {COSINE_NEARDUP_THRESHOLD}

@@ -38,9 +38,15 @@ def with_unit_vector(emb: DataFrame,
 def cosine_scores(emb: DataFrame, query_vec: list[float],
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
-    """(id, cosine) vs a constant query vector, rounded to 5 dp."""
+    """(id, cosine) vs a constant query vector, rounded to 5 dp.
+
+    The driver-side normalization mirrors the engine's sequential fold
+    bit-for-bit (left-fold sum, ``math.sqrt`` — not ``** 0.5``, whose
+    pow() is not guaranteed correctly rounded) so the DuckDB oracle
+    reproduces the literal exactly."""
+    import math
     q = [float(x) for x in query_vec]
-    qn = sum(x * x for x in q) ** 0.5
+    qn = math.sqrt(sum(x * x for x in q))
     qlit = F.array(*[F.lit(x / qn) for x in q])
     v = _as_double(F.col(vec_col))
     vnorm = F.sqrt(_dot(v, v))
