@@ -28,8 +28,12 @@ from rdfa_streaming_parser_js_spark.operators.dedup import (
     _minhash_params, exact_duplicates, md5_hash60_sql,
     minhash_lsh_candidates, ngram_jaccard_pairs, simhash64,
     simhash_bands)
+from rdfa_streaming_parser_js_spark.functions.urls import (
+    canonical_url_sql as _canon_url_sql)
 from rdfa_streaming_parser_js_spark.operators.entity_link import (
     KB_PREFIX, DEFAULT_ENTITY_NAMES, best_entity_per_doc, entity_dictionary)
+from rdfa_streaming_parser_js_spark.operators.graph import (
+    pagerank_sql as _pagerank_sql)
 from rdfa_streaming_parser_js_spark.operators.extract import (
     extract_page_text, extract_triples)
 from rdfa_streaming_parser_js_spark.operators.similarity import (
@@ -490,6 +494,90 @@ def q_text_fingerprint(spark, sf_dir):
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: per-row codegen ratios joined
+    with the one aggregation that can't be per-row (top-token share)."""
+    from rdfa_streaming_parser_js_spark.functions.text import (
+        repetition_cols, top_token_share_stats)
+    docs = _docs(spark, sf_dir)
+    cols = repetition_cols(F.col("text"))
+    row_stats = docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()])
+    top = top_token_share_stats(docs).withColumnRenamed("id", "doc_id")
+    return row_stats.join(top, "doc_id")
+
+
+def _messy_url() -> F.Column:
+    """Deterministic messy-URL synthesizer (Spark side; the oracle
+    mirrors it in SQL): case-variant scheme/host, default port,
+    tracking params, unsorted params, fragment."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 7 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.Example.ORG"))
+        .otherwise(F.lit("www.example.org")),
+        F.when(d % 4 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"), F.col("source"),
+        F.lit("?utm_source=feed&id="), (d % 10).cast("string"),
+        F.when(d % 3 == 0, F.lit("&b=2&a=1")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#sec")).otherwise(F.lit("")))
+
+
+_MESSY_URL_SQL = """
+      (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.ORG'
+            ELSE 'www.example.org' END) ||
+      (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+      '/articles/' || source ||
+      '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+      (CASE WHEN doc_id % 3 = 0 THEN '&b=2&a=1' ELSE '' END) ||
+      (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+"""
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization dedup: collapse case/port/tracking/ordering
+    variants with a pure projection, then count variants per canonical
+    URL (shuffle only for the final count)."""
+    from rdfa_streaming_parser_js_spark.functions.urls import canonical_url
+    docs = _docs(spark, sf_dir)
+    return (docs.select(canonical_url(_messy_url()).alias("canon_url"))
+            .groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_variants")))
+
+
+def _kg_edges(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.graph import iri_edges
+    return iri_edges(_triples(spark, sf_dir))
+
+
+# DuckDB reconstruction of the KG's IRI→IRI edges (the extraction emits
+# exactly rdf:type → schema:Article and schema:isPartOf → source IRIs
+# as IRI objects for the base corpus; see expected_triples_sql).
+_KG_EDGES_CTE = """
+    SELECT 'http://pages.example.org/page/' || CAST(doc_id AS VARCHAR)
+               || '#it' AS src,
+           'http://schema.org/Article' AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'http://pages.example.org/page/' || CAST(doc_id AS VARCHAR)
+               || '#it',
+           'http://corpus.example.org/source/' || source
+    FROM documents
+"""
+
+
+def q_kg_degrees(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.graph import degrees
+    return degrees(_kg_edges(spark, sf_dir))
+
+
+def q_kg_pagerank(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.graph import pagerank
+    return pagerank(_kg_edges(spark, sf_dir))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         simhash_near_pairs)
@@ -581,6 +669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1169,4 +1261,48 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_index
             FROM m WHERE media_type = 'video'
         """,
+        "text_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            row_stats AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     round(1 - len(list_distinct(toks)) / len(toks), 6)
+                         AS dup_token_ratio,
+                     CASE WHEN len(toks) > 1 THEN
+                       round(1 - len(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])))
+                         / (len(toks) - 1), 6)
+                     ELSE 0.0 END AS dup_bigram_ratio
+              FROM t),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            per AS (SELECT doc_id, tok, count(*) AS c
+                    FROM tok GROUP BY doc_id, tok),
+            top AS (SELECT doc_id,
+                           round(max(c) / CAST(sum(c) AS BIGINT), 6)
+                               AS top_token_share
+                    FROM per GROUP BY doc_id)
+            SELECT r.doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio,
+                   top_token_share
+            FROM row_stats r JOIN top USING (doc_id)
+        """,
+        "url_canonical_dedup": f"""
+            WITH u AS (SELECT {_MESSY_URL_SQL} AS url FROM documents)
+            SELECT {_canon_url_sql('url')} AS canon_url,
+                   count(*) AS n_variants
+            FROM u GROUP BY 1
+        """,
+        "kg_degrees": f"""
+            WITH e AS ({_KG_EDGES_CTE}),
+            o AS (SELECT src AS id, count(*) AS out_degree
+                  FROM e GROUP BY src),
+            i AS (SELECT dst AS id, count(*) AS in_degree
+                  FROM e GROUP BY dst)
+            SELECT COALESCE(o.id, i.id) AS id,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree
+            FROM o FULL OUTER JOIN i ON o.id = i.id
+        """,
+        "kg_pagerank": _pagerank_sql(_KG_EDGES_CTE),
     }

@@ -76,3 +76,46 @@ def doc_fingerprint(text: Column) -> Column:
     """Whitespace-normalized lowercase md5 content fingerprint."""
     norm = F.lower(F.regexp_replace(text, r"\s+", " "))
     return F.md5(F.encode(norm, "UTF-8"))
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition features, pure per-row codegen (no
+    shuffle): duplicate-token and duplicate-bigram fractions.  High
+    values flag boilerplate / spam documents for corpus filtering.
+
+    ``top_token_share`` (max token frequency / n) is NOT here — an
+    exact per-row argmax is quadratic in document length as an
+    expression, so it lives in the aggregation operator
+    ``top_token_share_stats`` (explode → two-level groupBy, map-side
+    partial aggregation; linear, one shuffle)."""
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + 2)))
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_token_ratio": F.round(
+            1 - F.size(F.array_distinct(toks)) / n, 6),
+        "dup_bigram_ratio": F.when(n > 1, F.round(
+            1 - F.size(F.array_distinct(bigrams)) / (n - 1), 6)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def top_token_share_stats(docs, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """(id, top_token_share): most-frequent-token share per document.
+
+    explode → groupBy(id, tok) → groupBy(id) max/sum; both aggregations
+    combine map-side, so the shuffle carries (id, tok) partial counts —
+    linear in corpus size, no per-document quadratic work, safe at
+    100 TB document lengths."""
+    per_tok = (docs.select(F.col(id_col).alias("id"),
+                           F.explode(whitespace_tokens(F.col(text_col)))
+                           .alias("tok"))
+               .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c")))
+    return (per_tok.groupBy("id")
+            .agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
+            .select("id", F.round(F.col("top_c") / F.col("n"), 6)
+                    .alias("top_token_share")))

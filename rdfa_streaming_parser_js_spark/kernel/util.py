@@ -45,6 +45,9 @@ TIME_REGEXES: list[tuple[re.Pattern, str]] = [
 # /root/reference/lib/Util.ts:32 — structural IRI validity.
 _IRI_RE = re.compile(r'^([A-Za-z][\d+-.A-Za-z]*|_):[^ "<>[\\\]`{|}]*$')
 
+# /root/reference/lib/Util.ts:191 — multi-valued attribute separator.
+_WS_SPLIT = re.compile(r"\s+")
+
 
 def parse_prefixes(attributes: dict[str, str], parent_prefixes: dict[str, str],
                    xmlns_prefix_mappings: bool) -> dict[str, str]:
@@ -146,7 +149,7 @@ class Util:
         """Whitespace-split multi-valued attribute → term list
         (/root/reference/lib/Util.ts:182-195)."""
         out = []
-        for term in re.split(r"\s+", terms or ""):
+        for term in _WS_SPLIT.split(terms or ""):
             if not term or (not allow_terms and ":" not in term):
                 continue
             created = self.create_iri(term, active_tag, True, True,
