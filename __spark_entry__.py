@@ -40,6 +40,7 @@ from rdfa_streaming_parser_js_spark.operators.similarity import (
     cosine_topk, ivf_topk)
 from rdfa_streaming_parser_js_spark.sources.pages import (
     RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents,
+    synthetic_page_sql as _synthetic_page_sql,
     rich_expected_triples_sql as _rich_sql,
     role_time_expected_triples_sql as _role_time_sql,
     xmlcopy_expected_triples_sql as _xmlcopy_sql)
@@ -578,6 +579,26 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_kg_edges(spark, sf_dir))
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingestion edge: synthesize pages → write WARC shards
+    (gzipped, warcinfo-headed) → distributed binaryFile + mapInArrow
+    read-back.  Output hashes prove byte-exact record framing; the
+    oracle reconstructs the expected pages in SQL without parsing WARC."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.sources.warc import (
+        read_warc_pages, write_warc_shards)
+    tmp = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc_shards(pages_from_documents(spark, sf_dir), tmp,
+                      shard_size=200, compress=True)
+    pages = read_warc_pages(spark, tmp)
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_date"),
+        F.sha2("html", 256).alias("html_sha256"))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         simhash_near_pairs)
@@ -673,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "warc_roundtrip": q_warc_roundtrip,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1305,4 +1327,8 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN i ON o.id = i.id
         """,
         "kg_pagerank": _pagerank_sql(_KG_EDGES_CTE),
+        "warc_roundtrip": f"""
+            WITH p AS ({_synthetic_page_sql()})
+            SELECT url, warc_date, sha256(html) AS html_sha256 FROM p
+        """,
     }

@@ -398,6 +398,39 @@ def expected_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def synthetic_page_sql() -> str:
+    """DuckDB CTE body reconstructing the synthetic pages table —
+    (doc_id, url, warc_date, html) — character-identical to
+    :func:`pages_from_documents` (used by the WARC round-trip oracle:
+    the oracle never parses WARC, it rebuilds what the reader must
+    produce)."""
+    return f"""
+      SELECT doc_id,
+             '{PAGE_URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+             strftime(TIMESTAMP '2024-01-01 00:00:00'
+                      + doc_id * INTERVAL 1 SECOND,
+                      '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+             '<!DOCTYPE html><html lang="' || lang || '"><head><title>'
+             || array_to_string(string_split(text, ' ')[1:{NAME_WORDS}], ' ')
+             || '</title></head>'
+             || '<body prefix="schema: http://schema.org/">'
+             || '<div about="#it" typeof="schema:Article">'
+             || '<h1 property="schema:name">'
+             || array_to_string(string_split(text, ' ')[1:{NAME_WORDS}], ' ')
+             || '</h1><span property="schema:text">' || text
+             || '</span><meta property="schema:inLanguage" content="'
+             || lang || '"/><span property="schema:wordCount" content="'
+             || CAST(len(string_split(text, ' ')) AS VARCHAR)
+             || '" datatype="xsd:integer"></span>'
+             || '<a rel="schema:isPartOf" href="{SOURCE_IRI_PREFIX}'
+             || source || '">' || source
+             || '</a><time property="schema:dateCreated" datetime="'
+             || '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || '"></time></div></body></html>' AS html
+      FROM documents
+    """
+
+
 def expected_triples_sql() -> str:
     """DuckDB CTE body reconstructing the template's expected triples from
     the pre-registered ``documents`` view — the correctness oracle for the

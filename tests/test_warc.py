@@ -1,0 +1,109 @@
+"""WARC source tests: record framing, gzip, malformed-input recovery,
+and the full WARC → extraction path."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from rdfa_streaming_parser_js_spark.sources.pages import (
+    pages_from_documents)
+from rdfa_streaming_parser_js_spark.sources.warc import (
+    parse_warc_records, read_warc_pages, warc_record_bytes,
+    warcinfo_record_bytes, write_warc_shards)
+
+DATE = "2024-01-01T00:00:00Z"
+
+
+def test_single_record_roundtrip():
+    html = b"<html><body>hi</body></html>"
+    rec = warc_record_bytes("http://e.org/p", DATE, html)
+    got = list(parse_warc_records(rec))
+    assert got == [("http://e.org/p", DATE, html)]
+
+
+def test_payload_with_crlf_crlf_inside():
+    """Content-Length framing: body markers must not split records."""
+    html = b"<p>a\r\n\r\nWARC/1.0\r\n\r\nb</p>"
+    data = (warc_record_bytes("http://e.org/1", DATE, html)
+            + warc_record_bytes("http://e.org/2", DATE, b"<i>x</i>"))
+    got = list(parse_warc_records(data))
+    assert [u for u, _, _ in got] == ["http://e.org/1", "http://e.org/2"]
+    assert got[0][2] == html
+
+
+def test_warcinfo_skipped_and_gzip():
+    data = (warcinfo_record_bytes("s.warc")
+            + warc_record_bytes("http://e.org/p", DATE, b"<b>y</b>"))
+    for blob in (data, gzip.compress(data)):
+        got = list(parse_warc_records(blob))
+        assert [u for u, _, _ in got] == ["http://e.org/p"]
+
+
+def test_multi_member_gzip():
+    """Common Crawl gzips each record as its own member."""
+    m1 = gzip.compress(warcinfo_record_bytes("s.warc"))
+    m2 = gzip.compress(warc_record_bytes("http://e.org/a", DATE, b"1"))
+    m3 = gzip.compress(warc_record_bytes("http://e.org/b", DATE, b"2"))
+    got = list(parse_warc_records(m1 + m2 + m3))
+    assert [u for u, _, _ in got] == ["http://e.org/a", "http://e.org/b"]
+
+
+def test_truncated_tail_skipped():
+    full = warc_record_bytes("http://e.org/1", DATE, b"<p>ok</p>")
+    trunc = warc_record_bytes("http://e.org/2", DATE, b"<p>lost</p>")[:-20]
+    got = list(parse_warc_records(full + trunc))
+    assert [u for u, _, _ in got] == ["http://e.org/1"]
+
+
+def test_garbage_resync():
+    rec = warc_record_bytes("http://e.org/1", DATE, b"<p>x</p>")
+    got = list(parse_warc_records(b"not warc at all\r\n\r\n" + rec))
+    assert [u for u, _, _ in got] == ["http://e.org/1"]
+    assert list(parse_warc_records(b"")) == []
+    assert list(parse_warc_records(b"\x1f\x8bbroken gzip")) == []
+
+
+def test_bad_content_length_recovers():
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://e.org/bad\r\n"
+           b"Content-Length: nope\r\n\r\n")
+    rec = warc_record_bytes("http://e.org/1", DATE, b"<p>x</p>")
+    got = list(parse_warc_records(bad + rec))
+    assert [u for u, _, _ in got] == ["http://e.org/1"]
+
+
+def test_spark_roundtrip_exact(spark, sf_dir, tmp_path):
+    """write → distributed read: url, warc_ts, html all byte-exact."""
+    pages = pages_from_documents(spark, sf_dir)
+    write_warc_shards(pages, str(tmp_path), shard_size=7, compress=False)
+    back = read_warc_pages(spark, str(tmp_path))
+    orig = pages.select("url", "warc_ts", F.col("html").alias("h0"))
+    joined = (back.join(orig, ["url", "warc_ts"])
+              .withColumn("same", F.col("html") == F.col("h0")))
+    rows = joined.collect()
+    assert len(rows) == pages.count()
+    assert all(r.same for r in rows)
+
+
+def test_spark_roundtrip_gzip(spark, sf_dir, tmp_path):
+    pages = pages_from_documents(spark, sf_dir)
+    write_warc_shards(pages, str(tmp_path), shard_size=10, compress=True)
+    back = read_warc_pages(spark, str(tmp_path))
+    assert back.count() == pages.count()
+
+
+def test_warc_to_triples(spark, sf_dir, tmp_path):
+    """The full Common-Crawl path: WARC shards → pages → RDFa triples
+    must equal extraction over the directly-synthesized pages."""
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_triples)
+    pages = pages_from_documents(spark, sf_dir)
+    write_warc_shards(pages, str(tmp_path), shard_size=16, compress=True)
+    # no lang column in WARC pages: the <html lang> attribute carries
+    # the language, so triples still come out identical
+    via_warc = extract_triples(read_warc_pages(spark, str(tmp_path)),
+                               lang_col=None)
+    direct = extract_triples(pages)
+    cols = ["url", "subj", "pred", "obj_value", "obj_kind", "obj_lang"]
+    assert (sorted(map(tuple, via_warc.select(*cols).collect()))
+            == sorted(map(tuple, direct.select(*cols).collect())))
