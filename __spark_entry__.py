@@ -34,6 +34,8 @@ from rdfa_streaming_parser_js_spark.operators.entity_link import (
     KB_PREFIX, DEFAULT_ENTITY_NAMES, best_entity_per_doc, entity_dictionary)
 from rdfa_streaming_parser_js_spark.operators.graph import (
     pagerank_sql as _pagerank_sql)
+from rdfa_streaming_parser_js_spark.operators.search import (
+    bm25_topk_sql as _bm25_topk_sql)
 from rdfa_streaming_parser_js_spark.operators.extract import (
     extract_page_text, extract_triples)
 from rdfa_streaming_parser_js_spark.operators.similarity import (
@@ -448,6 +450,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clusters via the alternating large-star/small-star
+    algorithm — O(log n) rounds on any topology (min-label propagation
+    needs O(diameter)); shares dedup_clusters' recursive-CTE oracle."""
+    from rdfa_streaming_parser_js_spark.operators.components import (
+        dedup_clusters_star)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                threshold=JACCARD_THRESHOLD)
+    return dedup_clusters_star(pairs)
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     qv, _ = _query_vec(spark, sf_dir)
     return cosine_topk(_emb(spark, sf_dir), qv, k=10)
@@ -579,6 +592,16 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_kg_edges(spark, sf_dir))
 
 
+BM25_TERMS = ("hash", "join", "vector")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed keyword query (pivoted
+    fixed-order float sum — deterministic at any parallelism)."""
+    from rdfa_streaming_parser_js_spark.operators.search import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC ingestion edge: synthesize pages → write WARC shards
     (gzipped, warcinfo-headed) → distributed binaryFile + mapInArrow
@@ -682,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -695,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "warc_roundtrip": q_warc_roundtrip,
+        "bm25_topk": q_bm25_topk,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -866,7 +891,7 @@ def oracle_sql() -> dict[str, str]:
         (f"{SCHEMA_ORG}isPartOf", 1), (f"{SCHEMA_ORG}dateCreated", 1),
     ]
     pred_values = ", ".join(f"('{p}')" for p, _ in preds)
-    return {
+    oracles = {
         "rdfa_extract": expected_triples_sql(),
         "rdfa_extract_rich": _rich_sql(),
         "rdfa_extract_xmlcopy": _xmlcopy_sql(),
@@ -1331,4 +1356,8 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS ({_synthetic_page_sql()})
             SELECT url, warc_date, sha256(html) AS html_sha256 FROM p
         """,
+        "bm25_topk": _bm25_topk_sql(BM25_TERMS),
     }
+    # the star-algorithm variant computes the same clusters — one oracle
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    return oracles

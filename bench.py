@@ -109,6 +109,9 @@ def main() -> None:
         "dedup_simhash", "dedup_simhash_pairs",
         "embedding_cosine_topk", "embedding_near_dup",
         "text_quality", "text_fingerprint", "multimodal_decode_meta",
+        "text_repetition", "url_canonical_dedup",
+        "kg_degrees", "kg_pagerank", "warc_roundtrip",
+        "bm25_topk", "dedup_clusters_star",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)

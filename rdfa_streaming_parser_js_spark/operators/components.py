@@ -72,3 +72,101 @@ def dedup_clusters(pairs: DataFrame, src: str = "id_a",
                         F.col("comp").alias("cluster_id"),
                         (F.col("id") == F.col("comp"))
                         .alias("is_canonical")))
+
+
+# --------------------------------------------------------------------------
+# large-star / small-star (alternating algorithm)
+# --------------------------------------------------------------------------
+#
+# Min-label propagation above needs O(diameter) rounds — fine for
+# shallow near-dup clusters, risky for path-shaped graphs (a 10^6-long
+# chain would need 10^6 shuffles).  The alternating algorithm (Kiveris
+# et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+# converges in O(log n) rounds on ANY graph shape by repeatedly
+# re-rooting stars:
+#
+#   large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+#   small-star(u): over edges directed larger→smaller, m = min neighbor;
+#                  emit (x, m) for x ∈ (Γ(u) ∪ {u}) \ {m}
+#
+# Fixpoint: every non-root points directly at its component's min node.
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+         .select("u", F.least("mn", "u").alias("m")))
+    return (sym.join(m, "u").filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v")).distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # invariant: every edge has u > v (large-star output orientation)
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    withm = e.join(m, "u")
+    neighbor_edges = (withm.filter(F.col("v") != F.col("m"))
+                      .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    self_edges = withm.select("u", F.col("m").alias("v"))
+    return neighbor_edges.union(self_edges).distinct()
+
+
+def connected_components_star(edges: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iterations: int = 25) -> DataFrame:
+    """(id, comp) via alternating large-star/small-star — same contract
+    as :func:`connected_components`, O(log n) rounds on any topology."""
+    # Materialize the input ONCE: each star round references the edge
+    # set several times (symmetrize, min-agg, join), and the upstream
+    # pair generator (e.g. the full PPJoin pipeline) must not re-run
+    # per reference per round.
+    raw = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .localCheckpoint(eager=True))
+    # self-loops carry no connectivity but their nodes are still
+    # component members (matching connected_components' contract)
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
+    nodes = (raw.select(F.col("u").alias("id"))
+             .union(raw.select(F.col("v").alias("id"))).distinct()
+             .cache())
+
+    prev_sig, prev_e = None, None
+    for i in range(max_iterations):
+        new_e = _small_star(_large_star(e))
+        if i % 3 == 2:
+            new_e = new_e.localCheckpoint(eager=True)
+        else:
+            new_e = new_e.cache()
+        # one action per round: materializes new_e AND yields the
+        # edge-set signature (count + hash sum); the edge set is a
+        # function of the iteration state, so equal signatures ⟺
+        # fixpoint (hash-sum collision odds ~2^-64)
+        row = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        # only now is it safe to drop last round's blocks (new_e no
+        # longer needs its parent's cache once materialized)
+        if prev_e is not None:
+            prev_e.unpersist()
+        e = prev_e = new_e
+        sig = (row.n, row.h)
+        if sig == prev_sig or row.n == 0:
+            break
+        prev_sig = sig
+
+    labels = (nodes.join(e.select(F.col("u").alias("id"),
+                                  F.col("v").alias("comp")), "id", "left")
+              .select("id", F.coalesce("comp", F.col("id")).alias("comp")))
+    nodes.unpersist()
+    return labels
+
+
+def dedup_clusters_star(pairs: DataFrame, src: str = "id_a",
+                        dst: str = "id_b") -> DataFrame:
+    """:func:`dedup_clusters` on the alternating algorithm — identical
+    output, logarithmic round count (the variant to prefer when cluster
+    diameter is unknown, e.g. chained boilerplate families)."""
+    comp = connected_components_star(pairs, src, dst)
+    return (comp.select(F.col("id"),
+                        F.col("comp").alias("cluster_id"),
+                        (F.col("id") == F.col("comp"))
+                        .alias("is_canonical")))

@@ -1,0 +1,76 @@
+"""BM25 retrieval and large-star/small-star component tests."""
+
+import duckdb
+
+from rdfa_streaming_parser_js_spark.operators.components import (
+    connected_components, connected_components_star)
+from rdfa_streaming_parser_js_spark.operators.search import (
+    bm25_topk, bm25_topk_sql)
+
+
+def test_bm25_basic_ranking(spark):
+    docs = spark.createDataFrame(
+        [(0, "hash join hash join hash"),   # tf-heavy on both terms
+         (1, "hash scan scan scan scan scan scan scan"),  # long, diluted
+         (2, "merge scan"),                 # no query terms
+         (3, "join")],                      # short exact hit
+        ["doc_id", "text"])
+    got = bm25_topk(docs, ("hash", "join"), k=10).collect()
+    ids = [r.id for r in got]
+    assert 2 not in ids  # no-match docs never scored
+    assert ids[0] == 0   # both terms, high tf → top
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_matches_duckdb(spark, sf_dir):
+    terms = ("hash", "join", "vector")
+    got = [(r.id, r.score) for r in
+           bm25_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                     terms).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = con.execute(bm25_topk_sql(terms)).fetchall()
+    assert got == [(i, s) for i, s in want]
+
+
+def _cc_pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def _labels(df):
+    return {r.id: r.comp for r in df.collect()}
+
+
+def test_star_matches_label_prop_on_components(spark):
+    edges = [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 7), (10, 10)]
+    pairs = _cc_pairs(spark, edges)
+    assert _labels(connected_components_star(pairs)) == \
+        _labels(connected_components(pairs))
+
+
+def test_star_long_path(spark):
+    """A 40-node path: diameter 40 — label propagation's worst case,
+    logarithmic for the star algorithm."""
+    pairs = _cc_pairs(spark, [(i, i + 1) for i in range(40)])
+    got = _labels(connected_components_star(pairs))
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_star_singleton_and_empty(spark):
+    # a self-loop node is its own singleton component (same contract as
+    # connected_components)
+    got = _labels(connected_components_star(_cc_pairs(spark, [(5, 5)])))
+    assert got == {5: 5}
+    empty = _cc_pairs(spark, [(1, 1)]).filter("id_a < 0")
+    assert _labels(connected_components_star(empty)) == {}
+
+
+def test_star_two_cliques_bridge(spark):
+    clique1 = [(a, b) for a in range(0, 4) for b in range(a + 1, 4)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(3, 10)]
+    got = _labels(connected_components_star(
+        _cc_pairs(spark, clique1 + clique2 + bridge)))
+    assert set(got.values()) == {0}
