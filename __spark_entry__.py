@@ -594,6 +594,47 @@ def q_kg_pagerank(spark, sf_dir):
 
 BM25_TERMS = ("hash", "join", "vector")
 
+CURATION_LANGS = ("en", "de")
+CURATION_MIN_TOKENS = 30
+CURATION_MAX_DUP_RATIO = 0.65
+CURATION_VAL_PCT = 5
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation — the composite pipeline the
+    individual operators exist for: language filter → repetition-quality
+    filter → exact dedup (keep first per fingerprint) → near-dup dedup
+    (keep cluster canonical) → deterministic train/val split.  Every
+    stage is one of the oracle-gated operators, so the whole composition
+    is hash-gated too."""
+    from rdfa_streaming_parser_js_spark.functions.text import (
+        repetition_cols)
+    from rdfa_streaming_parser_js_spark.operators.components import (
+        dedup_clusters)
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        exact_duplicates, md5_hash60)
+    docs = _docs(spark, sf_dir)
+    rep = repetition_cols(F.col("text"))
+    base = docs.select("doc_id", "lang", "text",
+                       rep["n_tokens"].alias("n_tokens"),
+                       rep["dup_token_ratio"].alias("dup_token_ratio"))
+    filtered = base.filter(
+        F.col("lang").isin(*CURATION_LANGS)
+        & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+        & (F.col("dup_token_ratio") <= CURATION_MAX_DUP_RATIO))
+    uniq = exact_duplicates(filtered).filter(~F.col("is_duplicate"))
+    kept = filtered.join(uniq.select(F.col("id").alias("doc_id")),
+                         "doc_id")
+    pairs = ngram_jaccard_pairs(kept, threshold=JACCARD_THRESHOLD)
+    noncanon = (dedup_clusters(pairs).filter(~F.col("is_canonical"))
+                .select(F.col("id").alias("doc_id")))
+    final = kept.join(noncanon, "doc_id", "left_anti")
+    split = F.when(
+        md5_hash60(F.col("doc_id").cast("string")) % 100
+        < CURATION_VAL_PCT, F.lit("val")).otherwise(F.lit("train"))
+    return final.select("doc_id", "lang", "n_tokens",
+                        split.alias("split"))
+
 
 def q_bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval for a fixed keyword query (pivoted
@@ -720,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "warc_roundtrip": q_warc_roundtrip,
         "bm25_topk": q_bm25_topk,
+        "corpus_curation": q_corpus_curation,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1357,6 +1399,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, sha256(html) AS html_sha256 FROM p
         """,
         "bm25_topk": _bm25_topk_sql(BM25_TERMS),
+        "corpus_curation": f"""
+            WITH RECURSIVE
+            f AS (
+              SELECT doc_id, lang, text,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_tokens,
+                     round(1 - len(list_distinct(string_split(text, ' ')))
+                             / len(string_split(text, ' ')), 6) AS dtr,
+                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                         AS fp
+              FROM documents
+              WHERE lang IN {CURATION_LANGS!r}
+            ),
+            ff AS (SELECT * FROM f
+                   WHERE n_tokens >= {CURATION_MIN_TOKENS}
+                     AND dtr <= {CURATION_MAX_DUP_RATIO}),
+            e AS (SELECT * FROM ff QUALIFY
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(list_transform(
+                            generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                              AS s
+                   FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS c
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            jp AS (SELECT id_a, id_b FROM inter
+                   JOIN sizes na ON na.doc_id = id_a
+                   JOIN sizes nb ON nb.doc_id = id_b
+                   WHERE round(c * 1.0 / (na.n + nb.n - c), 6)
+                         >= {JACCARD_THRESHOLD}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                      UNION SELECT id_b, id_a FROM jp),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            walk(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT g.b, w.comp FROM walk w
+              JOIN edges g ON g.a = w.id WHERE w.comp < g.b
+            ),
+            noncanon AS (SELECT id FROM walk
+                         GROUP BY id HAVING id <> min(comp))
+            SELECT doc_id, lang, n_tokens,
+                   CASE WHEN {md5_hash60_sql("CAST(doc_id AS VARCHAR)")}
+                             % 100 < {CURATION_VAL_PCT}
+                        THEN 'val' ELSE 'train' END AS split
+            FROM e WHERE doc_id NOT IN (SELECT id FROM noncanon)
+        """,
     }
     # the star-algorithm variant computes the same clusters — one oracle
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]

@@ -111,7 +111,7 @@ def main() -> None:
         "text_quality", "text_fingerprint", "multimodal_decode_meta",
         "text_repetition", "url_canonical_dedup",
         "kg_degrees", "kg_pagerank", "warc_roundtrip",
-        "bm25_topk", "dedup_clusters_star",
+        "bm25_topk", "dedup_clusters_star", "corpus_curation",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)

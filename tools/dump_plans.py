@@ -36,6 +36,21 @@ NOTES = {
     "embedding_cosine_topk": (
         "Brute-force ANN baseline: codegen'd zip_with/aggregate dot "
         "product, TakeOrderedAndProject top-k — no global sort."),
+    "url_canonical_dedup": (
+        "Canonicalization itself is pure projection (zero Exchange before "
+        "the final count aggregate) — the cheapest dedup pass available: "
+        "one codegen'd map over the corpus plus one shuffled count."),
+    "bm25_topk": (
+        "Posting construction pre-filtered to the query terms (the "
+        "explode feeds a filter BEFORE the shuffle, so partials carry a "
+        "few rows per matching doc); corpus stats and per-term document "
+        "frequencies enter as BroadcastNestedLoopJoin one-row sides; "
+        "TakeOrderedAndProject top-k."),
+    "kg_pagerank": (
+        "Iterative: per round exactly one shuffle (groupBy dst with "
+        "map-side partial sums) plus the ranks⋈edges join; lineage cut "
+        "by localCheckpoint every third round. Integer arithmetic keeps "
+        "results bit-identical at any partitioning."),
 }
 
 
