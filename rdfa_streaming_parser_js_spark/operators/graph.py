@@ -71,14 +71,17 @@ def pagerank(edges: DataFrame, iterations: int = DEFAULT_ITERATIONS,
 
     ``rank`` is the scaled integer (divide by ``scale`` for the
     conventional per-node score)."""
+    # Materialize the two loop-invariant tables ONCE — every iteration
+    # references both, and without an eager cut each round's plan would
+    # re-derive them (plus the whole upstream extraction) from scratch.
     nodes = (edges.select(F.col("src").alias("id"))
              .union(edges.select(F.col("dst").alias("id")))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution edges carry outdeg so the per-round join is edges-only
     contrib_edges = (edges.join(outdeg, "src")
                      .select("src", "dst", "outdeg")
-                     .localCheckpoint(eager=False))
+                     .localCheckpoint(eager=True))
 
     base = (15 * scale) // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
@@ -92,7 +95,9 @@ def pagerank(edges: DataFrame, iterations: int = DEFAULT_ITERATIONS,
                          (F.lit(base)
                           + F.expr("85 * coalesce(inflow, 0) DIV 100")
                           ).cast("long").alias("rank")))
-        if i % 3 == 2:
+        # eager cut every other round: keeps the unrolled plan shallow
+        # (two rounds deep max) without paying a materialization per round
+        if i % 2 == 1 and i != iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
