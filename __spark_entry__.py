@@ -594,6 +594,80 @@ def q_kg_pagerank(spark, sf_dir):
 
 BM25_TERMS = ("hash", "join", "vector")
 
+STREAM_WINDOW = "2 minutes"
+STREAM_WATERMARK = "1 minute"
+
+
+def _staged_pages_dir(spark, sf_dir, workdir, n_files=6,
+                      time_ordered=False):
+    """Write the synthetic pages as N parquet files — the streaming
+    source directory (N files / maxFilesPerTrigger=2 → 3 micro-batches,
+    so the checkpointed incremental path is actually exercised).
+
+    ``time_ordered``: stage files in event-time order (sequential
+    writes, one contiguous warc_ts range per file, increasing mtime) —
+    how a real crawl arrives.  Required for watermarked aggregation:
+    with random staging the first micro-batch contains near-max event
+    times, the watermark jumps, and later batches' rows are dropped as
+    late (correct watermark semantics, wrong test setup)."""
+    pages_dir = f"{workdir}/pages"
+    pages = pages_from_documents(spark, sf_dir)
+    if not time_ordered:
+        pages.repartition(n_files).write.mode("overwrite").parquet(
+            pages_dir)
+        return pages_dir
+    n_rows = pages.count()
+    chunk = (n_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        (pages.filter((F.col("page_id") >= i * chunk)
+                      & (F.col("page_id") < (i + 1) * chunk))
+         .coalesce(1).write.mode("append").parquet(pages_dir))
+    return pages_dir
+
+
+def q_streaming_extract(spark, sf_dir):
+    """Structured Streaming extraction, oracle-gated: drain the pages
+    directory with Trigger.AvailableNow in bounded micro-batches through
+    the SAME mapInArrow kernel, then read the committed sink — output
+    must equal the batch extraction (and therefore the batch oracle)."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.streaming.pipeline import (
+        run_extraction_stream)
+    workdir = tempfile.mkdtemp(prefix="stream_ex_")
+    pages_dir = _staged_pages_dir(spark, sf_dir, workdir)
+    q = run_extraction_stream(spark, pages_dir, f"{workdir}/triples",
+                              f"{workdir}/ckpt", max_files_per_trigger=2)
+    q.awaitTermination()
+    return (spark.read.parquet(f"{workdir}/triples")
+            .select("url", "subj", "subj_kind", "pred", "obj_value",
+                    "obj_kind", "obj_datatype", "obj_lang"))
+
+
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window triple counts over the stream,
+    append mode: only windows finalized by the event-time watermark are
+    emitted — the oracle reproduces exactly that subset."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.streaming.pipeline import (
+        extract_triples_stream, read_page_stream, windowed_pred_counts)
+    workdir = tempfile.mkdtemp(prefix="stream_win_")
+    pages_dir = _staged_pages_dir(spark, sf_dir, workdir,
+                                  time_ordered=True)
+    triples = extract_triples_stream(
+        read_page_stream(spark, pages_dir, max_files_per_trigger=2))
+    counts = windowed_pred_counts(triples, window=STREAM_WINDOW,
+                                  watermark=STREAM_WATERMARK)
+    q = (counts.writeStream.format("parquet")
+         .option("path", f"{workdir}/counts")
+         .option("checkpointLocation", f"{workdir}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{workdir}/counts")
+            .select(F.unix_timestamp("win_start").alias("win_start"),
+                    "pred", "n_triples"))
+
 CURATION_LANGS = ("en", "de")
 CURATION_MIN_TOKENS = 30
 CURATION_MAX_DUP_RATIO = 0.65
@@ -762,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
+        "streaming_extract": q_streaming_extract,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1455,4 +1531,24 @@ def oracle_sql() -> dict[str, str]:
     }
     # the star-algorithm variant computes the same clusters — one oracle
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    # the streaming path must produce exactly the batch extraction
+    oracles["streaming_extract"] = oracles["rdfa_extract"]
+    oracles["streaming_windowed_counts"] = f"""
+        WITH p AS (
+          SELECT doc_id, TIMESTAMP '2024-01-01 00:00:00'
+                         + doc_id * INTERVAL 1 SECOND AS warc_ts
+          FROM documents
+        ),
+        mx AS (SELECT max(warc_ts) AS m FROM p),
+        wb AS (SELECT time_bucket(INTERVAL 2 MINUTE, warc_ts) AS ws,
+                      count(*) AS n
+               FROM p GROUP BY 1),
+        -- append mode emits a window only once the watermark
+        -- (max event time - 1 minute) has passed its end
+        fin AS (SELECT ws, n FROM wb, mx
+                WHERE ws + INTERVAL 2 MINUTE <= mx.m - INTERVAL 1 MINUTE)
+        SELECT CAST(epoch(ws) AS BIGINT) AS win_start, pred,
+               n AS n_triples
+        FROM fin CROSS JOIN (VALUES {pred_values}) AS t(pred)
+    """
     return oracles
