@@ -34,6 +34,19 @@ _CDATA_ELEMS = ("script", "style")
 _CDATA_CLOSE = {e: re.compile(r"</\s*%s\s*>" % e, re.IGNORECASE)
                 for e in _CDATA_ELEMS}
 
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+# Start-tag parse cache: parsing a raw ``<tag ...>`` slice is a pure
+# function of the slice, and crawl corpora are heavily templated — the
+# same tag source recurs across millions of pages.  Keyed on the exact
+# raw text; value is (tag, attrs-as-tuple, kind) where kind 0 = junk
+# (emit raw as data), 1 = self-closing, 2 = start tag.  Bounded: reset
+# when full (adversarial corpora with unbounded distinct tags must not
+# grow worker memory).
+_TAG_CACHE: dict = {}
+_TAG_CACHE_MAX = 1 << 16
+
 
 def _unescape(text: str) -> str:
     return html_mod.unescape(text) if "&" in text else text
@@ -156,7 +169,7 @@ class FastHtmlSaxDriver(HtmlSaxDriver):
                     continue
                 i = gt + 1
                 continue
-            if not _hp.starttagopen.match(s, i):  # '<' + ASCII letter
+            if nxt not in _ASCII_LETTERS:  # '<' + ASCII letter opens a tag
                 # '<' not opening a construct → literal text, like
                 # html.parser's invalid-'<' path
                 if not final and i + 1 >= n:
@@ -196,29 +209,40 @@ class FastHtmlSaxDriver(HtmlSaxDriver):
             else:
                 endpos = j if j > i else i + 1
 
-            mt = _hp.tagfind_tolerant.match(s, i + 1)
-            tag = mt.group(1).lower()
-            attrs = []
-            k = mt.end()
-            while k < endpos:
-                am = _hp.attrfind_tolerant.match(s, k)
-                if not am:
-                    break
-                name, rest, value = am.group(1, 2, 3)
-                if not rest:
-                    value = None
-                elif value[:1] == "'" == value[-1:] \
-                        or value[:1] == '"' == value[-1:]:
-                    value = value[1:-1]
-                if value:
-                    value = _unescape(value)
-                attrs.append((name.lower(), value))
-                k = am.end()
+            raw = s[i:endpos]
+            cached = _TAG_CACHE.get(raw)
+            if cached is None:
+                mt = _hp.tagfind_tolerant.match(s, i + 1)
+                tag = mt.group(1).lower()
+                attrs = []
+                k = mt.end()
+                while k < endpos:
+                    am = _hp.attrfind_tolerant.match(s, k)
+                    if not am:
+                        break
+                    name, rest, value = am.group(1, 2, 3)
+                    if not rest:
+                        value = None
+                    elif value[:1] == "'" == value[-1:] \
+                            or value[:1] == '"' == value[-1:]:
+                        value = value[1:-1]
+                    if value:
+                        value = _unescape(value)
+                    attrs.append((name.lower(), value))
+                    k = am.end()
 
-            endtext = s[k:endpos].strip()
-            if endtext not in (">", "/>"):
-                self.handle_data(s[i:endpos])
-            elif endtext == "/>":
+                endtext = s[k:endpos].strip()
+                kind = (0 if endtext not in (">", "/>")
+                        else 1 if endtext == "/>" else 2)
+                if len(_TAG_CACHE) >= _TAG_CACHE_MAX:
+                    _TAG_CACHE.clear()
+                _TAG_CACHE[raw] = (tag, tuple(attrs), kind)
+            else:
+                tag, attrs, kind = cached
+
+            if kind == 0:
+                self.handle_data(raw)
+            elif kind == 1:
                 self.handle_startendtag(tag, attrs)
             else:
                 self.handle_starttag(tag, attrs)
