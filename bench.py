@@ -85,15 +85,22 @@ def main() -> None:
         materialize_graph)
     from rdfa_streaming_parser_js_spark.plans.lineage import (
         CheckpointedExtraction)
-    tmp = tempfile.mkdtemp(prefix="bench_kg_")
-    try:
-        t0 = time.time()
-        ck = CheckpointedExtraction(f"{tmp}/extract", n_buckets=32)
-        ck.run(pages_from_documents(spark, sf_dir), buckets_per_commit=32)
-        materialize_graph(ck.triples(spark), f"{tmp}/graph")
-        timings["pipeline_e2e_sf_pages"] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    e2e_trials = []
+    for _ in range(TRIALS):
+        tmp = tempfile.mkdtemp(prefix="bench_kg_")
+        try:
+            t0 = time.time()
+            ck = CheckpointedExtraction(f"{tmp}/extract", n_buckets=32)
+            ck.run(pages_from_documents(spark, sf_dir),
+                   buckets_per_commit=32)
+            materialize_graph(ck.triples(spark), f"{tmp}/graph")
+            e2e_trials.append(time.time() - t0)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    timings["pipeline_e2e_sf_pages"] = round(
+        statistics.median(e2e_trials), 3)
+    ranges["pipeline_e2e_sf_pages"] = [
+        round(min(e2e_trials), 3), round(max(e2e_trials), 3)]
 
     # --- operator suite ---------------------------------------------------
     bench_queries = [
