@@ -28,12 +28,25 @@ import io
 import os
 from collections.abc import Iterator
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 _WARC_DATE_SPARK_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 _CRLF2 = b"\r\n\r\n"
+
+WARC_MANIFEST_SCHEMA = StructType([
+    StructField("run_id", StringType()),
+    StructField("shard", StringType()),
+    StructField("n_pages", LongType()),
+    StructField("n_triples", LongType()),
+    StructField("commit_wall_sec", DoubleType()),
+    StructField("committed_at", DoubleType()),
+])
 
 
 # --------------------------------------------------------------------------
@@ -164,44 +177,175 @@ def parse_warc_records(data: bytes) -> Iterator[tuple[str, str, bytes]]:
             pos += 2
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed WARC scan → (url, warc_ts, html) pages DataFrame.
+def read_warc_pages(spark: SparkSession, path: str | list[str],
+                    with_shard: bool = False) -> DataFrame:
+    """Distributed WARC scan → (url, warc_ts, html[, shard]) pages.
 
     One task per shard file (binaryFile rows), Arrow-batched record
     parsing, timestamp parsing JVM-side.  Output schema matches
     sources/pages.pages_from_documents, so
     ``extract_triples(read_warc_pages(...))`` is the full
-    Common-Crawl-to-KG path."""
+    Common-Crawl-to-KG path.  ``with_shard`` adds the source shard's
+    file name — the lineage/partition key for resumable ingestion."""
     import pyarrow as pa
 
-    out_schema = pa.schema([
+    fields = [
         pa.field("url", pa.string()),
         pa.field("warc_date", pa.string()),
         pa.field("html", pa.binary()),
-    ])
+    ]
+    if with_shard:
+        fields.append(pa.field("shard", pa.string()))
+    out_schema = pa.schema(fields)
+    ddl = "url string, warc_date string, html binary" + (
+        ", shard string" if with_shard else "")
 
     def parse_batches(batches):
         for batch in batches:
             contents = batch.column("content")
-            urls, dates, htmls = [], [], []
+            paths = batch.column("path") if with_shard else None
+            urls, dates, htmls, shards = [], [], [], []
             for i in range(len(contents)):
                 data = contents[i].as_py()
+                shard = (os.path.basename(paths[i].as_py())
+                         if with_shard else None)
                 for url, date, html in parse_warc_records(data):
                     urls.append(url)
                     dates.append(date)
                     htmls.append(html)
+                    if with_shard:
+                        shards.append(shard)
             if urls:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(urls, pa.string()),
-                     pa.array(dates, pa.string()),
-                     pa.array(htmls, pa.binary())], schema=out_schema)
+                arrays = [pa.array(urls, pa.string()),
+                          pa.array(dates, pa.string()),
+                          pa.array(htmls, pa.binary())]
+                if with_shard:
+                    arrays.append(pa.array(shards, pa.string()))
+                yield pa.RecordBatch.from_arrays(arrays,
+                                                 schema=out_schema)
 
+    cols = ["content"] + (["path"] if with_shard else [])
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*").load(path)
-             .select("content"))
-    raw = files.mapInArrow(parse_batches,
-                           "url string, warc_date string, html binary")
-    return raw.select(
-        "url",
-        F.to_timestamp("warc_date", _WARC_DATE_SPARK_FMT).alias("warc_ts"),
-        "html")
+             .select(*cols))
+    raw = files.mapInArrow(parse_batches, ddl)
+    keep = ["url",
+            F.to_timestamp("warc_date",
+                           _WARC_DATE_SPARK_FMT).alias("warc_ts"),
+            "html"] + (["shard"] if with_shard else [])
+    return raw.select(*keep)
+
+
+# --------------------------------------------------------------------------
+# resumable shard-level ingestion
+# --------------------------------------------------------------------------
+
+class WarcIngestion:
+    """Idempotent, resumable WARC → triples ingestion with shard-level
+    lineage — the Common-Crawl flavor of plans/lineage.
+
+    The checkpoint unit is the WARC shard file (the crawl's own atomic
+    unit: a shard either fully parses or is retried whole).  Commit
+    ordering mirrors ``plans/lineage.CheckpointedExtraction``: triples
+    are written FIRST via dynamic partition overwrite into
+    ``triples/shard=<file>/`` (a retried shard replaces its partial
+    output instead of duplicating it), and only then is the shard's
+    manifest row appended — the manifest row IS the commit point.  A
+    restarted run anti-joins the manifest and processes exactly the
+    shards without a committed row; newly-arrived shards are picked up
+    the same way, so repeated invocations ARE the incremental crawl
+    ingestion loop.
+    """
+
+    def __init__(self, warc_dir: str, out_dir: str):
+        self.warc_dir = warc_dir.rstrip("/")
+        self.out_dir = out_dir.rstrip("/")
+        self.triples_dir = f"{self.out_dir}/triples"
+        self.manifest_dir = f"{self.out_dir}/_manifest"
+
+    # -- lineage ----------------------------------------------------------
+
+    def manifest(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.schema(WARC_MANIFEST_SCHEMA).parquet(
+                self.manifest_dir)
+        except Exception:
+            return spark.createDataFrame([], WARC_MANIFEST_SCHEMA)
+
+    def completed_shards(self, spark: SparkSession) -> set[str]:
+        return {r.shard for r in
+                self.manifest(spark).select("shard").distinct().collect()}
+
+    def list_shards(self, spark: SparkSession) -> list[str]:
+        """All shard paths currently in the crawl directory (listing
+        only — file CONTENT is never read here)."""
+        try:
+            rows = (spark.read.format("binaryFile")
+                    .option("pathGlobFilter", "*.warc*")
+                    .load(self.warc_dir).select("path").collect())
+        except Exception:
+            return []
+        return sorted(r.path for r in rows)
+
+    # -- data -------------------------------------------------------------
+
+    def triples(self, spark: SparkSession) -> DataFrame:
+        from ..operators.extract import TRIPLES_SCHEMA
+        try:
+            return spark.read.parquet(self.triples_dir)
+        except Exception:
+            return spark.createDataFrame(
+                [], TRIPLES_SCHEMA + ", shard string")
+
+    # -- execution --------------------------------------------------------
+
+    def run(self, spark: SparkSession, shards_per_commit: int = 8,
+            stop_after_commits: int | None = None,
+            run_id: str | None = None) -> dict:
+        """Ingest every shard not yet in the manifest; returns counters
+        for this invocation.  ``stop_after_commits`` simulates a
+        mid-job crash for restart tests."""
+        from ..operators.extract import extract_triples
+        run_id = run_id or f"warc-{int(time.time() * 1000):x}"
+        done = self.completed_shards(spark)
+        remaining = [p for p in self.list_shards(spark)
+                     if os.path.basename(p) not in done]
+
+        commits, processed = 0, []
+        for i in range(0, len(remaining), shards_per_commit):
+            if stop_after_commits is not None \
+                    and commits >= stop_after_commits:
+                break
+            chunk = remaining[i:i + shards_per_commit]
+            t0 = time.time()
+            pages = read_warc_pages(spark, chunk, with_shard=True)
+            triples = extract_triples(pages, lang_col=None,
+                                      passthrough=("shard",)).cache()
+            page_counts = {r.shard: r.n_pages for r in
+                           (pages.groupBy("shard")
+                            .agg(F.count(F.lit(1)).alias("n_pages"))
+                            .collect())}
+            stats = {r.shard: r.n_triples for r in
+                     (triples.groupBy("shard")
+                      .agg(F.count(F.lit(1)).alias("n_triples"))
+                      .collect())}
+            # data first (idempotent via dynamic partition overwrite) ...
+            (triples.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard")
+             .parquet(self.triples_dir))
+            triples.unpersist()
+            # ... manifest last: the commit point
+            wall = time.time() - t0
+            names = [os.path.basename(p) for p in chunk]
+            rows = [(run_id, s, int(page_counts.get(s, 0)),
+                     int(stats.get(s, 0)), round(wall, 3), time.time())
+                    for s in names]
+            (spark.createDataFrame(rows, WARC_MANIFEST_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(self.manifest_dir))
+            commits += 1
+            processed.extend(names)
+
+        return {"run_id": run_id, "commits": commits,
+                "shards_processed": processed,
+                "shards_skipped": sorted(done)}

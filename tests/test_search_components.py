@@ -23,6 +23,26 @@ def test_bm25_basic_ranking(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_bm25_plan_shape(spark, sf_dir):
+    """Load-bearing plan properties: the term filter must sit below the
+    posting shuffle (postings carry only query-term rows), the one-row
+    stats sides must broadcast, and top-k must be TakeOrdered (no
+    global sort)."""
+    from rdfa_streaming_parser_js_spark.plans.explain import plan_string
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_string(bm25_topk(docs, ("hash", "join")), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row stats sides
+    # every exploded-token Generate feeds straight into a term Filter
+    # (plan text is parent-first: the Filter line sits just above)
+    lines = plan.splitlines()
+    gen_lines = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    assert gen_lines
+    for i in gen_lines:
+        assert any("Filter" in lines[j]
+                   for j in range(max(0, i - 2), i)), plan
+
+
 def test_bm25_matches_duckdb(spark, sf_dir):
     terms = ("hash", "join", "vector")
     got = [(r.id, r.score) for r in
