@@ -30,10 +30,16 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--buckets-per-commit", type=int, default=8)
-    ap.add_argument("--mode", choices=("batch", "streaming"),
+    ap.add_argument("--mode", choices=("batch", "streaming", "warc"),
                     default="batch",
                     help="streaming: incremental file-stream ingestion "
-                         "with a Structured Streaming checkpoint")
+                         "with a Structured Streaming checkpoint; "
+                         "warc: resumable shard-level ingestion from "
+                         "--warc-dir (synthesized from --sf-dir when "
+                         "absent)")
+    ap.add_argument("--warc-dir", default=None,
+                    help="existing WARC shard directory for --mode warc")
+    ap.add_argument("--shards-per-commit", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +74,20 @@ def main() -> None:
                     "progress": q.lastProgress and
                     q.lastProgress.get("numInputRows")}
         triples = spark.read.parquet(f"{args.out_dir}/extract/triples")
+    elif args.mode == "warc":
+        # Common-Crawl flavor: WARC shards in, shard-level lineage,
+        # repeated invocations pick up newly-arrived shards.
+        from rdfa_streaming_parser_js_spark.sources.warc import (
+            WarcIngestion, write_warc_shards)
+        warc_dir = args.warc_dir or f"{args.out_dir}/warc_in"
+        if args.warc_dir is None:
+            write_warc_shards(pages, warc_dir, shard_size=2000,
+                              compress=True)
+        ing = WarcIngestion(warc_dir, f"{args.out_dir}/extract")
+        run_info = ing.run(spark,
+                           shards_per_commit=args.shards_per_commit)
+        run_info["mode"] = "warc"
+        triples = ing.triples(spark)
     else:
         ck = CheckpointedExtraction(f"{args.out_dir}/extract",
                                     n_buckets=args.n_buckets)
@@ -92,6 +112,8 @@ def main() -> None:
         "top_hub_subjects": [(r.subj, r.n_triples) for r in hubs[:3]],
         "lineage_buckets": (ck.metrics(spark).count()
                             if args.mode == "batch" else None),
+        "lineage_shards": (ing.manifest(spark).count()
+                           if args.mode == "warc" else None),
     }
     print("PIPELINE_METRICS " + json.dumps(metrics))
     spark.stop()
