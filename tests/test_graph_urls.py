@@ -130,3 +130,38 @@ def test_iri_edges_filters_literals(spark):
         ["subj", "pred", "obj_value", "obj_kind"])
     got = iri_edges(t).collect()
     assert [(r.src, r.dst) for r in got] == [("s", "http://o")]
+
+
+# --- property-based --------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _urlish = st.one_of(
+        st.text(max_size=60),
+        st.builds(
+            lambda sch, host, port, path, q, frag:
+                f"{sch}://{host}{port}{path}{q}{frag}",
+            st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+            st.text(alphabet="abcXYZ09.-", min_size=1, max_size=12),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/", "/a/B", "/p%20q"]),
+            st.sampled_from(["", "?a=1", "?b=2&a=1", "?utm_source=x",
+                             "?utm_source=x&z=9&fbclid=1", "?ref=t&k"]),
+            st.sampled_from(["", "#f", "#a#b"])))
+
+    @given(_urlish)
+    @settings(max_examples=200, deadline=None)
+    def test_canonical_url_idempotent(raw):
+        """Canonicalization is a projection onto its own image:
+        canon(canon(x)) == canon(x) — required for it to be safe to
+        apply at any (or every) pipeline stage."""
+        import duckdb
+        con = duckdb.connect()
+        sql = canonical_url_sql("url")
+        q = f"SELECT {sql} FROM (SELECT ? AS url) t"
+        once = con.execute(q, [raw]).fetchone()[0]
+        twice = con.execute(q, [once]).fetchone()[0]
+        assert twice == once
+except ImportError:  # pragma: no cover
+    pass

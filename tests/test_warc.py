@@ -152,3 +152,37 @@ def test_warc_ingestion_resume(spark, sf_dir, tmp_path):
     # and the late shard, by construction of this test corpus)
     m = ing.manifest(spark)
     assert m.agg(F.sum("n_pages")).head()[0] == pages.count() + 5
+
+
+# --- property-based fuzz ---------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=300, deadline=None)
+    def test_fuzz_parser_never_crashes(data):
+        """Arbitrary bytes: parse yields a (possibly empty) record list,
+        never raises — a crawl always contains garbage."""
+        for url, date, html in parse_warc_records(data):
+            assert isinstance(url, str) and isinstance(html, bytes)
+
+    @given(st.integers(0, 400), st.binary(max_size=64),
+           st.integers(0, 255))
+    @settings(max_examples=300, deadline=None)
+    def test_fuzz_corrupted_record_stream(cut, payload, flip):
+        """A valid record stream with a corrupted/truncated middle
+        record still yields the intact leading record and never the
+        corrupted one's payload as a crash."""
+        good = warc_record_bytes("http://e.org/ok", DATE, b"<p>ok</p>")
+        mid = bytearray(warc_record_bytes("http://e.org/mid", DATE,
+                                          payload))
+        if cut < len(mid):
+            mid[cut] = flip  # corrupt one byte
+        tail = warc_record_bytes("http://e.org/tail", DATE, b"<i>t</i>")
+        got = list(parse_warc_records(bytes(good) + bytes(mid) + tail))
+        urls = [u for u, _, _ in got]
+        assert urls[0] == "http://e.org/ok"
+        assert len(urls) <= 3
+except ImportError:  # pragma: no cover - hypothesis always in sandbox
+    pass
