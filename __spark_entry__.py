@@ -710,6 +710,27 @@ def q_corpus_curation(spark, sf_dir):
                         split.alias("split"))
 
 
+WARC_LINEAGE_SHARD_SIZE = 200
+
+
+def q_warc_ingest_lineage(spark, sf_dir):
+    """Resumable WARC ingestion, gated through its lineage manifest:
+    synthesize shards → WarcIngestion.run (shard-level commits, data
+    first / manifest last) → the manifest rows themselves.  Shard
+    membership and triple counts are fully deterministic, so the oracle
+    reconstructs the manifest without parsing WARC."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.sources.warc import (
+        WarcIngestion, write_warc_shards)
+    tmp = tempfile.mkdtemp(prefix="warc_lin_")
+    write_warc_shards(pages_from_documents(spark, sf_dir), f"{tmp}/warc",
+                      shard_size=WARC_LINEAGE_SHARD_SIZE, compress=True)
+    ing = WarcIngestion(f"{tmp}/warc", f"{tmp}/out")
+    ing.run(spark, shards_per_commit=2)
+    return ing.manifest(spark).select("shard", "n_pages", "n_triples")
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval for a fixed keyword query (pivoted
     fixed-order float sum — deterministic at any parallelism)."""
@@ -834,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_ingest_lineage": q_warc_ingest_lineage,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
@@ -1473,6 +1495,20 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": f"""
             WITH p AS ({_synthetic_page_sql()})
             SELECT url, warc_date, sha256(html) AS html_sha256 FROM p
+        """,
+        "warc_ingest_lineage": f"""
+            WITH o AS (
+              SELECT row_number() OVER (ORDER BY
+                  'http://pages.example.org/page/'
+                  || CAST(doc_id AS VARCHAR)) - 1 AS rn
+              FROM documents
+            )
+            SELECT 'shard-' || lpad(CAST(rn // {WARC_LINEAGE_SHARD_SIZE}
+                                         AS VARCHAR), 5, '0')
+                       || '.warc.gz' AS shard,
+                   count(*) AS n_pages,
+                   count(*) * 7 AS n_triples
+            FROM o GROUP BY 1
         """,
         "bm25_topk": _bm25_topk_sql(BM25_TERMS),
         "corpus_curation": f"""
