@@ -713,6 +713,14 @@ def q_corpus_curation(spark, sf_dir):
 WARC_LINEAGE_SHARD_SIZE = 200
 
 
+def q_embedding_kmeans(spark, sf_dir):
+    """Integer-exact k-means corpus bucketing (deterministic Lloyd
+    iterations; assignments bit-identical at any parallelism)."""
+    from rdfa_streaming_parser_js_spark.operators.cluster import (
+        kmeans_assignments)
+    return kmeans_assignments(_emb(spark, sf_dir))
+
+
 def q_warc_ingest_lineage(spark, sf_dir):
     """Resumable WARC ingestion, gated through its lineage manifest:
     synthesize shards → WarcIngestion.run (shard-level commits, data
@@ -856,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_ingest_lineage": q_warc_ingest_lineage,
+        "embedding_kmeans": q_embedding_kmeans,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
@@ -1567,6 +1576,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # the star-algorithm variant computes the same clusters — one oracle
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    from rdfa_streaming_parser_js_spark.operators.cluster import (
+        kmeans_sql as _kmeans_sql)
+    oracles["embedding_kmeans"] = _kmeans_sql()
     # the streaming path must produce exactly the batch extraction
     oracles["streaming_extract"] = oracles["rdfa_extract"]
     oracles["streaming_windowed_counts"] = f"""

@@ -119,6 +119,7 @@ def main() -> None:
         "text_repetition", "url_canonical_dedup",
         "kg_degrees", "kg_pagerank", "warc_roundtrip",
         "bm25_topk", "dedup_clusters_star", "corpus_curation",
+        "embedding_kmeans",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)

@@ -165,3 +165,37 @@ try:
         assert twice == once
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- integer k-means -------------------------------------------------------
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    """Integer Lloyd steps ⇒ identical assignments at any parallelism."""
+    from rdfa_streaming_parser_js_spark.operators.cluster import (
+        kmeans_assignments)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a1 = {r.vec_id: r.cluster
+          for r in kmeans_assignments(emb.repartition(1)).collect()}
+    a8 = {r.vec_id: r.cluster
+          for r in kmeans_assignments(emb.repartition(8)).collect()}
+    assert a1 == a8
+    assert len(a1) == emb.count()
+    # seeds stay in their own clusters' id space; all k used or fewer
+    assert set(a1.values()) <= set(range(4))
+
+
+def test_kmeans_converges_sanely(spark):
+    """Two obvious blobs → two clusters matching the blobs."""
+    from rdfa_streaming_parser_js_spark.operators.cluster import (
+        kmeans_assignments)
+    rows = []
+    for i in range(10):
+        rows.append((i * 2, [1.0 + 0.01 * i] * 4, 0))      # blob A
+        rows.append((i * 2 + 1, [-1.0 - 0.01 * i] * 4, 1))  # blob B
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.vec_id: r.cluster
+           for r in kmeans_assignments(emb, k=2, iterations=3).collect()}
+    a_clusters = {got[i] for i in range(0, 20, 2)}
+    b_clusters = {got[i] for i in range(1, 20, 2)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
