@@ -713,6 +713,14 @@ def q_corpus_curation(spark, sf_dir):
 WARC_LINEAGE_SHARD_SIZE = 200
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf·idf (single
+    per-row product, no float sums — deterministic)."""
+    from rdfa_streaming_parser_js_spark.operators.search import (
+        tfidf_top_terms)
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_embedding_kmeans(spark, sf_dir):
     """Integer-exact k-means corpus bucketing (deterministic Lloyd
     iterations; assignments bit-identical at any parallelism)."""
@@ -865,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "embedding_kmeans": q_embedding_kmeans,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
@@ -1578,7 +1587,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
     from rdfa_streaming_parser_js_spark.operators.cluster import (
         kmeans_sql as _kmeans_sql)
+    from rdfa_streaming_parser_js_spark.operators.search import (
+        tfidf_top_terms_sql as _tfidf_sql)
     oracles["embedding_kmeans"] = _kmeans_sql()
+    oracles["tfidf_top_terms"] = _tfidf_sql()
     # the streaming path must produce exactly the batch extraction
     oracles["streaming_extract"] = oracles["rdfa_extract"]
     oracles["streaming_windowed_counts"] = f"""

@@ -75,6 +75,63 @@ def bm25_topk(docs: DataFrame, terms: tuple[str, ...],
             .limit(k))
 
 
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, term, tfidf) — each document's ``top_n`` most distinctive
+    terms by tf·idf, the standard per-document keyword extraction.
+
+    Determinism: the score is a single per-row product (tf integer ×
+    ln(N/df) with N, df integers) — no float summation anywhere, so no
+    aggregation-order sensitivity; ranking ties break by term.  Scale
+    shape: the same one-shuffle (id, tok) partial-count aggregation as
+    :func:`bm25_topk`, document frequencies joined on the term key
+    (hash join on tok — df is corpus-wide, too big to broadcast at
+    10^12 docs, and the join key is exactly the aggregation key so the
+    partitioning is reused), then a per-document window top-n."""
+    from pyspark.sql import Window
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.explode(toks).alias("term"))
+    tf = base.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n)
+            .select("id", "term", "tfidf"))
+
+
+def tfidf_top_terms_sql(top_n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        table: str = "documents") -> str:
+    """DuckDB mirror of :func:`tfidf_top_terms`."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS id,
+                 unnest(string_split({text_col}, ' ')) AS term
+          FROM {table}
+        ),
+        tf AS (SELECT id, term, count(*) AS tf
+               FROM base GROUP BY id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM {table})
+        SELECT id, term, tfidf FROM (
+          SELECT tf.id, tf.term,
+                 round(tf.tf * ln(n_docs * 1.0 / df), 6) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.id
+                                    ORDER BY round(tf.tf *
+                                        ln(n_docs * 1.0 / df), 6) DESC,
+                                        tf.term ASC) AS rn
+          FROM tf JOIN dfreq ON tf.term = dfreq.term, nd
+        ) WHERE rn <= {top_n}
+    """
+
+
 def bm25_topk_sql(terms: tuple[str, ...], k1: float = DEFAULT_K1,
                   b: float = DEFAULT_B, k: int = 20,
                   id_col: str = "doc_id", text_col: str = "text",

@@ -94,3 +94,21 @@ def test_star_two_cliques_bridge(spark):
     got = _labels(connected_components_star(
         _cc_pairs(spark, clique1 + clique2 + bridge)))
     assert set(got.values()) == {0}
+
+
+def test_tfidf_top_terms(spark):
+    from rdfa_streaming_parser_js_spark.operators.search import (
+        tfidf_top_terms)
+    docs = spark.createDataFrame(
+        [(0, "rare common common"), (1, "common common other"),
+         (2, "common unique")],
+        ["doc_id", "text"])
+    got = {(r.id, r.term): r.tfidf
+           for r in tfidf_top_terms(docs, top_n=2).collect()}
+    # 'common' appears in every doc → idf ln(3/3)=0 → never distinctive
+    assert got[(0, "rare")] > 0 and got[(2, "unique")] > 0
+    assert got[(0, "common")] == 0.0
+    # each doc yields at most top_n rows
+    import collections
+    per_doc = collections.Counter(i for i, _ in got)
+    assert max(per_doc.values()) <= 2
