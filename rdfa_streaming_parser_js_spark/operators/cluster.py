@@ -60,6 +60,12 @@ def kmeans_assignments(emb: DataFrame, k: int = DEFAULT_K,
     vecs = int_vectors(emb, scale).localCheckpoint(eager=True)
     seed = {r.vec_id: list(r.v)
             for r in vecs.filter(F.col("vec_id") < k).collect()}
+    missing = [i for i in range(k) if i not in seed]
+    if missing:
+        raise ValueError(
+            f"kmeans seed vectors vec_id={missing} absent from input "
+            f"(deterministic seeding uses vec_id 0..k-1; pass a smaller "
+            f"k or reindex the vectors)")
     cents = [seed[i] for i in range(k)]
 
     def assigned_df():

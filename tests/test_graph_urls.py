@@ -199,3 +199,14 @@ def test_kmeans_converges_sanely(spark):
     b_clusters = {got[i] for i in range(1, 20, 2)}
     assert len(a_clusters) == 1 and len(b_clusters) == 1
     assert a_clusters != b_clusters
+
+
+def test_kmeans_missing_seed_raises(spark):
+    import pytest as _pytest
+    from rdfa_streaming_parser_js_spark.operators.cluster import (
+        kmeans_assignments)
+    emb = spark.createDataFrame(
+        [(5, [1.0, 2.0], 0), (6, [3.0, 4.0], 1)],
+        ["vec_id", "embedding", "label"])
+    with _pytest.raises(ValueError, match="seed vectors"):
+        kmeans_assignments(emb, k=2)
