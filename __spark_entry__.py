@@ -713,6 +713,16 @@ def q_corpus_curation(spark, sf_dir):
 WARC_LINEAGE_SHARD_SIZE = 200
 
 
+def q_ntriples_roundtrip(spark, sf_dir):
+    """N-Triples interchange pair: serialize the extracted graph to
+    canonical lines (codegen concat) and parse the lines back with the
+    distributed N-Triples READER (codegen regexp + unescape) — output
+    must equal the extraction, so it shares the extraction oracle."""
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        ntriples_lines, parse_ntriples_lines)
+    return parse_ntriples_lines(ntriples_lines(_triples(spark, sf_dir)))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms by tf·idf (single
     per-row product, no float sums — deterministic)."""
@@ -874,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "embedding_kmeans": q_embedding_kmeans,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
@@ -1593,6 +1604,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["tfidf_top_terms"] = _tfidf_sql()
     # the streaming path must produce exactly the batch extraction
     oracles["streaming_extract"] = oracles["rdfa_extract"]
+    # serialize → parse must be the identity on the extracted graph
+    oracles["ntriples_roundtrip"] = oracles["rdfa_extract"]
     oracles["streaming_windowed_counts"] = f"""
         WITH p AS (
           SELECT doc_id, TIMESTAMP '2024-01-01 00:00:00'

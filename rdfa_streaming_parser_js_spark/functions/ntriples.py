@@ -55,3 +55,84 @@ def ntriples_lines(triples: DataFrame, url_col: str = "url") -> DataFrame:
               F.col("obj_datatype"), F.col("obj_lang")),
         F.lit("."))
     return triples.select(F.col(url_col).alias("url"), line.alias("line"))
+
+
+# --------------------------------------------------------------------------
+# reader (the source half of the interchange pair)
+# --------------------------------------------------------------------------
+
+# subject | predicate | object(iri/bnode/literal[@lang|^^<dt>]) " ."
+NT_LINE_RE = (r'^(?:<([^>]*)>|(_:\S+)) <([^>]*)> '
+              r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+              r'(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?) \.$')
+
+# Unescape sentinel: must not occur in content (control char; the
+# serializer never emits it because ECHAR escapes cover it implicitly).
+_SENT = "\x01"
+
+
+def unescape_literal(col: Column) -> Column:
+    """Inverse of :func:`escape_literal` — plain ``replace`` chains
+    (no regex replacement-string semantics), with a sentinel so an
+    escaped backslash never merges with a following 'n'/'t'/'r'."""
+    out = F.replace(col, F.lit("\\\\"), F.lit(_SENT))
+    out = F.replace(out, F.lit('\\"'), F.lit('"'))
+    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
+    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
+    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
+    return F.replace(out, F.lit(_SENT), F.lit("\\"))
+
+
+def parse_ntriples_lines(lines: DataFrame,
+                         line_col: str = "line") -> DataFrame:
+    """(.., line) → triples columns — the distributed N-Triples SOURCE
+    (read serialized graph dumps back into the pipeline).  Pure
+    codegen: one regexp per line + replace chains; rows that do not
+    match the grammar are dropped (interchange files may carry comments
+    or blank lines).  Passthrough columns other than ``line_col`` are
+    preserved."""
+    g = lambda i: F.regexp_extract(F.col(line_col), NT_LINE_RE, i)  # noqa: E731
+    subj_bn = g(2)
+    obj_iri, obj_bn, obj_lit = g(4), g(5), g(6)
+    lang, dtype = g(7), g(8)
+    passthrough = [c for c in lines.columns if c != line_col]
+    parsed = lines.filter(
+        F.col(line_col).rlike(NT_LINE_RE)).select(
+        *passthrough,
+        F.when(subj_bn != "", subj_bn).otherwise(g(1)).alias("subj"),
+        F.when(subj_bn != "", F.lit("bnode")).otherwise(F.lit("iri"))
+        .alias("subj_kind"),
+        g(3).alias("pred"),
+        F.when(obj_iri != "", obj_iri)
+        .when(obj_bn != "", obj_bn)
+        .otherwise(unescape_literal(obj_lit)).alias("obj_value"),
+        F.when(obj_iri != "", F.lit("iri"))
+        .when(obj_bn != "", F.lit("bnode"))
+        .otherwise(F.lit("literal")).alias("obj_kind"),
+        F.when(dtype != "", dtype).alias("obj_datatype"),
+        F.when(lang != "", lang).alias("obj_lang"))
+    return parsed
+
+
+def parse_ntriples_sql(line_expr: str) -> str:
+    """DuckDB mirror of :func:`parse_ntriples_lines` column logic —
+    returns a SELECT-list fragment over ``line_expr`` (same regex, same
+    replace chains; embed in a query that also filters on
+    ``regexp_matches(line, ...)``)."""
+    pat = NT_LINE_RE
+    g = lambda i: f"regexp_extract({line_expr}, '{pat}', {i})"  # noqa: E731
+    unesc = (f"replace(replace(replace(replace(replace(replace("
+             f"{g(6)}, '\\\\', chr(1)), '\\\"', '\"'), '\\n', chr(10)),"
+             f" '\\r', chr(13)), '\\t', chr(9)), chr(1), '\\')")
+    return f"""
+        CASE WHEN {g(2)} <> '' THEN {g(2)} ELSE {g(1)} END AS subj,
+        CASE WHEN {g(2)} <> '' THEN 'bnode' ELSE 'iri' END AS subj_kind,
+        {g(3)} AS pred,
+        CASE WHEN {g(4)} <> '' THEN {g(4)}
+             WHEN {g(5)} <> '' THEN {g(5)}
+             ELSE {unesc} END AS obj_value,
+        CASE WHEN {g(4)} <> '' THEN 'iri'
+             WHEN {g(5)} <> '' THEN 'bnode'
+             ELSE 'literal' END AS obj_kind,
+        nullif({g(8)}, '') AS obj_datatype,
+        nullif({g(7)}, '') AS obj_lang"""

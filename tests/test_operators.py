@@ -294,3 +294,75 @@ def test_connected_components_min_label(spark):
            dedup_clusters(edges).collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    7: (1, False), 10: (10, True), 11: (10, False)}
+
+
+# --- N-Triples reader ------------------------------------------------------
+
+def test_ntriples_roundtrip_rich(spark, sf_dir):
+    """serialize → parse is the identity on the rich corpus (bnodes,
+    rdf:List cons cells, datatypes, language tags)."""
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        ntriples_lines, parse_ntriples_lines)
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_triples)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir))
+    cols = ["subj", "subj_kind", "pred", "obj_value", "obj_kind",
+            "obj_datatype", "obj_lang"]
+    back = parse_ntriples_lines(ntriples_lines(t))
+    assert (sorted(map(tuple, back.select("url", *cols).collect()))
+            == sorted(map(tuple, t.select("url", *cols).collect())))
+
+
+def test_ntriples_reader_escapes_and_garbage(spark):
+    """ECHAR escapes roundtrip byte-exactly; non-grammar lines drop."""
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        ntriples_lines, parse_ntriples_lines)
+    nasty = 'a\\b\t"q"\nc\rd\\n e'  # backslashes, quotes, controls
+    t = spark.createDataFrame(
+        [("u", "http://s", "iri", "http://p", nasty, "literal",
+          None, None),
+         ("u", "http://s", "iri", "http://p", "x", "literal",
+          None, "en"),
+         ("u", "_:b0", "bnode", "http://p", "_:b1", "bnode",
+          None, None)],
+        "url string, subj string, subj_kind string, pred string, "
+        "obj_value string, obj_kind string, obj_datatype string, "
+        "obj_lang string")
+    lines = ntriples_lines(t)
+    plus_garbage = lines.union(spark.createDataFrame(
+        [("u", "# a comment"), ("u", ""), ("u", "<s> broken")],
+        ["url", "line"]))
+    back = parse_ntriples_lines(plus_garbage)
+    got = {(r.subj, r.obj_value, r.obj_kind, r.obj_lang)
+           for r in back.collect()}
+    assert ("http://s", nasty, "literal", None) in got
+    assert ("http://s", "x", "literal", "en") in got
+    assert ("_:b0", "_:b1", "bnode", None) in got
+    assert back.count() == 3  # garbage lines dropped
+
+
+def test_ntriples_parse_sql_parity(spark, sf_dir):
+    """The DuckDB parse fragment produces the same columns as the
+    Spark reader over identical serialized lines."""
+    import duckdb
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        NT_LINE_RE, ntriples_lines, parse_ntriples_lines,
+        parse_ntriples_sql)
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_triples)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents)
+    lines = ntriples_lines(
+        extract_triples(pages_from_documents(spark, sf_dir)))
+    rows = [(r.line,) for r in lines.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nt(line VARCHAR)")
+    con.executemany("INSERT INTO nt VALUES (?)", rows)
+    want = con.execute(
+        f"SELECT {parse_ntriples_sql('line')} FROM nt "
+        f"WHERE regexp_matches(line, '{NT_LINE_RE}')").fetchall()
+    got = [tuple(r) for r in parse_ntriples_lines(lines.select("line"))
+           .collect()]
+    assert sorted(got) == sorted(want)
