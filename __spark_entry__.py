@@ -713,6 +713,14 @@ def q_corpus_curation(spark, sf_dir):
 WARC_LINEAGE_SHARD_SIZE = 200
 
 
+def q_json_graph_nodes(spark, sf_dir):
+    """JSON-LD-style node documents, one per subject — canonical
+    fragment-sorted construction, byte-identical on any engine."""
+    from rdfa_streaming_parser_js_spark.functions.jsonld import (
+        json_graph_nodes)
+    return json_graph_nodes(_triples(spark, sf_dir))
+
+
 def q_ntriples_roundtrip(spark, sf_dir):
     """N-Triples interchange pair: serialize the extracted graph to
     canonical lines (codegen concat) and parse the lines back with the
@@ -885,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "tfidf_top_terms": q_tfidf_top_terms,
         "ntriples_roundtrip": q_ntriples_roundtrip,
+        "json_graph_nodes": q_json_graph_nodes,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
@@ -1606,6 +1615,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["streaming_extract"] = oracles["rdfa_extract"]
     # serialize → parse must be the identity on the extracted graph
     oracles["ntriples_roundtrip"] = oracles["rdfa_extract"]
+    from rdfa_streaming_parser_js_spark.functions.jsonld import (
+        json_graph_nodes_sql as _json_nodes_sql)
+    oracles["json_graph_nodes"] = _json_nodes_sql(expected_triples_sql())
     oracles["streaming_windowed_counts"] = f"""
         WITH p AS (
           SELECT doc_id, TIMESTAMP '2024-01-01 00:00:00'

@@ -1,0 +1,92 @@
+"""Canonical JSON node serialization of the knowledge graph.
+
+RDFJS consumers exchange graphs as JSON-LD-style node objects; this is
+the sink half for that ecosystem: one JSON document per subject with
+all its edges.  Determinism is the whole design problem — JSON key
+order and float formatting make naive ``to_json`` engine-specific — so
+the document is BUILT, not serialized: each edge becomes a canonical
+fragment string, fragments sort lexicographically (ASCII, stable in
+every engine), and the node is a single concat.  Escaping is a
+two-step plain-replace chain (backslash first, then quote) identical
+in Spark and the DuckDB oracle.
+
+Structure (JSON-LD flavored, minimal):
+
+  {"@id": "<subj>", "edges": [
+      {"p": "<pred>", "o": {"@id": "..."}}                 — IRI/bnode
+      {"p": "<pred>", "o": {"@value": "...",
+                            "@language"/"@type": "..."}}   — literal
+  ]}
+
+Scale shape: one shuffle (groupBy subj, map-side combined collect),
+fragments bounded by per-subject degree — the same hub-skew profile as
+canonicalization, so the same salting applies if a subject is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def json_escape(col: Column) -> Column:
+    """Minimal JSON string escaping (our content is HTML-extracted
+    text: quotes and backslashes are the realistic specials; control
+    characters never survive the tokenizer's text accumulation)."""
+    return F.replace(F.replace(col, F.lit("\\"), F.lit("\\\\")),
+                     F.lit('"'), F.lit('\\"'))
+
+
+def _edge_fragment() -> Column:
+    val = json_escape(F.col("obj_value"))
+    obj = F.when(
+        F.col("obj_kind") != "literal",
+        F.concat(F.lit('{"@id":"'), val, F.lit('"}'))
+    ).otherwise(F.concat(
+        F.lit('{"@value":"'), val, F.lit('"'),
+        F.when(F.col("obj_lang").isNotNull(),
+               F.concat(F.lit(',"@language":"'),
+                        F.col("obj_lang"), F.lit('"')))
+        .when(F.col("obj_datatype").isNotNull(),
+              F.concat(F.lit(',"@type":"'),
+                       json_escape(F.col("obj_datatype")), F.lit('"')))
+        .otherwise(F.lit("")),
+        F.lit("}")))
+    return F.concat(F.lit('{"p":"'), json_escape(F.col("pred")),
+                    F.lit('","o":'), obj, F.lit("}"))
+
+
+def json_graph_nodes(triples: DataFrame) -> DataFrame:
+    """(subj, node_json): one canonical JSON document per subject."""
+    frags = (triples
+             .select("subj", _edge_fragment().alias("frag"))
+             .groupBy("subj")
+             .agg(F.array_sort(F.collect_list("frag")).alias("frags")))
+    return frags.select(
+        "subj",
+        F.concat(F.lit('{"@id":"'), json_escape(F.col("subj")),
+                 F.lit('","edges":['), F.array_join("frags", ","),
+                 F.lit("]}")).alias("node_json"))
+
+
+def json_graph_nodes_sql(triples_cte: str) -> str:
+    """DuckDB mirror over a CTE yielding the triples columns."""
+    esc = (lambda e: f"replace(replace({e}, '\\', '\\\\'), "
+           f"'\"', '\\\"')")
+    obj = f"""CASE WHEN obj_kind <> 'literal'
+        THEN '{{"@id":"' || {esc('obj_value')} || '"}}'
+        ELSE '{{"@value":"' || {esc('obj_value')} || '"' ||
+             CASE WHEN obj_lang IS NOT NULL
+                  THEN ',"@language":"' || obj_lang || '"'
+                  WHEN obj_datatype IS NOT NULL
+                  THEN ',"@type":"' || {esc('obj_datatype')} || '"'
+                  ELSE '' END || '}}' END"""
+    frag = f"""'{{"p":"' || {esc('pred')} || '","o":' || {obj} || '}}'"""
+    return f"""
+        WITH t AS ({triples_cte}),
+        fr AS (SELECT subj, {frag} AS frag FROM t)
+        SELECT subj,
+               '{{"@id":"' || {esc('subj')} || '","edges":[' ||
+               string_agg(frag, ',' ORDER BY frag) || ']}}' AS node_json
+        FROM fr GROUP BY subj
+    """

@@ -366,3 +366,24 @@ def test_ntriples_parse_sql_parity(spark, sf_dir):
     got = [tuple(r) for r in parse_ntriples_lines(lines.select("line"))
            .collect()]
     assert sorted(got) == sorted(want)
+
+
+def test_json_graph_nodes_valid_and_escaped(spark):
+    import json
+    from rdfa_streaming_parser_js_spark.functions.jsonld import (
+        json_graph_nodes)
+    t = spark.createDataFrame(
+        [("s1", "iri", "http://p", 'va"l\\ue', "literal", None, "en"),
+         ("s1", "iri", "http://p2", "http://o", "iri", None, None),
+         ("s2", "iri", "http://p", "x", "literal",
+          "http://dt", None)],
+        "subj string, subj_kind string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string")
+    got = {r.subj: r.node_json for r in json_graph_nodes(t).collect()}
+    d1 = json.loads(got["s1"])  # must be VALID json despite specials
+    assert d1["@id"] == "s1" and len(d1["edges"]) == 2
+    vals = {e["o"].get("@value", e["o"].get("@id"))
+            for e in d1["edges"]}
+    assert 'va"l\\ue' in vals and "http://o" in vals
+    d2 = json.loads(got["s2"])
+    assert d2["edges"][0]["o"]["@type"] == "http://dt"
