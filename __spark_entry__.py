@@ -33,6 +33,7 @@ from rdfa_streaming_parser_js_spark.functions.urls import (
 from rdfa_streaming_parser_js_spark.operators.entity_link import (
     KB_PREFIX, DEFAULT_ENTITY_NAMES, best_entity_per_doc, entity_dictionary)
 from rdfa_streaming_parser_js_spark.operators.graph import (
+    cooccurrence_topk_sql as _cooccurrence_sql,
     pagerank_sql as _pagerank_sql)
 from rdfa_streaming_parser_js_spark.operators.search import (
     bm25_topk_sql as _bm25_topk_sql)
@@ -772,6 +773,14 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_kg_cooccurrence(spark, sf_dir):
+    """Subjects sharing objects (hub-excluded co-occurrence self-join
+    — the quadratic hub blowup is filtered before the join)."""
+    from rdfa_streaming_parser_js_spark.operators.graph import (
+        cooccurrence_topk)
+    return cooccurrence_topk(_kg_edges(spark, sf_dir))
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC ingestion edge: synthesize pages → write WARC shards
     (gzipped, warcinfo-headed) → distributed binaryFile + mapInArrow
@@ -888,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_cooccurrence": q_kg_cooccurrence,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "embedding_kmeans": q_embedding_kmeans,
@@ -1530,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN i ON o.id = i.id
         """,
         "kg_pagerank": _pagerank_sql(_KG_EDGES_CTE),
+        "kg_cooccurrence": _cooccurrence_sql(_KG_EDGES_CTE),
         "warc_roundtrip": f"""
             WITH p AS ({_synthetic_page_sql()})
             SELECT url, warc_date, sha256(html) AS html_sha256 FROM p

@@ -102,6 +102,45 @@ def pagerank(edges: DataFrame, iterations: int = DEFAULT_ITERATIONS,
     return ranks
 
 
+def cooccurrence_topk(edges: DataFrame, k: int = 20,
+                      max_in_degree: int = 100) -> DataFrame:
+    """Top-``k`` subject pairs by number of shared objects — the KG
+    self-join ("entities citing the same things are related").
+
+    Scale discipline: the join explodes quadratically in each object's
+    in-degree, so super-hubs (rdf:type targets, popular vocab IRIs) are
+    EXCLUDED first (``max_in_degree``) — the standard co-occurrence
+    practice; a hub shared by everything carries no signal anyway.
+    After the filter the pair count per object is ≤ C(max_in_degree, 2)
+    — bounded fan-out, no skew.  Ties order by (n desc, src_a, src_b):
+    a total order, so the limit is deterministic."""
+    deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_d"))
+    small = (edges.join(deg.filter(F.col("in_d") <= max_in_degree)
+                        .select("dst"), "dst"))
+    a = small.select(F.col("src").alias("src_a"), "dst")
+    b = small.select(F.col("src").alias("src_b"), "dst")
+    return (a.join(b, (a.dst == b.dst) & (a.src_a < b.src_b))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .orderBy(F.desc("n_shared"), F.asc("src_a"), F.asc("src_b"))
+            .limit(k))
+
+
+def cooccurrence_topk_sql(edges_cte: str, k: int = 20,
+                          max_in_degree: int = 100) -> str:
+    """DuckDB mirror of :func:`cooccurrence_topk`."""
+    return f"""
+        WITH e AS ({edges_cte}),
+        deg AS (SELECT dst FROM e GROUP BY dst
+                HAVING count(*) <= {max_in_degree}),
+        s AS (SELECT e.src, e.dst FROM e JOIN deg ON e.dst = deg.dst)
+        SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        FROM s a JOIN s b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY a.src, b.src
+        ORDER BY n_shared DESC, src_a ASC, src_b ASC LIMIT {k}
+    """
+
+
 def pagerank_sql(edges_cte: str, iterations: int = DEFAULT_ITERATIONS,
                  scale: int = PAGERANK_SCALE) -> str:
     """DuckDB oracle: the same integer power iteration as an unrolled
