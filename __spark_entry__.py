@@ -773,6 +773,17 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_kg_stats_cube(spark, sf_dir):
+    """Graph profile cube: triple counts and distinct subjects by
+    (pred × obj_kind) with subtotals and a grand total — the standard
+    KG health dashboard aggregate (CUBE = 4 grouping sets in one
+    pass; count_distinct forces the expand, all map-side combinable)."""
+    t = _triples(spark, sf_dir)
+    return (t.cube("pred", "obj_kind")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.count_distinct("subj").alias("n_subjects")))
+
+
 def q_kg_cooccurrence(spark, sf_dir):
     """Subjects sharing objects (hub-excluded co-occurrence self-join
     — the quadratic hub blowup is filtered before the join)."""
@@ -898,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_stats_cube": q_kg_stats_cube,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "embedding_kmeans": q_embedding_kmeans,
@@ -1541,6 +1553,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_sql(_KG_EDGES_CTE),
         "kg_cooccurrence": _cooccurrence_sql(_KG_EDGES_CTE),
+        "kg_stats_cube": f"""
+            WITH t AS ({expected_triples_sql()})
+            SELECT pred, obj_kind, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subjects
+            FROM t GROUP BY CUBE (pred, obj_kind)
+        """,
         "warc_roundtrip": f"""
             WITH p AS ({_synthetic_page_sql()})
             SELECT url, warc_date, sha256(html) AS html_sha256 FROM p
