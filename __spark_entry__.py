@@ -15,6 +15,8 @@ bit-for-bit, so the oracle rebuilds the full signature pipelines in SQL.
 
 from __future__ import annotations
 
+import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -617,12 +619,18 @@ def _staged_pages_dir(spark, sf_dir, workdir, n_files=6,
         pages.repartition(n_files).write.mode("overwrite").parquet(
             pages_dir)
         return pages_dir
-    n_rows = pages.count()
-    chunk = (n_rows + n_files - 1) // n_files
-    for i in range(n_files):
-        (pages.filter((F.col("page_id") >= i * chunk)
-                      & (F.col("page_id") < (i + 1) * chunk))
-         .coalesce(1).write.mode("append").parquet(pages_dir))
+    # One pass: range-partition by page_id (page_id increases with
+    # warc_ts in the synthetic corpus) so each output file holds one
+    # contiguous event-time range, then bump mtimes so the file source
+    # lists them oldest-first.  (Replaces N filtered full scans.)
+    (pages.repartitionByRange(n_files, "page_id")
+     .sortWithinPartitions("page_id")
+     .write.mode("overwrite").parquet(pages_dir))
+    parts = sorted(
+        (f for f in os.listdir(pages_dir) if f.endswith(".parquet")))
+    now = time.time()
+    for i, name in enumerate(parts):
+        os.utime(f"{pages_dir}/{name}", (now + i, now + i))
     return pages_dir
 
 
@@ -700,6 +708,12 @@ def q_corpus_curation(spark, sf_dir):
     uniq = exact_duplicates(filtered).filter(~F.col("is_duplicate"))
     kept = filtered.join(uniq.select(F.col("id").alias("doc_id")),
                          "doc_id")
+    # Eager cut at the kept boundary: the PPJoin below and the
+    # iterative connected-components after it fire several actions, and
+    # without this each one re-derives the filter + exact-dedup lineage
+    # from the raw documents scan.  (At cluster scale this is a
+    # persisted staging table between pipeline phases.)
+    kept = kept.localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(kept, threshold=JACCARD_THRESHOLD)
     noncanon = (dedup_clusters(pairs).filter(~F.col("is_canonical"))
                 .select(F.col("id").alias("doc_id")))
@@ -812,6 +826,29 @@ def q_warc_roundtrip(spark, sf_dir):
         F.sha2("html", 256).alias("html_sha256"))
 
 
+def q_warc_to_graph(spark, sf_dir):
+    """The full Common-Crawl entry path as ONE query: WARC shards →
+    distributed binaryFile scan + record framing → mapInArrow RDFa
+    extraction → canonicalized deduplicated graph.  Hash-gated against
+    the same oracle as ``rdfa_graph_canonical``: the WARC leg must be
+    triple-for-triple invisible (lang arrives via @lang in the markup,
+    so extraction needs no sidecar language column)."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        canonicalize_triples)
+    from rdfa_streaming_parser_js_spark.sources.warc import (
+        read_warc_pages, write_warc_shards)
+    tmp = tempfile.mkdtemp(prefix="warc_kg_")
+    write_warc_shards(pages_from_documents(spark, sf_dir), tmp,
+                      shard_size=200, compress=True)
+    pages = read_warc_pages(spark, tmp)
+    triples = extract_triples(pages, lang_col=None)
+    return (canonicalize_triples(triples)
+            .select("subj", "pred", "obj_value", "obj_kind",
+                    "obj_datatype", "obj_lang", "first_url", "n_pages"))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         simhash_near_pairs)
@@ -854,57 +891,17 @@ def q_multimodal_binary_meta(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver gates the first 50 dict
+    positions, so the surface is pruned to fit the gate window entirely
+    (nothing registered here ever ships without a driver CORRECTNESS
+    row).  Ordering: queries never driver-verified before this round
+    (plus this round's fixes/additions) first, then the long-green
+    core.  Operators folded out of the window live in
+    ``extra_queries()`` — still oracle-gated locally
+    (tools/check_oracles.py) and by pytest."""
     return {
-        "rdfa_extract": q_rdfa_extract,
-        "rdfa_extract_rich": q_rdfa_extract_rich,
-        "rdfa_ntriples": q_rdfa_ntriples,
-        "rdfa_extract_xmlcopy": q_rdfa_extract_xmlcopy,
-        "rdfa_extract_role_time": q_rdfa_extract_role_time,
-        "rdfa_page_stats": q_rdfa_page_stats,
-        "rdfa_text_invariant": q_rdfa_text_invariant,
-        "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
-        "rdfa_lang_distribution": q_rdfa_lang_distribution,
-        "rdfa_graph_canonical": q_rdfa_graph_canonical,
-        "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
-        "hub_subjects_topk": q_hub_subjects_topk,
-        "salted_object_counts": q_salted_object_counts,
-        "graph_source_lang_matrix": q_graph_source_lang_matrix,
-        "entity_link_top1": q_entity_link_top1,
-        "entity_link_scored": q_entity_link_scored,
-        "agg_events_by_type": q_agg_events_by_type,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "window_latest_event_per_user": q_window_latest_event_per_user,
-        "topk_parts_by_quantity": q_topk_parts_by_quantity,
-        "customers_without_orders": q_customers_without_orders,
-        "distinct_order_priorities": q_distinct_order_priorities,
-        "filter_revenue": q_filter_revenue,
-        "agg_lineitem_pricing": q_agg_lineitem_pricing,
-        "string_date_functions": q_string_date_functions,
-        "windowed_event_counts": q_windowed_event_counts,
-        "setop_sources_both": q_setop_sources_both,
-        "setop_sources_en_only": q_setop_sources_en_only,
+        # -- never driver-verified before round 3, + this round's work --
         "sessionize_events": q_sessionize_events,
-        "rollup_orders": q_rollup_orders,
-        "percentiles_by_event_type": q_percentiles_by_event_type,
-        "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
-        "approx_stats": q_approx_stats,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
@@ -912,18 +909,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stats_cube": q_kg_stats_cube,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_ingest_lineage": q_warc_ingest_lineage,
+        "warc_to_graph": q_warc_to_graph,
         "embedding_kmeans": q_embedding_kmeans,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_topk": q_bm25_topk,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "json_graph_nodes": q_json_graph_nodes,
-        "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
         "streaming_windowed_counts": q_streaming_windowed_counts,
-        "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        # -- extraction kernel + KG core ------------------------------
+        "rdfa_extract": q_rdfa_extract,
+        "rdfa_extract_rich": q_rdfa_extract_rich,
+        "rdfa_ntriples": q_rdfa_ntriples,
+        "rdfa_extract_xmlcopy": q_rdfa_extract_xmlcopy,
+        "rdfa_extract_role_time": q_rdfa_extract_role_time,
+        "rdfa_page_stats": q_rdfa_page_stats,
+        "rdfa_text_invariant": q_rdfa_text_invariant,
+        "rdfa_graph_canonical": q_rdfa_graph_canonical,
+        "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
+        "salted_object_counts": q_salted_object_counts,
+        "entity_link_top1": q_entity_link_top1,
+        # -- relational core ------------------------------------------
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "customers_without_orders": q_customers_without_orders,
+        "filter_revenue": q_filter_revenue,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "setop_sources_both": q_setop_sources_both,
+        "percentiles_by_event_type": q_percentiles_by_event_type,
+        "deterministic_sample": q_deterministic_sample,
+        # -- training-data pipeline -----------------------------------
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_repetition": q_text_repetition,
+        "text_fingerprint": q_text_fingerprint,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operators retired from the driver's 50-entry gate window to make
+    room (each was driver-green in round 1 and/or 2 — see
+    CORRECTNESS_r01/r02.json — and each remains covered by the same
+    DuckDB oracle via tools/check_oracles.py plus pytest).  Retired
+    keys and their surviving in-window evidence are tabled in
+    SURVEY.md §2.4."""
+    return {
+        "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
+        "rdfa_lang_distribution": q_rdfa_lang_distribution,
+        "hub_subjects_topk": q_hub_subjects_topk,
+        "graph_source_lang_matrix": q_graph_source_lang_matrix,
+        "entity_link_scored": q_entity_link_scored,
+        "agg_events_by_type": q_agg_events_by_type,
+        "window_latest_event_per_user": q_window_latest_event_per_user,
+        "topk_parts_by_quantity": q_topk_parts_by_quantity,
+        "distinct_order_priorities": q_distinct_order_priorities,
+        "string_date_functions": q_string_date_functions,
+        "windowed_event_counts": q_windowed_event_counts,
+        "setop_sources_en_only": q_setop_sources_en_only,
+        "rollup_orders": q_rollup_orders,
+        "stratified_sample": q_stratified_sample,
+        "approx_stats": q_approx_stats,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "text_token_count": q_text_token_count,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
     }
 
 
@@ -1144,6 +1205,15 @@ def oracle_sql() -> dict[str, str]:
             FROM exp
             GROUP BY subj, pred, obj_value, obj_kind, obj_datatype, obj_lang
         """,
+        # The WARC leg must be triple-invisible, so warc_to_graph shares
+        # the canonical-graph oracle verbatim.
+        "warc_to_graph": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT subj, pred, obj_value, obj_kind, obj_datatype, obj_lang,
+                   min(url) AS first_url, count(*) AS n_pages
+            FROM exp
+            GROUP BY subj, pred, obj_value, obj_kind, obj_datatype, obj_lang
+        """,
         "rdfa_pr_vs_expected": f"""
             WITH exp AS ({expected_triples_sql()})
             SELECT count(*) AS n_expected, count(*) AS n_got,
@@ -1302,8 +1372,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
-                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3)
-                        AS DOUBLE) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 1000, 0)
+                        AS BIGINT) AS sum_value_milli
             FROM s GROUP BY user_id, session_seq
         """,
         "rollup_orders": """

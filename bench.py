@@ -53,7 +53,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     ranges: dict[str, list[float]] = {}
-    qs = entrymod.queries()
+    loads: dict[str, float] = {}
+    load_start = round(os.getloadavg()[0], 1)
+    # retired-from-gate-window queries stay benchable (continuity with
+    # BENCH_r01/r02 per-query medians)
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
 
     # --- flagship: extraction throughput over amplified corpus ----------
     # Measure warm steady-state throughput: a 100 TB job runs for hours,
@@ -117,7 +121,7 @@ def main() -> None:
         "embedding_cosine_topk", "embedding_near_dup",
         "text_quality", "text_fingerprint", "multimodal_decode_meta",
         "text_repetition", "url_canonical_dedup",
-        "kg_degrees", "kg_pagerank", "warc_roundtrip",
+        "kg_degrees", "kg_pagerank", "warc_roundtrip", "warc_to_graph",
         "bm25_topk", "dedup_clusters_star", "corpus_curation",
         "embedding_kmeans",
     ]
@@ -125,7 +129,9 @@ def main() -> None:
         release_persisted)
     for name in bench_queries:
         trials = []
+        qloads = []
         for _ in range(TRIALS):
+            qloads.append(os.getloadavg()[0])
             t0 = time.time()
             force(qs[name](spark, sf_dir))
             trials.append(time.time() - t0)
@@ -135,28 +141,39 @@ def main() -> None:
             release_persisted()
         timings[name] = round(statistics.median(trials), 3)
         ranges[name] = [round(min(trials), 3), round(max(trials), 3)]
+        loads[name] = round(statistics.median(qloads), 1)
 
     total = round(sum(timings.values()), 3)
+    # Per-trial [min, max] ranges and per-query loadavg go to a SIDE
+    # file: round 2's summary JSON (ranges inline) outgrew the driver's
+    # stdout tail-capture window and BENCH_r02.json came back
+    # parsed:null.  The final printed line stays compact — medians,
+    # headline throughput, loadavg — and must remain the LAST line.
+    side = {"query_ranges": ranges, "query_loadavg": loads,
+            "trials_per_query": TRIALS}
+    side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_RANGES.json")
+    try:
+        with open(side_path, "w") as f:
+            json.dump(side, f, indent=1, sort_keys=True)
+    except OSError:
+        side_path = "(unwritable)"
     out = {
         "metric": "headline suite wall time (flagship: RDFa extraction "
                   "triples/sec over synthetic Common-Crawl-style pages)",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "query_ranges": ranges,
-        "trials_per_query": TRIALS,
         "sf": sf_dir,
         "n_pages": n_pages,
         "n_triples": n_triples,
         "pages_per_sec": round(n_pages / extract_sec, 1),
         "triples_per_sec": round(n_triples / extract_sec, 1),
         "parallelism": cpus,
-        # scaling efficiency is NOT measured here (needs one JVM per
-        # parallelism level): run tools/scaling_bench.py; table in BENCH.md
+        "loadavg": [load_start, round(os.getloadavg()[0], 1)],
         "scaling_evidence": "tools/scaling_bench.py (see BENCH.md)",
-        "note": f"median-of-{TRIALS} per query (query_ranges = "
-                "[min, max]); sandbox shows noisy-neighbor variance "
-                "up to ~4x on shuffle-heavy queries",
+        "note": f"median-of-{TRIALS}; ranges+per-query loadavg in "
+                "BENCH_RANGES.json",
     }
     spark.stop()
     print(json.dumps(out))

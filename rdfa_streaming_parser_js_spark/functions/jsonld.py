@@ -7,8 +7,8 @@ order and float formatting make naive ``to_json`` engine-specific — so
 the document is BUILT, not serialized: each edge becomes a canonical
 fragment string, fragments sort lexicographically (ASCII, stable in
 every engine), and the node is a single concat.  Escaping is a
-two-step plain-replace chain (backslash first, then quote) identical
-in Spark and the DuckDB oracle.
+plain-replace chain (backslash first, then quote, then LF/CR/TAB)
+identical in Spark and the DuckDB oracle.
 
 Structure (JSON-LD flavored, minimal):
 
@@ -30,11 +30,16 @@ from pyspark.sql import functions as F
 
 
 def json_escape(col: Column) -> Column:
-    """Minimal JSON string escaping (our content is HTML-extracted
-    text: quotes and backslashes are the realistic specials; control
-    characters never survive the tokenizer's text accumulation)."""
-    return F.replace(F.replace(col, F.lit("\\"), F.lit("\\\\")),
-                     F.lit('"'), F.lit('\\"'))
+    """JSON string escaping for HTML-extracted text: backslash first
+    (so later escapes aren't double-escaped), then quote, then the
+    control characters that DO survive text accumulation — newlines,
+    carriage returns and tabs appear verbatim in extracted literals
+    (the N-Triples serializer escapes exactly the same set)."""
+    out = F.replace(F.replace(col, F.lit("\\"), F.lit("\\\\")),
+                    F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
 
 
 def _edge_fragment() -> Column:
@@ -71,8 +76,10 @@ def json_graph_nodes(triples: DataFrame) -> DataFrame:
 
 def json_graph_nodes_sql(triples_cte: str) -> str:
     """DuckDB mirror over a CTE yielding the triples columns."""
-    esc = (lambda e: f"replace(replace({e}, '\\', '\\\\'), "
-           f"'\"', '\\\"')")
+    esc = (lambda e: f"replace(replace(replace(replace(replace("
+           f"{e}, '\\', '\\\\'), "
+           f"'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), "
+           f"chr(9), '\\t')")
     obj = f"""CASE WHEN obj_kind <> 'literal'
         THEN '{{"@id":"' || {esc('obj_value')} || '"}}'
         ELSE '{{"@value":"' || {esc('obj_value')} || '"' ||

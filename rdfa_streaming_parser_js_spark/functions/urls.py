@@ -80,8 +80,11 @@ def canonical_url(url: Column) -> Column:
 
 def canonical_url_sql(expr: str) -> str:
     """DuckDB mirror of :func:`canonical_url` over SQL ``expr``."""
+    # starts_with, not LIKE: SQL '_' is a single-char wildcard, so
+    # LIKE 'utm_%' would also match 'utma=...' — Spark's startswith
+    # is literal, and the oracle must classify identically.
     track = " OR ".join(
-        f"p LIKE '{t}%'" if t.endswith("_")
+        f"starts_with(p, '{t}')" if t.endswith("_")
         else f"(p = '{t}' OR p LIKE '{t}=%')"
         for t in TRACKING_PARAMS)
     # DuckDB regexp_extract(expr, re, group)

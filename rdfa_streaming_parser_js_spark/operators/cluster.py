@@ -56,7 +56,13 @@ def kmeans_assignments(emb: DataFrame, k: int = DEFAULT_K,
                        iterations: int = DEFAULT_KMEANS_ITERATIONS,
                        scale: int = KMEANS_SCALE) -> DataFrame:
     """(vec_id, cluster) after ``iterations`` rounds of integer Lloyd
-    steps; cluster ids are the seed vectors' vec_ids (0..k-1)."""
+    steps; cluster ids are the seed vectors' vec_ids (0..k-1).  The
+    final round is assignment-only (no centroid update), so
+    ``iterations=1`` means "assign against the seeds"."""
+    if iterations < 1:
+        raise ValueError(
+            f"kmeans iterations must be >= 1, got {iterations} "
+            f"(the final round is the assignment pass)")
     vecs = int_vectors(emb, scale).localCheckpoint(eager=True)
     seed = {r.vec_id: list(r.v)
             for r in vecs.filter(F.col("vec_id") < k).collect()}

@@ -45,10 +45,15 @@ def session_stats(events: DataFrame, gap_minutes: int = 30,
     # Decimal sum, not double: partial-aggregation order is
     # nondeterministic across partitions, and a double sum's last bits
     # can cross a rounding boundary run-to-run.  decimal(18,6) is exact
-    # and associative, so the rounded result is bit-stable anywhere.
+    # and associative.  The sum is then emitted as an exact integer
+    # (milli-units) rather than a double: different engines format the
+    # same double value differently at the byte level, so keeping a
+    # float out of the output column makes the result
+    # serialization-proof, not merely value-equal.
     return (s.groupBy(user_col, "session_seq")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.unix_timestamp(F.min(ts_col)).alias("start_epoch"),
                  F.unix_timestamp(F.max(ts_col)).alias("end_epoch"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
-                 .cast("double").alias("sum_value")))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         * 1000, 0)
+                 .cast("bigint").alias("sum_value_milli")))

@@ -318,7 +318,12 @@ class WarcIngestion:
                 break
             chunk = remaining[i:i + shards_per_commit]
             t0 = time.time()
-            pages = read_warc_pages(spark, chunk, with_shard=True)
+            # Cache pages for the chunk: page_counts and the triples
+            # materialization below would otherwise each re-read and
+            # re-parse every WARC shard (decompress + record framing
+            # twice per commit).  Chunk-sized, released before the next
+            # chunk.
+            pages = read_warc_pages(spark, chunk, with_shard=True).cache()
             triples = extract_triples(pages, lang_col=None,
                                       passthrough=("shard",)).cache()
             page_counts = {r.shard: r.n_pages for r in
@@ -335,6 +340,7 @@ class WarcIngestion:
              .partitionBy("shard")
              .parquet(self.triples_dir))
             triples.unpersist()
+            pages.unpersist()
             # ... manifest last: the commit point
             wall = time.time() - t0
             names = [os.path.basename(p) for p in chunk]

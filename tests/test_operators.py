@@ -280,6 +280,9 @@ def test_sessionize_single_shuffle_and_gap_semantics(spark):
          session_stats(ev, gap_minutes=30).collect()}
     assert s[(1, 1)].n_events == 2 and s[(1, 2)].n_events == 1
     assert s[(2, 1)].n_events == 1
+    # value sums leave the byte stream as exact integers (milli-units)
+    assert s[(1, 1)].sum_value_milli == 3000
+    assert s[(2, 1)].sum_value_milli == 4000
     # both windows + the rollup share ONE hash partitioning on user_id
     assert count_exchanges(sessionize(ev)) == 1
 
@@ -375,15 +378,19 @@ def test_json_graph_nodes_valid_and_escaped(spark):
     t = spark.createDataFrame(
         [("s1", "iri", "http://p", 'va"l\\ue', "literal", None, "en"),
          ("s1", "iri", "http://p2", "http://o", "iri", None, None),
+         ("s1", "iri", "http://p3", "line1\nline2\r\ttab", "literal",
+          None, None),
          ("s2", "iri", "http://p", "x", "literal",
           "http://dt", None)],
         "subj string, subj_kind string, pred string, obj_value string, "
         "obj_kind string, obj_datatype string, obj_lang string")
     got = {r.subj: r.node_json for r in json_graph_nodes(t).collect()}
     d1 = json.loads(got["s1"])  # must be VALID json despite specials
-    assert d1["@id"] == "s1" and len(d1["edges"]) == 2
+    assert d1["@id"] == "s1" and len(d1["edges"]) == 3
     vals = {e["o"].get("@value", e["o"].get("@id"))
             for e in d1["edges"]}
     assert 'va"l\\ue' in vals and "http://o" in vals
+    # control characters in extracted text must round-trip through JSON
+    assert "line1\nline2\r\ttab" in vals
     d2 = json.loads(got["s2"])
     assert d2["edges"][0]["o"]["@type"] == "http://dt"

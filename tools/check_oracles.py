@@ -51,7 +51,10 @@ def main() -> int:
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
+    # extra_queries = operators retired from the driver's 50-entry gate
+    # window; they keep their oracles and are checked here identically.
+    qs = {**entrymod.queries(),
+          **getattr(entrymod, "extra_queries", dict)()}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
