@@ -176,6 +176,44 @@ def test_salted_counts_match_plain_groupby(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_groupby_splits_synthetic_hub(spark):
+    """Skew guard at amplified skew: one object owns 50% of all triples;
+    the salted aggregation must (a) keep the classic two-exchange
+    salt-and-merge plan and (b) genuinely spread the hub across the
+    salt buckets so no single partial group re-creates the hot key."""
+    import pyspark.sql.functions as F
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        salted_object_counts)
+    from rdfa_streaming_parser_js_spark.plans.explain import (
+        count_exchanges, plan_string)
+    n_hub = 400
+    rows = ([(f"http://e.org/s/{i}", "http://e.org/p", "http://e.org/HUB")
+             for i in range(n_hub)]
+            + [(f"http://e.org/s/{i}", "http://e.org/p",
+                f"http://e.org/o/{i % 80}") for i in range(n_hub)])
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string")
+    hot = spark.createDataFrame([("http://e.org/HUB",)], "subj string")
+    out = salted_object_counts(t, hot, salt_buckets=16)
+    # exactly two aggregation exchanges: partial on (obj_value, salt),
+    # merge on obj_value (the hot-list join itself broadcasts).
+    # Asserted BEFORE executing: after a collect, AQE's explain prints
+    # Final + Initial plans and every exchange would count twice.
+    assert count_exchanges(out) == 2
+    assert "salt" in plan_string(out)
+    got = {r.obj_value: r.n_triples for r in out.collect()}
+    assert got["http://e.org/HUB"] == n_hub
+    # the hub's 400 distinct subjects land in nearly all 16 salt buckets
+    # and no partial group holds more than 3x the fair share —
+    # deterministic (xxhash64), so this cannot flake
+    per_salt = (t.filter(F.col("obj_value") == "http://e.org/HUB")
+                .groupBy(F.pmod(F.xxhash64("subj"), F.lit(16))
+                         .alias("salt"))
+                .count().collect())
+    assert len(per_salt) >= 12
+    assert max(r["count"] for r in per_salt) <= 3 * n_hub / 16
+
+
 # -- regression tests from code review ------------------------------------
 
 def test_ppjoin_high_threshold_exact(spark):
