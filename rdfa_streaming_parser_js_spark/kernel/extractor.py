@@ -34,6 +34,23 @@ _RDF_REST = NamedNode(RDF + "rest")
 _RDF_NIL = NamedNode(RDF + "nil")
 _RDFA_USES_VOCABULARY = NamedNode(RDFA + "usesVocabulary")
 
+# Attributes that make a tag RDFa-relevant: if none of these (and no
+# xmlns*) appear, steps 2-13 collapse to pure context inheritance plus
+# the skip-element rule, and ``on_tag_open`` takes a fast path.  Most
+# real-web markup (div/span/p/a-without-RDFa soup) lands there.
+_RDFA_ATTRS = frozenset((
+    "about", "resource", "href", "src", "typeof", "property", "rel",
+    "rev", "content", "datatype", "datetime", "inlist", "vocab",
+    "prefix", "role", "lang", "xml:lang", "xml:base"))
+# Tags with name-triggered behavior (base-IRI override, time datatype
+# sniffing, head/body subject inheritance) that must take the full path
+# even with no attributes.
+_NAME_TRIGGERED_TAGS = frozenset(("base", "time", "head", "body"))
+# Differential-test switch (tests/test_fast_driver.py): the fast path
+# must be behaviorally invisible; parity is asserted by running the
+# fixture + fuzz corpora with this flag off and on.
+FAST_TAG_PATH = True
+
 
 class RdfaError(Exception):
     """Raised for states where the reference would emit a stream error."""
@@ -120,6 +137,41 @@ class RdfaExtractor:
         tag.list_mapping_local = parent.list_mapping
         tag.local_base_iri = parent.local_base_iri
         stack.append(tag)
+
+        # Fast path: no RDFa-relevant attributes, no name-triggered
+        # behavior, not the root element, not inside an XMLLiteral or an
+        # rdfa:Pattern collection.  Steps 2-4 reduce to inheritance;
+        # steps 5-13 reduce to the 5.2 no-attribute arm: inherit the
+        # parent object as subject and mark the element skipped
+        # (RdfaParser.ts:412-419), or — with no parent object — keep the
+        # parent subject and pass incomplete triples through.  Exactly
+        # equivalent to the full path below (differential-tested with
+        # FAST_TAG_PATH off/on over the fixture and fuzz corpora).
+        if (FAST_TAG_PATH and not tag.collect_child_tags
+                and len(stack) != 2
+                and name not in _NAME_TRIGGERED_TAGS
+                and (not self._copy_rdfa_patterns
+                     or parent.collected_pattern_tag is None)
+                and _RDFA_ATTRS.isdisjoint(attributes)):
+            for a in attributes:
+                if a.startswith("xmlns"):
+                    break
+            else:
+                tag.vocab = parent.vocab
+                tag.prefixes_custom = parent.prefixes_custom
+                tag.prefixes_all = parent.prefixes_all
+                tag.language = parent.language
+                parent_object = parent.object
+                if parent_object:
+                    tag.skip_element = True
+                    tag.subject = parent_object
+                    tag.object = parent_object
+                else:
+                    tag.subject = parent.subject
+                if parent.incomplete_triples:
+                    tag.incomplete_triples = (tag.incomplete_triples
+                                              + parent.incomplete_triples)
+                return
 
         # XMLLiteral/HTML collection: serialize the open tag, re-declaring
         # inherited custom prefixes alphabetically (RdfaParser.ts:123-139).

@@ -40,12 +40,19 @@ _ASCII_LETTERS = frozenset(
 # Start-tag parse cache: parsing a raw ``<tag ...>`` slice is a pure
 # function of the slice, and crawl corpora are heavily templated — the
 # same tag source recurs across millions of pages.  Keyed on the exact
-# raw text; value is (tag, attrs-as-tuple, kind) where kind 0 = junk
-# (emit raw as data), 1 = self-closing, 2 = start tag.  Bounded: reset
-# when full (adversarial corpora with unbounded distinct tags must not
-# grow worker memory).
+# raw text; value is (tag, attrs-as-dict, kind) where kind 0 = junk
+# (emit raw as data), 1 = self-closing, 2 = start tag.  The dict is
+# prebuilt with ``_open``'s first-duplicate-wins + None→"" rules so the
+# sink path is a single C-level ``dict.copy`` per event instead of a
+# Python attr loop.  Bounded: reset when full (adversarial corpora with
+# unbounded distinct tags must not grow worker memory).
 _TAG_CACHE: dict = {}
 _TAG_CACHE_MAX = 1 << 16
+
+# End-tag parse cache: raw ``</...>`` slice → tag name to close (None =
+# bogus end tag with no salvageable name; dropped).  Same templated-
+# corpus rationale as _TAG_CACHE.
+_END_CACHE: dict = {}
 
 
 def _unescape(text: str) -> str:
@@ -115,22 +122,30 @@ class FastHtmlSaxDriver(HtmlSaxDriver):
             i = lt
             nxt = s[i + 1] if i + 1 < n else ""
             if nxt == "/":
-                m = _hp.endtagfind.match(s, i)  # </tag >
-                if m:
-                    self.handle_endtag(m.group(1).lower())
-                    i = m.end()
-                    continue
                 gt = s.find(">", i)
                 if gt < 0:
+                    # endtagfind / the bogus-tag salvage both need a '>'
                     if not final:
                         return s[i:]
                     i = self._salvage(s, i)
                     continue
-                # bogus end tag: html.parser salvages the tag name if the
-                # contents start like one, else drops it (bogus comment)
-                m2 = _hp.tagfind_tolerant.match(s, i + 2)
-                if m2:
-                    self.handle_endtag(m2.group(1).lower())
+                raw = s[i:gt + 1]
+                if raw in _END_CACHE:
+                    closes = _END_CACHE[raw]
+                else:
+                    m = _hp.endtagfind.match(raw)  # </tag >
+                    if m:
+                        closes = m.group(1).lower()
+                    else:
+                        # bogus end tag: html.parser salvages the tag name
+                        # if the contents start like one, else drops it
+                        m2 = _hp.tagfind_tolerant.match(raw, 2)
+                        closes = m2.group(1).lower() if m2 else None
+                    if len(_END_CACHE) >= _TAG_CACHE_MAX:
+                        _END_CACHE.clear()
+                    _END_CACHE[raw] = closes
+                if closes is not None:
+                    self.handle_endtag(closes)
                 i = gt + 1
                 continue
             if nxt == "!":
@@ -214,7 +229,7 @@ class FastHtmlSaxDriver(HtmlSaxDriver):
             if cached is None:
                 mt = _hp.tagfind_tolerant.match(s, i + 1)
                 tag = mt.group(1).lower()
-                attrs = []
+                attrs: dict = {}
                 k = mt.end()
                 while k < endpos:
                     am = _hp.attrfind_tolerant.match(s, k)
@@ -228,7 +243,9 @@ class FastHtmlSaxDriver(HtmlSaxDriver):
                         value = value[1:-1]
                     if value:
                         value = _unescape(value)
-                    attrs.append((name.lower(), value))
+                    name = name.lower()
+                    if name not in attrs:  # first duplicate wins
+                        attrs[name] = value if value is not None else ""
                     k = am.end()
 
                 endtext = s[k:endpos].strip()
@@ -236,7 +253,7 @@ class FastHtmlSaxDriver(HtmlSaxDriver):
                         else 1 if endtext == "/>" else 2)
                 if len(_TAG_CACHE) >= _TAG_CACHE_MAX:
                     _TAG_CACHE.clear()
-                _TAG_CACHE[raw] = (tag, tuple(attrs), kind)
+                _TAG_CACHE[raw] = (tag, attrs, kind)
             else:
                 tag, attrs, kind = cached
 

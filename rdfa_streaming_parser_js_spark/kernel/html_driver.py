@@ -86,10 +86,16 @@ class HtmlSaxDriver(HTMLParser):
         self._open(tag, attrs, self_closing=True)
 
     def _open(self, tag: str, attrs, self_closing: bool) -> None:
-        attributes: dict[str, str] = {}
-        for key, value in attrs:
-            if key not in attributes:  # first duplicate wins (htmlparser2)
-                attributes[key] = value if value is not None else ""
+        if type(attrs) is dict:
+            # FastHtmlSaxDriver hands over a prebuilt (cached) attr dict;
+            # copy because the extractor mutates it (rel/rev drops,
+            # xmlns re-declaration during XMLLiteral collection)
+            attributes: dict[str, str] = attrs.copy()
+        else:
+            attributes = {}
+            for key, value in attrs:
+                if key not in attributes:  # first duplicate wins (htmlparser2)
+                    attributes[key] = value if value is not None else ""
 
         if self._foreign_depth == 0:
             closers = OPEN_IMPLIES_CLOSE.get(tag)

@@ -184,3 +184,59 @@ def test_cdata_fuzz_parity_2000():
         slow = _run(HtmlSaxDriver, doc, opts)
         fast = _run(FastHtmlSaxDriver, doc, opts)
         assert fast == slow, f"trial {trial}: {doc!r}"
+
+
+# --------------------------------------------------------------------------
+# Extractor fast-path parity: the no-RDFa-attributes shortcut in
+# on_tag_open (kernel/extractor.py FAST_TAG_PATH) must be behaviorally
+# invisible.  Unlike the driver differentials above — where both drivers
+# share the extractor — this compares the SAME driver with the shortcut
+# disabled vs enabled, so a semantic divergence in the shortcut itself
+# cannot cancel out.
+# --------------------------------------------------------------------------
+
+@pytest.fixture
+def _slow_tag_path(monkeypatch):
+    from rdfa_streaming_parser_js_spark.kernel import extractor as ex_mod
+    monkeypatch.setattr(ex_mod, "FAST_TAG_PATH", False)
+
+
+def test_fast_tag_path_fixture_parity(monkeypatch):
+    from rdfa_streaming_parser_js_spark.kernel import extractor as ex_mod
+    for case in HTML_CASES:
+        fast = _run(FastHtmlSaxDriver, case["html"], case["options"])
+        monkeypatch.setattr(ex_mod, "FAST_TAG_PATH", False)
+        slow = _run(FastHtmlSaxDriver, case["html"], case["options"])
+        monkeypatch.setattr(ex_mod, "FAST_TAG_PATH", True)
+        assert fast == slow, case["name"]
+
+
+def test_fast_tag_path_fuzz_parity(monkeypatch):
+    from rdfa_streaming_parser_js_spark.kernel import extractor as ex_mod
+    rng = random.Random(20260819)
+    opts = {"base_iri": "http://example.org/d/p"}
+    for trial in range(3000):
+        doc = _soup(rng)
+        fast = _run(FastHtmlSaxDriver, doc, opts)
+        monkeypatch.setattr(ex_mod, "FAST_TAG_PATH", False)
+        slow = _run(FastHtmlSaxDriver, doc, opts)
+        monkeypatch.setattr(ex_mod, "FAST_TAG_PATH", True)
+        assert fast == slow, f"trial {trial}: {doc!r}"
+
+
+def test_fast_tag_path_plain_markup_parity(monkeypatch):
+    """Attribute-less soup — the markup shape the fast path exists for:
+    every non-root tag with only class/id/data-* attributes takes it."""
+    from rdfa_streaming_parser_js_spark.kernel import extractor as ex_mod
+    doc = ("<html prefix='ex: http://e.org/'><body vocab='http://v.org/'>"
+           "<div class='a'><p id='x'>one <b>two</b></p>"
+           "<span data-k='v'>three</span>"
+           "<div about='ex:s' rel='ex:r'><ul><li><a href='x'>L</a></li>"
+           "</ul></div>"
+           "<div property='ex:p'>nested <i>text</i> here</div>"
+           "</div></body></html>")
+    fast = _run(FastHtmlSaxDriver, doc, {"base_iri": "http://example.org/"})
+    monkeypatch.setattr(ex_mod, "FAST_TAG_PATH", False)
+    slow = _run(FastHtmlSaxDriver, doc, {"base_iri": "http://example.org/"})
+    assert fast == slow
+    assert fast[0]  # sanity: the document does yield triples
