@@ -890,6 +890,43 @@ def q_multimodal_binary_meta(spark, sf_dir):
         F.sha2(payload, 256).alias("payload_sha256"))
 
 
+_TRIPLE_KEY_COLS = ["url", "subj", "subj_kind", "pred", "obj_value",
+                    "obj_kind", "obj_datatype", "obj_lang"]
+
+# Deterministic recrawl simulation over the synthetic corpus: the "new"
+# snapshot drops every 5th page (vanished urls) and re-detects language
+# on every 3rd page (upper-cased inLanguage literal) — exercising all
+# three delta states without external data.
+def _doc_id_from_url():
+    return F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+
+
+def q_kg_snapshot_delta(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.incremental import (
+        snapshot_delta)
+    t = _triples(spark, sf_dir)
+    doc_id = _doc_id_from_url()
+    new = (t.filter((doc_id % 5) != 0)
+           .withColumn("obj_value",
+                       F.when(((doc_id % 3) == 0)
+                              & F.col("pred").endswith("inLanguage"),
+                              F.upper("obj_value"))
+                       .otherwise(F.col("obj_value"))))
+    return snapshot_delta(t, new, _TRIPLE_KEY_COLS)
+
+
+def q_kg_recrawl_merge(spark, sf_dir):
+    from rdfa_streaming_parser_js_spark.operators.incremental import (
+        merge_by_url)
+    t = _triples(spark, sf_dir)
+    new = (t.filter((_doc_id_from_url() % 4) == 1)
+           .withColumn("obj_value",
+                       F.when(F.col("pred").endswith("inLanguage"),
+                              F.upper("obj_value"))
+                       .otherwise(F.col("obj_value"))))
+    return merge_by_url(t, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -985,6 +1022,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "text_token_count": q_text_token_count,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "kg_snapshot_delta": q_kg_snapshot_delta,
+        "kg_recrawl_merge": q_kg_recrawl_merge,
     }
 
 
@@ -1213,6 +1252,54 @@ def oracle_sql() -> dict[str, str]:
                    min(url) AS first_url, count(*) AS n_pages
             FROM exp
             GROUP BY subj, pred, obj_value, obj_kind, obj_datatype, obj_lang
+        """,
+        # Mirror of operators/incremental.snapshot_delta over the same
+        # simulated recrawl (drop doc_id%5==0, re-case inLanguage on
+        # doc_id%3==0).  NULL key columns canonicalized to '' both sides.
+        "kg_snapshot_delta": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            old AS (SELECT DISTINCT url, subj, subj_kind, pred, obj_value,
+                           obj_kind, coalesce(obj_datatype,'') AS obj_datatype,
+                           coalesce(obj_lang,'') AS obj_lang, 1 AS in_old
+                    FROM exp),
+            new AS (SELECT DISTINCT url, subj, subj_kind, pred,
+                           CASE WHEN CAST(regexp_extract(url,'(\\d+)$',1)
+                                          AS BIGINT) % 3 = 0
+                                     AND pred LIKE '%inLanguage'
+                                THEN upper(obj_value) ELSE obj_value END
+                               AS obj_value,
+                           obj_kind, coalesce(obj_datatype,'') AS obj_datatype,
+                           coalesce(obj_lang,'') AS obj_lang, 1 AS in_new
+                    FROM exp
+                    WHERE CAST(regexp_extract(url,'(\\d+)$',1) AS BIGINT)
+                          % 5 != 0)
+            SELECT url, subj, subj_kind, pred, obj_value, obj_kind,
+                   obj_datatype, obj_lang,
+                   CASE WHEN in_old IS NOT NULL AND in_new IS NOT NULL
+                        THEN 'unchanged'
+                        WHEN in_new IS NOT NULL THEN 'added'
+                        ELSE 'removed' END AS status
+            FROM old FULL OUTER JOIN new
+                 USING (url, subj, subj_kind, pred, obj_value, obj_kind,
+                        obj_datatype, obj_lang)
+        """,
+        # Mirror of operators/incremental.merge_by_url: pages recrawled
+        # in the new snapshot (doc_id%4==1, re-cased inLanguage) replace
+        # all their old triples.
+        "kg_recrawl_merge": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            new AS (SELECT url, subj, subj_kind, pred,
+                           CASE WHEN pred LIKE '%inLanguage'
+                                THEN upper(obj_value) ELSE obj_value END
+                               AS obj_value,
+                           obj_kind, obj_datatype, obj_lang
+                    FROM exp
+                    WHERE CAST(regexp_extract(url,'(\\d+)$',1) AS BIGINT)
+                          % 4 = 1)
+            SELECT * FROM exp
+            WHERE url NOT IN (SELECT DISTINCT url FROM new)
+            UNION ALL
+            SELECT * FROM new
         """,
         "rdfa_pr_vs_expected": f"""
             WITH exp AS ({expected_triples_sql()})
