@@ -927,6 +927,45 @@ def q_kg_recrawl_merge(spark, sf_dir):
     return merge_by_url(t, new)
 
 
+def q_kg_bgp_article_info(spark, sf_dir):
+    """SPARQL-style BGP compiled to a Catalyst join plan: articles with
+    their name and source (three patterns sharing ?doc)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples(spark, sf_dir)
+    return bgp_match(t, [
+        ("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
+        ("?doc", f"{SCHEMA_ORG}name", "?name"),
+        ("?doc", f"{SCHEMA_ORG}isPartOf", "?src"),
+    ], select=["doc", "name", "src"])
+
+
+def q_kg_bgp_same_source(spark, sf_dir):
+    """BGP with a shared non-subject variable (?src joins two patterns)
+    + downstream aggregation: ordered same-source article pairs counted
+    per source."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples(spark, sf_dir)
+    pairs = bgp_match(t, [
+        ("?a", f"{SCHEMA_ORG}isPartOf", "?src"),
+        ("?b", f"{SCHEMA_ORG}isPartOf", "?src"),
+    ])
+    return (pairs.filter(F.col("a") < F.col("b"))
+            .groupBy("src").agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def q_kg_entity_table(spark, sf_dir):
+    """Wide typed-entity view of the KG (one pivoted aggregation)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import entity_table
+    t = _triples(spark, sf_dir)
+    return entity_table(t, f"{SCHEMA_ORG}Article", {
+        "name": f"{SCHEMA_ORG}name",
+        "lang": f"{SCHEMA_ORG}inLanguage",
+        "word_count": f"{SCHEMA_ORG}wordCount",
+        "source": f"{SCHEMA_ORG}isPartOf",
+        "date_created": f"{SCHEMA_ORG}dateCreated",
+    })
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1024,6 +1063,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "kg_snapshot_delta": q_kg_snapshot_delta,
         "kg_recrawl_merge": q_kg_recrawl_merge,
+        "kg_bgp_article_info": q_kg_bgp_article_info,
+        "kg_bgp_same_source": q_kg_bgp_same_source,
+        "kg_entity_table": q_kg_entity_table,
     }
 
 
@@ -1300,6 +1342,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE url NOT IN (SELECT DISTINCT url FROM new)
             UNION ALL
             SELECT * FROM new
+        """,
+        # Mirrors of the operators/bgp.py BGP join-plan compiler: each
+        # triple pattern is a constant-filtered slice of exp, shared
+        # variables are equi-joins — identical multiplicity by
+        # construction.
+        "kg_bgp_article_info": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT t.subj AS doc, n.obj_value AS name, s.obj_value AS src
+            FROM exp t
+            JOIN exp n ON n.subj = t.subj
+            JOIN exp s ON s.subj = t.subj
+            WHERE t.pred = '{RDF_TYPE}'
+              AND t.obj_value = '{SCHEMA_ORG}Article'
+              AND n.pred = '{SCHEMA_ORG}name'
+              AND s.pred = '{SCHEMA_ORG}isPartOf'
+        """,
+        "kg_bgp_same_source": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            part AS (SELECT subj, obj_value AS src FROM exp
+                     WHERE pred = '{SCHEMA_ORG}isPartOf')
+            SELECT a.src AS src, count(*) AS n_pairs
+            FROM part a JOIN part b ON a.src = b.src
+            WHERE a.subj < b.subj
+            GROUP BY a.src
+        """,
+        "kg_entity_table": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            typed AS (SELECT DISTINCT subj FROM exp
+                      WHERE pred = '{RDF_TYPE}'
+                        AND obj_value = '{SCHEMA_ORG}Article')
+            SELECT typed.subj AS subj,
+                   min(CASE WHEN pred = '{SCHEMA_ORG}name'
+                            THEN obj_value END) AS name,
+                   min(CASE WHEN pred = '{SCHEMA_ORG}inLanguage'
+                            THEN obj_value END) AS lang,
+                   min(CASE WHEN pred = '{SCHEMA_ORG}wordCount'
+                            THEN obj_value END) AS word_count,
+                   min(CASE WHEN pred = '{SCHEMA_ORG}isPartOf'
+                            THEN obj_value END) AS source,
+                   min(CASE WHEN pred = '{SCHEMA_ORG}dateCreated'
+                            THEN obj_value END) AS date_created
+            FROM typed LEFT JOIN exp ON exp.subj = typed.subj
+            GROUP BY typed.subj
         """,
         "rdfa_pr_vs_expected": f"""
             WITH exp AS ({expected_triples_sql()})

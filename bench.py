@@ -23,7 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-PAGE_COPIES = int(os.environ.get("SPARK_GRAFT_PAGE_COPIES", "16"))
+# 64 copies ≈ 320k pages: each timed pass runs ~4-6 s, long enough that
+# per-job fixed costs (task scheduling, count agg) stop dominating — the
+# honest steady-state estimate for a job whose real tasks run for hours.
+# At 16 copies the pass is ~1.9 s and ~half the wall is fixed overhead.
+PAGE_COPIES = int(os.environ.get("SPARK_GRAFT_PAGE_COPIES", "64"))
 # Median-of-N per query: the sandbox shows noisy-neighbor swings up to
 # ~4x on shuffle-heavy queries; a single pass recorded 43.9 s in round 1
 # for a query whose best-observed time is 4.8 s.

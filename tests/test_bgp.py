@@ -1,0 +1,120 @@
+"""KG querying (operators/bgp.py): basic-graph-pattern compilation and
+the typed-entity pivot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfa_streaming_parser_js_spark.operators.bgp import (
+    bgp_match, entity_table)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+S = "http://schema.org/"
+
+COLS = ["subj", "pred", "obj_value"]
+
+
+def _kg(spark):
+    return spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"),
+        ("d1", f"{S}name", "alpha"),
+        ("d1", f"{S}isPartOf", "srcA"),
+        ("d2", RDF_TYPE, f"{S}Article"),
+        ("d2", f"{S}name", "beta"),
+        ("d2", f"{S}isPartOf", "srcA"),
+        ("d3", RDF_TYPE, f"{S}Person"),
+        ("d3", f"{S}name", "carol"),
+        ("d3", f"{S}isPartOf", "srcB"),
+        ("loop", f"{S}sameAs", "loop"),
+    ], COLS)
+
+
+def test_bgp_single_pattern_constant_filter(spark):
+    got = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article")])
+    assert sorted(r.x for r in got.collect()) == ["d1", "d2"]
+
+
+def test_bgp_shared_subject_join(spark):
+    got = bgp_match(_kg(spark), [
+        ("?x", RDF_TYPE, f"{S}Article"),
+        ("?x", f"{S}name", "?n"),
+    ], select=["x", "n"])
+    assert {(r.x, r.n) for r in got.collect()} == {
+        ("d1", "alpha"), ("d2", "beta")}
+
+
+def test_bgp_shared_object_variable_join(spark):
+    # pairs of subjects sharing a source, via the non-subject var ?s
+    got = bgp_match(_kg(spark), [
+        ("?a", f"{S}isPartOf", "?s"),
+        ("?b", f"{S}isPartOf", "?s"),
+    ]).filter(F.col("a") < F.col("b"))
+    assert {(r.a, r.b, r.s) for r in got.collect()} == {
+        ("d1", "d2", "srcA")}
+
+
+def test_bgp_repeated_var_in_one_pattern_finds_self_loops(spark):
+    got = bgp_match(_kg(spark), [("?x", f"{S}sameAs", "?x")])
+    assert [r.x for r in got.collect()] == ["loop"]
+
+
+def test_bgp_disjoint_patterns_cross_join(spark):
+    got = bgp_match(_kg(spark), [
+        ("?x", RDF_TYPE, f"{S}Article"),
+        ("?y", RDF_TYPE, f"{S}Person"),
+    ])
+    assert {(r.x, r.y) for r in got.collect()} == {
+        ("d1", "d3"), ("d2", "d3")}
+
+
+def test_bgp_bag_semantics_preserves_input_multiplicity(spark):
+    dup = _kg(spark).union(spark.createDataFrame(
+        [("d1", f"{S}name", "alpha")], COLS))
+    got = bgp_match(dup, [("?x", f"{S}name", "?n")])
+    names = [r.n for r in got.filter(F.col("x") == "d1").collect()]
+    assert names == ["alpha", "alpha"]
+
+
+def test_bgp_rejects_empty_and_unbound(spark):
+    with pytest.raises(ValueError):
+        bgp_match(_kg(spark), [])
+    with pytest.raises(ValueError):
+        bgp_match(_kg(spark), [("d1", RDF_TYPE, f"{S}Article")])
+
+
+def test_entity_table_pivot_and_nulls(spark):
+    kg = _kg(spark).union(spark.createDataFrame(
+        [("d2", f"{S}name", "aaa-earlier")], COLS))  # multi-valued name
+    got = entity_table(kg, f"{S}Article", {
+        "name": f"{S}name", "source": f"{S}isPartOf",
+        "missing": f"{S}wordCount"})
+    rows = {r.subj: r for r in got.collect()}
+    assert set(rows) == {"d1", "d2"}  # the Person is excluded
+    assert rows["d1"].name == "alpha" and rows["d1"].source == "srcA"
+    assert rows["d2"].name == "aaa-earlier"  # deterministic min
+    assert rows["d1"].missing is None
+
+
+def test_entity_table_typed_subject_without_properties_kept(spark):
+    kg = spark.createDataFrame([("only", RDF_TYPE, f"{S}Article")], COLS)
+    rows = entity_table(kg, f"{S}Article", {"name": f"{S}name"}).collect()
+    assert len(rows) == 1 and rows[0].subj == "only"
+    assert rows[0].name is None
+
+
+def test_entity_table_requires_properties(spark):
+    with pytest.raises(ValueError):
+        entity_table(_kg(spark), f"{S}Article", {})
+
+
+def test_bgp_constant_filters_reach_the_scan(spark, tmp_path):
+    """Plan shape: a constant-predicate pattern pushes its filter into
+    the parquet scan (PushedFilters), so a 10^13-triple table prunes to
+    one predicate slice before any join."""
+    path = str(tmp_path / "kg")
+    _kg(spark).write.parquet(path)
+    t = spark.read.parquet(path)
+    plan = (bgp_match(t, [("?x", RDF_TYPE, "?t")])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in plan
