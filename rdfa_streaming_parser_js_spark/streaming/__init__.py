@@ -12,4 +12,5 @@ incremental consumption.
 
 from .pipeline import (  # noqa: F401
     PAGES_SCHEMA, extract_triples_stream, read_page_stream,
-    run_extraction_stream, windowed_pred_counts)
+    run_extraction_stream, run_kg_maintenance_stream,
+    windowed_pred_counts)

@@ -87,3 +87,50 @@ def run_extraction_stream(spark: SparkSession, pages_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def run_kg_maintenance_stream(spark: SparkSession, pages_dir: str,
+                              graph_dir: str, checkpoint_dir: str,
+                              max_files_per_trigger: int | None = None,
+                              ) -> StreamingQuery:
+    """Continuous KG maintenance: drain newly-crawled page files and
+    merge each micro-batch into the graph table with recrawl-replace
+    semantics (operators/incremental.merge_by_url) — the streaming
+    composition of extraction + incremental merge.
+
+    Within a micro-batch, only the LATEST crawl of each url is applied
+    (same-instant duplicates are indistinguishable and resolved
+    arbitrarily).  A retried micro-batch is harmless: replace-merge is
+    idempotent, so crash-between-write-and-checkpoint re-runs converge
+    to the same table.
+
+    Sink note: the sandbox sink is read-modify-overwrite parquet, made
+    safe by eagerly materializing the previous table before the
+    overwrite.  On a real deployment ``foreachBatch`` issues
+    ``MERGE INTO`` on the url-bucketed Iceberg graph table, so only the
+    buckets containing the batch's urls rewrite — this function's
+    shape (extract → latest-per-url → replace-merge) is unchanged.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from ..operators.incremental import merge_by_url
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        latest = batch.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+        pages_latest = (batch.join(latest, ["url", "warc_ts"])
+                        .dropDuplicates(["url"]))
+        new_triples = extract_triples(pages_latest)
+        try:
+            old = spark.read.parquet(graph_dir).localCheckpoint(eager=True)
+        except AnalysisException:  # first batch: no table yet
+            merged = new_triples
+        else:
+            merged = merge_by_url(old, new_triples)
+        merged.write.mode("overwrite").parquet(graph_dir)
+
+    pages = read_page_stream(spark, pages_dir, max_files_per_trigger)
+    return (pages.writeStream
+            .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

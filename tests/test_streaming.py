@@ -10,7 +10,7 @@ from rdfa_streaming_parser_js_spark.operators.extract import extract_triples
 from rdfa_streaming_parser_js_spark.sources.pages import pages_from_documents
 from rdfa_streaming_parser_js_spark.streaming import (
     extract_triples_stream, read_page_stream, run_extraction_stream,
-    windowed_pred_counts)
+    run_kg_maintenance_stream, windowed_pred_counts)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -77,6 +77,48 @@ def test_windowed_pred_counts_streaming(spark, pages, tmp_path):
     n_windows = spark.sql(
         "SELECT count(DISTINCT win_start) AS n FROM win_counts").head().n
     assert n_windows > 1
+
+
+def test_kg_maintenance_stream_replaces_recrawled_pages(
+        spark, pages, tmp_path):
+    """foreachBatch composition of streaming extraction + recrawl-replace
+    merge: a recrawled page's new triples fully replace its old ones,
+    and the checkpoint makes re-invocation incremental."""
+    pages_dir = str(tmp_path / "pages")
+    graph_dir = str(tmp_path / "graph")
+    ck_dir = str(tmp_path / "ck")
+
+    pages.write.parquet(pages_dir)
+    _await(run_kg_maintenance_stream(spark, pages_dir, graph_dir, ck_dir))
+    g1 = spark.read.parquet(graph_dir)
+    assert g1.count() == extract_triples(pages).count()
+
+    # Recrawl every 5th page a month later with changed content.
+    recrawl = (pages.filter(F.col("page_id") % 5 == 0)
+               .withColumn("warc_ts",
+                           F.col("warc_ts") + F.expr("INTERVAL 30 DAYS"))
+               .withColumn("html", F.encode(F.regexp_replace(
+                   F.decode("html", "UTF-8"),
+                   'content="([a-z]{2})"', 'content="qq"'), "UTF-8")))
+    recrawl.write.mode("append").parquet(pages_dir)
+    _await(run_kg_maintenance_stream(spark, pages_dir, graph_dir, ck_dir))
+
+    expected_pages = pages.filter(F.col("page_id") % 5 != 0).union(recrawl)
+    expected = {tuple(r) for r in
+                extract_triples(expected_pages).collect()}
+    got = {tuple(r) for r in spark.read.parquet(graph_dir).collect()}
+    assert got == expected
+    # the recrawled pages' OLD inLanguage values are really gone
+    langs = {r.obj_value for r in spark.read.parquet(graph_dir)
+             .filter(F.col("pred").endswith("inLanguage")
+                     & (F.regexp_extract("url", r"(\d+)$", 1)
+                        .cast("long") % 5 == 0)).collect()}
+    assert langs == {"qq"}
+
+    # committed checkpoint + no new files: table unchanged
+    _await(run_kg_maintenance_stream(spark, pages_dir, graph_dir, ck_dir))
+    assert {tuple(r) for r in
+            spark.read.parquet(graph_dir).collect()} == expected
 
 
 def test_stateful_first_seen_dedup_across_batches(spark, pages, tmp_path):
