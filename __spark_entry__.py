@@ -953,6 +953,22 @@ def q_kg_bgp_same_source(spark, sf_dir):
             .groupBy("src").agg(F.count(F.lit(1)).alias("n_pairs")))
 
 
+def q_kg_bgp_optional_filter(spark, sf_dir):
+    """BGP with SPARQL FILTER (pushed into the join tree by Catalyst)
+    and OPTIONAL (left join; group-local filter ⇒ NULL for non-English
+    articles)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples(spark, sf_dir)
+    return bgp_match(
+        t,
+        [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
+         ("?doc", f"{SCHEMA_ORG}wordCount", "?wc")],
+        filters=["CAST(wc AS BIGINT) >= 60"],
+        optionals=[([("?doc", f"{SCHEMA_ORG}inLanguage", "?l")],
+                    ["l = 'en'"])],
+        select=["doc", "wc", "l"])
+
+
 def q_kg_entity_table(spark, sf_dir):
     """Wide typed-entity view of the KG (one pivoted aggregation)."""
     from rdfa_streaming_parser_js_spark.operators.bgp import entity_table
@@ -1065,6 +1081,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_recrawl_merge": q_kg_recrawl_merge,
         "kg_bgp_article_info": q_kg_bgp_article_info,
         "kg_bgp_same_source": q_kg_bgp_same_source,
+        "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
         "kg_entity_table": q_kg_entity_table,
     }
 
@@ -1366,6 +1383,20 @@ def oracle_sql() -> dict[str, str]:
             FROM part a JOIN part b ON a.src = b.src
             WHERE a.subj < b.subj
             GROUP BY a.src
+        """,
+        "kg_bgp_optional_filter": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            req AS (SELECT t.subj AS doc, w.obj_value AS wc
+                    FROM exp t JOIN exp w ON w.subj = t.subj
+                    WHERE t.pred = '{RDF_TYPE}'
+                      AND t.obj_value = '{SCHEMA_ORG}Article'
+                      AND w.pred = '{SCHEMA_ORG}wordCount'
+                      AND CAST(w.obj_value AS BIGINT) >= 60),
+            opt AS (SELECT subj AS doc, obj_value AS l FROM exp
+                    WHERE pred = '{SCHEMA_ORG}inLanguage'
+                      AND obj_value = 'en')
+            SELECT req.doc AS doc, req.wc AS wc, opt.l AS l
+            FROM req LEFT JOIN opt USING (doc)
         """,
         "kg_entity_table": f"""
             WITH exp AS ({expected_triples_sql()}),

@@ -34,28 +34,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
+# an OPTIONAL group: (patterns, group-local filter expressions or None)
+OptionalGroup = tuple[list[Pattern], "list[str] | None"]
 
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def bgp_match(triples: DataFrame, patterns: list[Pattern],
-              select: list[str] | None = None) -> DataFrame:
-    """Compile a basic graph pattern into a DataFrame join plan.
-
-    Each pattern is a ``(subject, predicate, object)`` triple of terms;
-    a term starting with ``?`` is a variable, anything else a constant
-    matched against ``subj`` / ``pred`` / ``obj_value``.  Returns one
-    row per solution mapping with one column per variable (SPARQL bag
-    semantics over the input's multiplicity).  ``select`` optionally
-    projects/orders the output variables.
-
-    A variable repeated *within* one pattern constrains both positions
-    to be equal (e.g. ``("?x", "ex:knows", "?x")`` finds self-loops).
-    """
-    if not patterns:
-        raise ValueError("bgp_match requires at least one pattern")
+def _compile_group(triples: DataFrame, patterns: list[Pattern],
+                   filters: list[str] | None) -> DataFrame:
     solution: DataFrame | None = None
     for s, p, o in patterns:
         part = triples
@@ -79,7 +67,64 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
             shared = [v for v in part.columns if v in solution.columns]
             solution = (solution.join(part, on=shared, how="inner")
                         if shared else solution.crossJoin(part))
+    for expr in filters or ():
+        solution = solution.filter(F.expr(expr))
+    return solution
+
+
+def bgp_match(triples: DataFrame, patterns: list[Pattern],
+              select: list[str] | None = None,
+              filters: list[str] | None = None,
+              optionals: list[OptionalGroup] | None = None) -> DataFrame:
+    """Compile a basic graph pattern into a DataFrame join plan.
+
+    Each pattern is a ``(subject, predicate, object)`` triple of terms;
+    a term starting with ``?`` is a variable, anything else a constant
+    matched against ``subj`` / ``pred`` / ``obj_value``.  Returns one
+    row per solution mapping with one column per variable (SPARQL bag
+    semantics over the input's multiplicity).  ``select`` optionally
+    projects/orders the output variables.
+
+    A variable repeated *within* one pattern constrains both positions
+    to be equal (e.g. ``("?x", "ex:knows", "?x")`` finds self-loops).
+
+    ``filters``: SPARQL FILTER — SQL boolean expressions over the
+    variable columns (e.g. ``"CAST(wc AS BIGINT) > 50"``), applied to
+    the required group.  Catalyst pushes each conjunct as far down the
+    join tree as its variables allow — a single-variable filter lands
+    on that pattern's scan, exactly where a SPARQL optimizer would put
+    it.
+
+    ``optionals``: SPARQL OPTIONAL — each ``(patterns, filters)`` group
+    is compiled like the required group (its filters apply *inside* the
+    group, per SPARQL left-join semantics) and then LEFT-joined on the
+    variables shared with the required solution: non-matching solutions
+    keep NULL for the group's new variables.
+    """
+    if not patterns:
+        raise ValueError("bgp_match requires at least one pattern")
+    solution = _compile_group(triples, patterns, filters)
+    for opt_patterns, opt_filters in optionals or ():
+        group = _compile_group(triples, opt_patterns, opt_filters)
+        shared = [v for v in group.columns if v in solution.columns]
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                f"group: {opt_patterns}")
+        solution = solution.join(group, on=shared, how="left")
     return solution.select(*select) if select else solution
+
+
+def bgp_union(*solutions: DataFrame) -> DataFrame:
+    """SPARQL UNION of compiled groups: solutions stack by variable
+    name; a variable absent from one branch is NULL (unbound) in that
+    branch's rows."""
+    if not solutions:
+        raise ValueError("bgp_union requires at least one solution")
+    out = solutions[0]
+    for s in solutions[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out
 
 
 def entity_table(triples: DataFrame, type_iri: str,

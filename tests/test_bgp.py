@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    bgp_match, entity_table)
+    bgp_match, bgp_union, entity_table)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 S = "http://schema.org/"
@@ -81,6 +81,51 @@ def test_bgp_rejects_empty_and_unbound(spark):
         bgp_match(_kg(spark), [])
     with pytest.raises(ValueError):
         bgp_match(_kg(spark), [("d1", RDF_TYPE, f"{S}Article")])
+
+
+def test_bgp_filter_restricts_solutions(spark):
+    got = bgp_match(_kg(spark), [
+        ("?x", RDF_TYPE, f"{S}Article"),
+        ("?x", f"{S}name", "?n"),
+    ], filters=["n > 'alpha'"])
+    assert [(r.x, r.n) for r in got.collect()] == [("d2", "beta")]
+
+
+def test_bgp_optional_left_join_semantics(spark):
+    # d1 has a source, extra-article d4 has none -> NULL ?src
+    kg = _kg(spark).union(spark.createDataFrame(
+        [("d4", RDF_TYPE, f"{S}Article")], COLS))
+    got = bgp_match(kg, [("?x", RDF_TYPE, f"{S}Article")],
+                    optionals=[([("?x", f"{S}isPartOf", "?src")], None)])
+    rows = {r.x: r.src for r in got.collect()}
+    assert rows == {"d1": "srcA", "d2": "srcA", "d4": None}
+
+
+def test_bgp_optional_group_local_filter(spark):
+    # SPARQL semantics: the filter applies INSIDE the optional group,
+    # so a non-matching value yields NULL, not a dropped solution
+    got = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+                    optionals=[([("?x", f"{S}name", "?n")],
+                                ["n = 'alpha'"])])
+    rows = {r.x: r.n for r in got.collect()}
+    assert rows == {"d1": "alpha", "d2": None}
+
+
+def test_bgp_optional_requires_shared_variable(spark):
+    with pytest.raises(ValueError):
+        bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+                  optionals=[([("?y", f"{S}name", "?n")], None)])
+
+
+def test_bgp_union_stacks_with_unbound_nulls(spark):
+    arts = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article"),
+                                  ("?x", f"{S}name", "?n")])
+    people = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Person"),
+                                    ("?x", f"{S}isPartOf", "?src")])
+    got = bgp_union(arts, people)
+    rows = {(r.x, r.n, r.src) for r in got.collect()}
+    assert rows == {("d1", "alpha", None), ("d2", "beta", None),
+                    ("d3", None, "srcB")}
 
 
 def test_entity_table_pivot_and_nulls(spark):
