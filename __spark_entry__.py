@@ -1013,6 +1013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "kg_snapshot_delta": q_kg_snapshot_delta,
+        "kg_recrawl_merge": q_kg_recrawl_merge,
+        "kg_bgp_article_info": q_kg_bgp_article_info,
+        "kg_bgp_same_source": q_kg_bgp_same_source,
+        "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
+        "kg_entity_table": q_kg_entity_table,
         # -- extraction kernel + KG core ------------------------------
         "rdfa_extract": q_rdfa_extract,
         "rdfa_extract_rich": q_rdfa_extract_rich,
@@ -1027,12 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_top1": q_entity_link_top1,
         # -- relational core ------------------------------------------
         "join_revenue_by_nation": q_join_revenue_by_nation,
-        "customers_without_orders": q_customers_without_orders,
-        "filter_revenue": q_filter_revenue,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
-        "setop_sources_both": q_setop_sources_both,
-        "percentiles_by_event_type": q_percentiles_by_event_type,
-        "deterministic_sample": q_deterministic_sample,
         # -- training-data pipeline -----------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1045,7 +1046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
-        "text_fingerprint": q_text_fingerprint,
     }
 
 
@@ -1077,12 +1077,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "text_token_count": q_text_token_count,
         "multimodal_binary_meta": q_multimodal_binary_meta,
-        "kg_snapshot_delta": q_kg_snapshot_delta,
-        "kg_recrawl_merge": q_kg_recrawl_merge,
-        "kg_bgp_article_info": q_kg_bgp_article_info,
-        "kg_bgp_same_source": q_kg_bgp_same_source,
-        "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
-        "kg_entity_table": q_kg_entity_table,
+        "customers_without_orders": q_customers_without_orders,
+        "filter_revenue": q_filter_revenue,
+        "setop_sources_both": q_setop_sources_both,
+        "percentiles_by_event_type": q_percentiles_by_event_type,
+        "deterministic_sample": q_deterministic_sample,
+        "text_fingerprint": q_text_fingerprint,
     }
 
 
