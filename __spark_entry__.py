@@ -44,6 +44,7 @@ from rdfa_streaming_parser_js_spark.operators.extract import (
 from rdfa_streaming_parser_js_spark.operators.similarity import (
     cosine_topk, ivf_topk)
 from rdfa_streaming_parser_js_spark.sources.pages import (
+    RDF_NS as _RDF_NS,
     RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents,
     synthetic_page_sql as _synthetic_page_sql,
     rich_expected_triples_sql as _rich_sql,
@@ -982,6 +983,23 @@ def q_kg_entity_table(spark, sf_dir):
     })
 
 
+def q_kg_path_list_members(spark, sf_dir):
+    """SPARQL 1.1 property path compiled to a DataFrame plan:
+    ``schema:keywords/rdf:rest*/rdf:first`` binds every member of each
+    article's rdf:List (the closure runs semi-naive rounds over the
+    rest-edges; the star's identity component is composed away
+    algebraically, so no full term scan is materialized)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    from rdfa_streaming_parser_js_spark.operators.paths import (
+        link, seq, star)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        RDF_NS, rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir))
+    path = seq(link(f"{SCHEMA_ORG}keywords"),
+               star(link(f"{RDF_NS}rest")), link(f"{RDF_NS}first"))
+    return bgp_match(t, [("?doc", path, "?kw")], select=["doc", "kw"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1083,6 +1101,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_event_type": q_percentiles_by_event_type,
         "deterministic_sample": q_deterministic_sample,
         "text_fingerprint": q_text_fingerprint,
+        # round-3 additions awaiting their rotation into the window
+        "kg_path_list_members": q_kg_path_list_members,
     }
 
 
@@ -1416,6 +1436,23 @@ def oracle_sql() -> dict[str, str]:
                             THEN obj_value END) AS date_created
             FROM typed LEFT JOIN exp ON exp.subj = typed.subj
             GROUP BY typed.subj
+        """,
+        # Property path keywords/rest*/first: the oracle mirrors the
+        # star closure with a recursive CTE over the reconstructed rich
+        # triples (path results are SET semantics on both sides).
+        "kg_path_list_members": f"""
+            WITH RECURSIVE t AS (SELECT * FROM ({_rich_sql()})),
+            chain(doc, cell) AS (
+                SELECT subj, obj_value FROM t
+                WHERE pred = '{SCHEMA_ORG}keywords'
+                UNION
+                SELECT c.doc, e.obj_value
+                FROM chain c JOIN t e
+                  ON e.subj = c.cell AND e.pred = '{_RDF_NS}rest'
+            )
+            SELECT DISTINCT c.doc AS doc, f.obj_value AS kw
+            FROM chain c JOIN t f
+              ON f.subj = c.cell AND f.pred = '{_RDF_NS}first'
         """,
         "rdfa_pr_vs_expected": f"""
             WITH exp AS ({expected_triples_sql()})

@@ -44,11 +44,21 @@ def _is_var(term: str) -> bool:
 
 def _compile_group(triples: DataFrame, patterns: list[Pattern],
                    filters: list[str] | None) -> DataFrame:
+    from rdfa_streaming_parser_js_spark.operators.paths import (
+        PathExpr, path_pairs)
+
     solution: DataFrame | None = None
     for s, p, o in patterns:
-        part = triples
+        if isinstance(p, PathExpr):
+            # property-path pattern: endpoints bind against the
+            # (a, b) pairs the path engine computes
+            part = path_pairs(triples, p)
+            terms = ((s, "a"), (o, "b"))
+        else:
+            part = triples
+            terms = ((s, "subj"), (p, "pred"), (o, "obj_value"))
         bound: dict[str, str] = {}  # var name -> source column
-        for term, col in ((s, "subj"), (p, "pred"), (o, "obj_value")):
+        for term, col in terms:
             if _is_var(term):
                 name = term[1:]
                 if name in bound:  # repeated var inside the pattern
@@ -87,6 +97,11 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
 
     A variable repeated *within* one pattern constrains both positions
     to be equal (e.g. ``("?x", "ex:knows", "?x")`` finds self-loops).
+
+    A pattern's predicate may also be a ``operators.paths.PathExpr``
+    (SPARQL property path): the pattern then matches the path's
+    endpoint pairs, e.g. ``("?list", seq(star(link(RDF_REST)),
+    link(RDF_FIRST)), "?member")``.
 
     ``filters``: SPARQL FILTER — SQL boolean expressions over the
     variable columns (e.g. ``"CAST(wc AS BIGINT) > 50"``), applied to

@@ -1,0 +1,260 @@
+"""SPARQL 1.1 property paths over the triple table, compiled to
+DataFrame plans.
+
+The reference parser (rubensworks/rdfa-streaming-parser.js) emits the
+triples; querying them with paths is the downstream KG half this engine
+adds.  Semantics follow SPARQL 1.1 §9.1 (PredicatePath, InversePath,
+SequencePath, AlternativePath, OneOrMorePath, ZeroOrMorePath) with one
+documented simplification: results are SET-semantics throughout — each
+connected ``(a, b)`` pair is returned once, the way SPARQL already
+evaluates the closure operators (ALP) and the way every shipped engine
+canonicalizes mixed path results.
+
+Compilation strategy (scale-first):
+
+- The AST is normalized to a union of *branches*, each branch a pure
+  sequence of edge scans and closure atoms: ``alt`` concatenates
+  branches, ``seq`` takes their cross product, ``inv`` reverses and
+  flips, and ``star(p)`` rewrites to ``identity ∪ plus(p)`` — with the
+  identity element DROPPED from any branch that contains another atom
+  (identity is the neutral element of sequence composition).  A full
+  graph-terms scan is therefore materialized only when a branch is
+  *nothing but* zero-length (e.g. a bare ``star``), never as a join
+  input inside ``rest*/first``-style sequences.
+- Each edge atom is one pushed-down filter on the triple scan
+  (``pred = <iri>``), so Catalyst prunes columns and pushes the
+  predicate to parquet.
+- ``plus`` runs semi-naive transitive closure (the Datalog TC loop):
+  the base edge set is computed once and cached, each round joins only
+  the *delta* against it, anti-joins out already-seen pairs, and issues
+  exactly one action (the delta count, which doubles as the convergence
+  signal).  Rounds = graph depth; lineage is cut with
+  ``localCheckpoint`` so round N never recomputes rounds 0..N-1.  At
+  cluster scale the base stays hash-partitioned on its join key for
+  the duration of the loop — the same shape as the connected-components
+  loop in ``operators/components.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PathExpr:
+    """Marker base class for path expressions."""
+
+
+@dataclass(frozen=True)
+class Link(PathExpr):
+    pred: str
+
+
+@dataclass(frozen=True)
+class Inv(PathExpr):
+    inner: PathExpr
+
+
+@dataclass(frozen=True)
+class Seq(PathExpr):
+    parts: tuple[PathExpr, ...]
+
+
+@dataclass(frozen=True)
+class Alt(PathExpr):
+    parts: tuple[PathExpr, ...]
+
+
+@dataclass(frozen=True)
+class Plus(PathExpr):
+    inner: PathExpr
+
+
+@dataclass(frozen=True)
+class Star(PathExpr):
+    inner: PathExpr
+
+
+def link(pred: str) -> PathExpr:
+    """``<p>`` — one forward edge via predicate IRI ``pred``."""
+    return Link(pred)
+
+
+def inv(p: PathExpr) -> PathExpr:
+    """``^path`` — inverse."""
+    return Inv(p)
+
+
+def seq(*parts: PathExpr) -> PathExpr:
+    """``p1/p2/...`` — sequence."""
+    if not parts:
+        raise ValueError("seq requires at least one part")
+    return parts[0] if len(parts) == 1 else Seq(tuple(parts))
+
+
+def alt(*parts: PathExpr) -> PathExpr:
+    """``p1|p2|...`` — alternative."""
+    if not parts:
+        raise ValueError("alt requires at least one part")
+    return parts[0] if len(parts) == 1 else Alt(tuple(parts))
+
+
+def plus(p: PathExpr) -> PathExpr:
+    """``path+`` — one-or-more (transitive closure)."""
+    return Plus(p)
+
+
+def star(p: PathExpr) -> PathExpr:
+    """``path*`` — zero-or-more.  The zero-length component matches
+    every term of the graph (SPARQL 1.1 §9.3), but inside a sequence it
+    is composed away algebraically, so no term scan is materialized
+    unless the star is the entire branch."""
+    return Star(p)
+
+
+# --------------------------------------------------------------------
+# Normalization: AST -> branches (union of atom sequences)
+# --------------------------------------------------------------------
+
+_IDENTITY = "identity"  # zero-length marker atom
+
+
+def _invert(p: PathExpr) -> PathExpr:
+    if isinstance(p, Link):
+        return Inv(p)
+    if isinstance(p, Inv):
+        return p.inner
+    if isinstance(p, Seq):
+        return Seq(tuple(_invert(x) for x in reversed(p.parts)))
+    if isinstance(p, Alt):
+        return Alt(tuple(_invert(x) for x in p.parts))
+    if isinstance(p, Plus):
+        return Plus(_invert(p.inner))
+    if isinstance(p, Star):
+        return Star(_invert(p.inner))
+    raise TypeError(f"not a path expression: {p!r}")
+
+
+def _branches(p: PathExpr) -> list[list]:
+    """Normalize to a union (list) of sequences (lists) of atoms.
+
+    Atom = ``("edge", pred, inverted)`` | ``("plus", PathExpr)`` |
+    ``_IDENTITY``.  Branches containing another atom drop identity
+    (neutral element); a branch of only identities collapses to one.
+    """
+    if isinstance(p, Link):
+        return [[("edge", p.pred, False)]]
+    if isinstance(p, Inv):
+        inner = _invert(p.inner)
+        if isinstance(inner, Inv):  # Inv(Link) stays primitive
+            return [[("edge", inner.inner.pred, True)]]
+        return _branches(inner)
+    if isinstance(p, Alt):
+        return [b for part in p.parts for b in _branches(part)]
+    if isinstance(p, Seq):
+        out: list[list] = [[]]
+        for part in p.parts:
+            out = [pre + suf for pre in out for suf in _branches(part)]
+        return [_drop_identity(b) for b in out]
+    if isinstance(p, Plus):
+        return [[("plus", p.inner)]]
+    if isinstance(p, Star):
+        return [[_IDENTITY]] + _branches(Plus(p.inner))
+    raise TypeError(f"not a path expression: {p!r}")
+
+
+def _drop_identity(branch: list) -> list:
+    real = [a for a in branch if a is not _IDENTITY]
+    return real if real else [_IDENTITY]
+
+
+# --------------------------------------------------------------------
+# Compilation: branches -> DataFrame (a, b)
+# --------------------------------------------------------------------
+
+def _edge_pairs(triples: DataFrame, pred: str,
+                inverted: bool) -> DataFrame:
+    e = triples.filter(F.col("pred") == pred)
+    a, b = ("obj_value", "subj") if inverted else ("subj", "obj_value")
+    return e.select(F.col(a).alias("a"), F.col(b).alias("b"))
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """Every RDF term in the graph, as zero-length (x, x) pairs."""
+    terms = (triples.select(F.col("subj").alias("t"))
+             .union(triples.select(F.col("obj_value").alias("t")))
+             .distinct())
+    return terms.select(F.col("t").alias("a"), F.col("t").alias("b"))
+
+
+def transitive_closure(pairs: DataFrame, max_rounds: int = 30,
+                       checkpoint_every: int = 3) -> DataFrame:
+    """Semi-naive transitive closure of an ``(a, b)`` edge set.
+
+    One shuffle join + one anti-join + ONE action per round; the
+    frontier (delta) shrinks to empty in depth(graph) rounds.  Raises
+    if ``max_rounds`` is hit with a non-empty frontier — silent
+    truncation would be an incorrect closure.
+    """
+    base = pairs.select("a", "b").distinct().cache()
+    total = base
+    delta = base
+    for rnd in range(max_rounds):
+        grown = (delta.alias("d")
+                 .join(base.alias("e"), F.col("d.b") == F.col("e.a"))
+                 .select(F.col("d.a").alias("a"), F.col("e.b").alias("b"))
+                 .distinct())
+        delta = grown.join(total, on=["a", "b"], how="left_anti")
+        delta = (delta.localCheckpoint(eager=True)
+                 if rnd % checkpoint_every == checkpoint_every - 1
+                 else delta.cache())
+        if not delta.take(1):  # one action: frontier empty?
+            base.unpersist()
+            return total
+        # delta is anti-joined against total, so the union stays
+        # distinct by construction — no extra shuffle needed here.
+        total = total.union(delta)
+        if rnd % checkpoint_every == checkpoint_every - 1:
+            total = total.localCheckpoint(eager=True)
+        else:
+            total = total.cache()
+    raise RuntimeError(
+        f"transitive closure did not converge in {max_rounds} rounds; "
+        "raise max_rounds for deeper graphs")
+
+
+def path_pairs(triples: DataFrame, path: PathExpr,
+               max_rounds: int = 30) -> DataFrame:
+    """All ``(a, b)`` term pairs connected by ``path`` in the graph.
+
+    ``triples`` is the engine's triple table (``subj``, ``pred``,
+    ``obj_value`` columns are used; duplicate provenance rows collapse
+    to graph-set semantics).  Output columns: ``a``, ``b`` — distinct.
+    """
+    out: DataFrame | None = None
+    for branch in _branches(path):
+        cur: DataFrame | None = None
+        for atom in branch:
+            if atom is _IDENTITY:
+                nxt = _graph_terms(triples)
+            elif atom[0] == "edge":
+                nxt = _edge_pairs(triples, atom[1], atom[2])
+            else:  # ("plus", inner)
+                inner = path_pairs(triples, atom[1], max_rounds)
+                nxt = transitive_closure(inner, max_rounds)
+            if cur is None:
+                cur = nxt
+            else:
+                cur = (cur.alias("l")
+                       .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
+                       .select(F.col("l.a").alias("a"),
+                               F.col("r.b").alias("b")))
+        out = cur if out is None else out.union(cur)
+    return out.distinct()

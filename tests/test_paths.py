@@ -1,0 +1,144 @@
+"""SPARQL 1.1 property paths (operators/paths.py) and their BGP
+integration (a PathExpr in predicate position)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+from rdfa_streaming_parser_js_spark.operators.paths import (
+    alt, inv, link, path_pairs, plus, seq, star, transitive_closure)
+
+EX = "http://example.org/"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+COLS = ["subj", "pred", "obj_value"]
+
+
+def _pairs(df):
+    return {(r.a, r.b) for r in df.collect()}
+
+
+def _kg(spark):
+    # knows: a -> b -> c (chain); likes: a -> c; cycle: x -> y -> x
+    return spark.createDataFrame([
+        ("a", f"{EX}knows", "b"),
+        ("b", f"{EX}knows", "c"),
+        ("a", f"{EX}likes", "c"),
+        ("x", f"{EX}knows", "y"),
+        ("y", f"{EX}knows", "x"),
+    ], COLS)
+
+
+def test_link_is_one_edge_scan(spark):
+    got = path_pairs(_kg(spark), link(f"{EX}likes"))
+    assert _pairs(got) == {("a", "c")}
+
+
+def test_inv_flips_direction(spark):
+    got = path_pairs(_kg(spark), inv(link(f"{EX}likes")))
+    assert _pairs(got) == {("c", "a")}
+
+
+def test_seq_composes_edges(spark):
+    got = path_pairs(_kg(spark), seq(link(f"{EX}knows"),
+                                     link(f"{EX}knows")))
+    assert _pairs(got) == {("a", "c"), ("x", "x"), ("y", "y")}
+
+
+def test_inv_distributes_over_seq(spark):
+    # ^(knows/knows) == ^knows/^knows reversed
+    got = path_pairs(_kg(spark), inv(seq(link(f"{EX}knows"),
+                                         link(f"{EX}knows"))))
+    assert _pairs(got) == {("c", "a"), ("x", "x"), ("y", "y")}
+
+
+def test_alt_unions_branches(spark):
+    got = path_pairs(_kg(spark), alt(link(f"{EX}likes"),
+                                     seq(link(f"{EX}knows"),
+                                         link(f"{EX}knows"))))
+    assert _pairs(got) == {("a", "c"), ("x", "x"), ("y", "y")}
+
+
+def test_plus_transitive_closure_chain(spark):
+    got = path_pairs(_kg(spark).filter(F.col("subj").isin("a", "b")),
+                     plus(link(f"{EX}knows")))
+    assert _pairs(got) == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_plus_terminates_on_cycles(spark):
+    got = path_pairs(_kg(spark).filter(F.col("subj").isin("x", "y")),
+                     plus(link(f"{EX}knows")))
+    assert _pairs(got) == {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+
+
+def test_bare_star_includes_every_graph_term(spark):
+    kg = _kg(spark).filter(F.col("subj").isin("a", "b"))
+    got = path_pairs(kg, star(link(f"{EX}knows")))
+    # zero-length pairs for ALL terms (even c, object-only) + closure
+    assert _pairs(got) == {("a", "a"), ("b", "b"), ("c", "c"),
+                           ("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_star_inside_seq_composes_identity_away(spark):
+    # knows/knows* = knows^1..n — the identity branch must NOT inject a
+    # full term scan, but the zero-step result (plain knows) survives
+    kg = _kg(spark).filter(F.col("subj").isin("a", "b"))
+    got = path_pairs(kg, seq(link(f"{EX}knows"), star(link(f"{EX}knows"))))
+    assert _pairs(got) == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_rdf_list_membership_path(spark):
+    # the canonical use: list cells via rest*/first
+    kg = spark.createDataFrame([
+        ("doc", f"{EX}keywords", "_:l1"),
+        ("_:l1", f"{RDF_NS}first", "alpha"),
+        ("_:l1", f"{RDF_NS}rest", "_:l2"),
+        ("_:l2", f"{RDF_NS}first", "beta"),
+        ("_:l2", f"{RDF_NS}rest", f"{RDF_NS}nil"),
+    ], COLS)
+    path = seq(link(f"{EX}keywords"), star(link(f"{RDF_NS}rest")),
+               link(f"{RDF_NS}first"))
+    assert _pairs(path_pairs(kg, path)) == {("doc", "alpha"),
+                                            ("doc", "beta")}
+
+
+def test_transitive_closure_raises_instead_of_truncating(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(edges, max_rounds=2)
+
+
+def test_path_results_are_set_semantics(spark):
+    dup = _kg(spark).union(spark.createDataFrame(
+        [("a", f"{EX}likes", "c")], COLS))
+    got = path_pairs(dup, link(f"{EX}likes"))
+    assert got.count() == 1
+
+
+def test_bgp_pattern_with_path_predicate(spark):
+    kg = _kg(spark)
+    got = bgp_match(kg, [
+        ("?p", plus(link(f"{EX}knows")), "?q"),
+        ("?p", f"{EX}likes", "?q"),
+    ], select=["p", "q"])
+    assert {(r.p, r.q) for r in got.collect()} == {("a", "c")}
+
+
+def test_bgp_path_with_constant_endpoint(spark):
+    got = bgp_match(_kg(spark), [("a", plus(link(f"{EX}knows")), "?r")])
+    assert sorted(r.r for r in got.collect()) == ["b", "c"]
+
+
+def test_edge_atom_pushes_predicate_to_scan(spark, tmp_path):
+    """Plan shape: each edge atom of a path is a constant-pred filter
+    that reaches the parquet scan, so a path over a 10^13-triple table
+    reads only its predicates' slices."""
+    path_dir = str(tmp_path / "kg")
+    _kg(spark).write.parquet(path_dir)
+    t = spark.read.parquet(path_dir)
+    plan = (path_pairs(t, seq(link(f"{EX}knows"), link(f"{EX}likes")))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in plan
