@@ -1000,6 +1000,49 @@ def q_kg_path_list_members(spark, sf_dir):
     return bgp_match(t, [("?doc", path, "?kw")], select=["doc", "kw"])
 
 
+def q_kg_sameas_resolution(spark, sf_dir):
+    """owl:sameAs entity resolution end-to-end: synthetic alias edges
+    (every page subject sameAs its decade-leader's subject) are unioned
+    into the extracted graph, the component closure finds each class,
+    and the graph is rewritten onto the canonical (min) member — then
+    aggregated to graph-set semantics with provenance counts."""
+    from rdfa_streaming_parser_js_spark.operators.resolution import (
+        OWL_SAMEAS, resolve_same_as)
+    t = _triples(spark, sf_dir)
+    doc_id = _doc_id_from_url()
+    leader = F.concat(F.lit("http://pages.example.org/page/"),
+                      (doc_id - doc_id % 10).cast("string"), F.lit("#it"))
+    alias_edges = (t.filter((F.col("pred") == RDF_TYPE)
+                            & ((doc_id % 10) != 0))
+                   .select("url", "subj", "subj_kind",
+                           F.lit(OWL_SAMEAS).alias("pred"),
+                           leader.alias("obj_value"),
+                           F.lit("iri").alias("obj_kind"),
+                           F.lit(None).cast("string").alias("obj_datatype"),
+                           F.lit(None).cast("string").alias("obj_lang")))
+    resolved = resolve_same_as(t.unionByName(alias_edges))
+    return (resolved
+            .groupBy("subj", "pred", "obj_value", "obj_kind",
+                     "obj_datatype", "obj_lang")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.min("url").alias("first_url")))
+
+
+def q_kg_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS compiled to a left-anti join: articles except those
+    whose language is English (the negation group carries its own
+    group-local filter)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples(spark, sf_dir)
+    return bgp_match(
+        t,
+        [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
+         ("?doc", f"{SCHEMA_ORG}name", "?name")],
+        minus=[([("?doc", f"{SCHEMA_ORG}inLanguage", "?l")],
+                ["l = 'en'"])],
+        select=["doc", "name"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1103,6 +1146,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         # round-3 additions awaiting their rotation into the window
         "kg_path_list_members": q_kg_path_list_members,
+        "kg_sameas_resolution": q_kg_sameas_resolution,
+        "kg_bgp_minus": q_kg_bgp_minus,
     }
 
 
@@ -1453,6 +1498,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c.doc AS doc, f.obj_value AS kw
             FROM chain c JOIN t f
               ON f.subj = c.cell AND f.pred = '{_RDF_NS}first'
+        """,
+        "kg_bgp_minus": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            req AS (SELECT t.subj AS doc, n.obj_value AS name
+                    FROM exp t JOIN exp n ON n.subj = t.subj
+                    WHERE t.pred = '{RDF_TYPE}'
+                      AND t.obj_value = '{SCHEMA_ORG}Article'
+                      AND n.pred = '{SCHEMA_ORG}name'),
+            en AS (SELECT subj AS doc FROM exp
+                   WHERE pred = '{SCHEMA_ORG}inLanguage'
+                     AND obj_value = 'en')
+            SELECT doc, name FROM req
+            WHERE doc NOT IN (SELECT doc FROM en)
+        """,
+        # sameAs resolution: the simulated alias closure is decade
+        # groups of page subjects; canonical = min member = the decade
+        # leader, so the oracle rewrites subjects arithmetically and
+        # re-aggregates (the Spark side runs the real component loop).
+        "kg_sameas_resolution": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            r AS (SELECT
+                    'http://pages.example.org/page/' || CAST(
+                      CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
+                      - CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
+                        % 10 AS VARCHAR) || '#it' AS subj,
+                    pred, obj_value, obj_kind, obj_datatype, obj_lang, url
+                  FROM exp)
+            SELECT subj, pred, obj_value, obj_kind, obj_datatype, obj_lang,
+                   count(*) AS n_triples, min(url) AS first_url
+            FROM r
+            GROUP BY subj, pred, obj_value, obj_kind, obj_datatype, obj_lang
         """,
         "rdfa_pr_vs_expected": f"""
             WITH exp AS ({expected_triples_sql()})

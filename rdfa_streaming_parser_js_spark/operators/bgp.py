@@ -45,14 +45,30 @@ def _is_var(term: str) -> bool:
 def _compile_group(triples: DataFrame, patterns: list[Pattern],
                    filters: list[str] | None) -> DataFrame:
     from rdfa_streaming_parser_js_spark.operators.paths import (
-        PathExpr, path_pairs)
+        PathExpr, inv, path_pairs)
 
     solution: DataFrame | None = None
     for s, p, o in patterns:
         if isinstance(p, PathExpr):
             # property-path pattern: endpoints bind against the
-            # (a, b) pairs the path engine computes
-            part = path_pairs(triples, p)
+            # (a, b) pairs the path engine computes.  A constant
+            # endpoint seeds the evaluation (frontier BFS from the
+            # bound term) instead of materializing the graph-wide
+            # closure — object-bound paths run inverted and flip.
+            spark = triples.sparkSession
+            if not _is_var(s):
+                part = path_pairs(
+                    triples, p,
+                    seeds=spark.createDataFrame([(s,)], "a string"))
+            elif not _is_var(o):
+                part = (path_pairs(
+                            triples, inv(p),
+                            seeds=spark.createDataFrame([(o,)],
+                                                        "a string"))
+                        .select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+            else:
+                part = path_pairs(triples, p)
             terms = ((s, "a"), (o, "b"))
         else:
             part = triples
@@ -85,7 +101,8 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
 def bgp_match(triples: DataFrame, patterns: list[Pattern],
               select: list[str] | None = None,
               filters: list[str] | None = None,
-              optionals: list[OptionalGroup] | None = None) -> DataFrame:
+              optionals: list[OptionalGroup] | None = None,
+              minus: "list[OptionalGroup] | None" = None) -> DataFrame:
     """Compile a basic graph pattern into a DataFrame join plan.
 
     Each pattern is a ``(subject, predicate, object)`` triple of terms;
@@ -115,6 +132,14 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     group, per SPARQL left-join semantics) and then LEFT-joined on the
     variables shared with the required solution: non-matching solutions
     keep NULL for the group's new variables.
+
+    ``minus``: SPARQL MINUS — each ``(patterns, filters)`` group is
+    compiled the same way and the solutions compatible with it on their
+    shared variables are REMOVED (a left-anti join — Catalyst plans the
+    same broadcast/shuffled anti hash join it uses for NOT IN).  Per
+    SPARQL §8.3.3, a MINUS group sharing no variable with the required
+    group removes nothing (the anti join would wrongly delete
+    everything, so it is skipped).
     """
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
@@ -127,6 +152,12 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
                 "OPTIONAL group shares no variable with the required "
                 f"group: {opt_patterns}")
         solution = solution.join(group, on=shared, how="left")
+    for m_patterns, m_filters in minus or ():
+        group = _compile_group(triples, m_patterns, m_filters)
+        shared = [v for v in group.columns if v in solution.columns]
+        if shared:  # disjoint-domain MINUS is a no-op (SPARQL §8.3.3)
+            solution = solution.join(group.select(*shared),
+                                     on=shared, how="left_anti")
     return solution.select(*select) if select else solution
 
 

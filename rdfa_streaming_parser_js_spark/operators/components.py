@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iterations: int = 20) -> DataFrame:
-    """(id, comp): comp = min node id reachable from id."""
+    """(id, comp): comp = min node id reachable from id.
+
+    Requires NUMERIC node ids: the one-action convergence signal casts
+    labels to decimal (monotone label-sum).  For string ids (IRIs,
+    bnode labels) use :func:`connected_components_star`, whose edge-set
+    signature is type-agnostic."""
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
                                F.col(src).alias("b")))

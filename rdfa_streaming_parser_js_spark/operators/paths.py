@@ -195,17 +195,30 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
 
 
 def transitive_closure(pairs: DataFrame, max_rounds: int = 30,
-                       checkpoint_every: int = 3) -> DataFrame:
+                       checkpoint_every: int = 3,
+                       seeds: DataFrame | None = None) -> DataFrame:
     """Semi-naive transitive closure of an ``(a, b)`` edge set.
 
     One shuffle join + one anti-join + ONE action per round; the
     frontier (delta) shrinks to empty in depth(graph) rounds.  Raises
     if ``max_rounds`` is hit with a non-empty frontier — silent
     truncation would be an incorrect closure.
+
+    ``seeds`` (a one-column ``a`` DataFrame) restricts the closure to
+    pairs whose start is a seed: the frontier begins at the seeds' own
+    edges and only ever explores reachable rows.  With a bound SPARQL
+    endpoint this is the difference between BFS-from-one-node and
+    materializing the full quadratic closure — mandatory at
+    10^13-triple scale.
     """
     base = pairs.select("a", "b").distinct().cache()
-    total = base
-    delta = base
+    if seeds is not None:
+        first = base.join(seeds.select("a").distinct(), "a").cache()
+        total = first
+        delta = first
+    else:
+        total = base
+        delta = base
     for rnd in range(max_rounds):
         grown = (delta.alias("d")
                  .join(base.alias("e"), F.col("d.b") == F.col("e.a"))
@@ -231,24 +244,44 @@ def transitive_closure(pairs: DataFrame, max_rounds: int = 30,
 
 
 def path_pairs(triples: DataFrame, path: PathExpr,
-               max_rounds: int = 30) -> DataFrame:
+               max_rounds: int = 30,
+               seeds: DataFrame | None = None) -> DataFrame:
     """All ``(a, b)`` term pairs connected by ``path`` in the graph.
 
     ``triples`` is the engine's triple table (``subj``, ``pred``,
     ``obj_value`` columns are used; duplicate provenance rows collapse
     to graph-set semantics).  Output columns: ``a``, ``b`` — distinct.
+
+    ``seeds`` (one-column ``a`` DataFrame) restricts evaluation to
+    paths STARTING at a seed term.  Every closure atom is then
+    frontier-seeded too — a branch like ``rest*/first`` explores only
+    the cells reachable from the seeds, never the graph-wide closure.
+    For a path with a bound OBJECT endpoint, evaluate
+    ``path_pairs(t, inv(path), seeds=objs)`` and flip the output.
     """
     out: DataFrame | None = None
     for branch in _branches(path):
         cur: DataFrame | None = None
         for atom in branch:
             if atom is _IDENTITY:
-                nxt = _graph_terms(triples)
+                nxt = (seeds.select("a", F.col("a").alias("b")).distinct()
+                       if seeds is not None else _graph_terms(triples))
             elif atom[0] == "edge":
                 nxt = _edge_pairs(triples, atom[1], atom[2])
+                if cur is None and seeds is not None:
+                    nxt = nxt.join(seeds.select("a").distinct(), "a")
             else:  # ("plus", inner)
                 inner = path_pairs(triples, atom[1], max_rounds)
-                nxt = transitive_closure(inner, max_rounds)
+                if cur is not None:
+                    # closure seeded by the current frontier's ends
+                    frontier = cur.select(F.col("b").alias("a"))
+                    nxt = transitive_closure(inner, max_rounds,
+                                             seeds=frontier)
+                elif seeds is not None:
+                    nxt = transitive_closure(inner, max_rounds,
+                                             seeds=seeds)
+                else:
+                    nxt = transitive_closure(inner, max_rounds)
             if cur is None:
                 cur = nxt
             else:

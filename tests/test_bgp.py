@@ -117,6 +117,24 @@ def test_bgp_optional_requires_shared_variable(spark):
                   optionals=[([("?y", f"{S}name", "?n")], None)])
 
 
+def test_bgp_minus_removes_compatible_solutions(spark):
+    # articles MINUS {articles from srcA} -> none (both are srcA)
+    got = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+                    minus=[([("?x", f"{S}isPartOf", "srcA")], None)])
+    assert got.count() == 0
+    # with a group-local filter: only beta-named articles are removed
+    got = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+                    minus=[([("?x", f"{S}name", "?n")], ["n = 'beta'"])])
+    assert [r.x for r in got.collect()] == ["d1"]
+
+
+def test_bgp_minus_disjoint_domain_is_noop(spark):
+    # SPARQL §8.3.3: MINUS sharing no variable removes nothing
+    got = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+                    minus=[([("?y", RDF_TYPE, f"{S}Person")], None)])
+    assert sorted(r.x for r in got.collect()) == ["d1", "d2"]
+
+
 def test_bgp_union_stacks_with_unbound_nulls(spark):
     arts = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article"),
                                   ("?x", f"{S}name", "?n")])

@@ -132,6 +132,30 @@ def test_bgp_path_with_constant_endpoint(spark):
     assert sorted(r.r for r in got.collect()) == ["b", "c"]
 
 
+def test_seeded_evaluation_equals_filtered_full_closure(spark):
+    kg = _kg(spark)
+    for path in (link(f"{EX}knows"),
+                 plus(link(f"{EX}knows")),
+                 star(link(f"{EX}knows")),
+                 seq(link(f"{EX}knows"), star(link(f"{EX}knows"))),
+                 alt(link(f"{EX}likes"), plus(link(f"{EX}knows")))):
+        full = {p for p in _pairs(path_pairs(kg, path)) if p[0] == "a"}
+        seeded = _pairs(path_pairs(
+            kg, path, seeds=spark.createDataFrame([("a",)], "a string")))
+        assert seeded == full, path
+
+
+def test_bgp_constant_subject_seeds_the_path(spark):
+    # bound subject: frontier BFS — same answer as the full closure
+    got = bgp_match(_kg(spark), [("a", star(link(f"{EX}knows")), "?r")])
+    assert sorted(r.r for r in got.collect()) == ["a", "b", "c"]
+
+
+def test_bgp_constant_object_runs_inverted_seeded(spark):
+    got = bgp_match(_kg(spark), [("?s", plus(link(f"{EX}knows")), "c")])
+    assert sorted(r.s for r in got.collect()) == ["a", "b"]
+
+
 def test_edge_atom_pushes_predicate_to_scan(spark, tmp_path):
     """Plan shape: each edge atom of a path is a constant-pred filter
     that reaches the parquet scan, so a path over a 10^13-triple table
