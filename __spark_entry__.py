@@ -1043,6 +1043,34 @@ def q_kg_bgp_minus(spark, sf_dir):
         select=["doc", "name"])
 
 
+def q_kg_rdfs_entail(spark, sf_dir):
+    """RDFS ρdf materialization over the extracted KG with a
+    deterministic schema.org-style micro-ontology: type inheritance up
+    Article ⊑ CreativeWork ⊑ Thing (rdfs9/rdfs11), name ⊑ rdfs:label
+    (rdfs7), and dateCreated's domain (rdfs2) — output at graph-set
+    semantics."""
+    from rdfa_streaming_parser_js_spark.operators.entailment import (
+        RDFS_NS, RDFS_DOMAIN, RDFS_SUBCLASS, RDFS_SUBPROP, rdfs_entail)
+    ont_rows = [
+        (f"{SCHEMA_ORG}Article", RDFS_SUBCLASS,
+         f"{SCHEMA_ORG}CreativeWork"),
+        (f"{SCHEMA_ORG}CreativeWork", RDFS_SUBCLASS,
+         f"{SCHEMA_ORG}Thing"),
+        (f"{SCHEMA_ORG}name", RDFS_SUBPROP, f"{RDFS_NS}label"),
+        (f"{SCHEMA_ORG}dateCreated", RDFS_DOMAIN,
+         f"{SCHEMA_ORG}CreativeWork"),
+    ]
+    ontology = spark.createDataFrame(
+        [("urn:ontology", s, "iri", p, o, "iri", None, None)
+         for s, p, o in ont_rows],
+        "url string, subj string, subj_kind string, pred string, "
+        "obj_value string, obj_kind string, obj_datatype string, "
+        "obj_lang string")
+    entailed = rdfs_entail(_triples(spark, sf_dir), ontology)
+    return entailed.select("subj", "pred", "obj_value", "obj_kind",
+                           "obj_datatype", "obj_lang").distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1148,6 +1176,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_list_members": q_kg_path_list_members,
         "kg_sameas_resolution": q_kg_sameas_resolution,
         "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_rdfs_entail": q_kg_rdfs_entail,
     }
 
 
@@ -1498,6 +1527,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c.doc AS doc, f.obj_value AS kw
             FROM chain c JOIN t f
               ON f.subj = c.cell AND f.pred = '{_RDF_NS}first'
+        """,
+        # ρdf materialization: asserted graph-set UNION (distinct) the
+        # derived strata — type climb to CreativeWork/Thing, rdfs:label
+        # from name (lang kept), domain-derived CreativeWork collapses
+        # with the subclass-derived one under set semantics.
+        "kg_rdfs_entail": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            base AS (SELECT DISTINCT subj, pred, obj_value, obj_kind,
+                            obj_datatype, obj_lang FROM exp),
+            subjects AS (SELECT DISTINCT subj FROM exp
+                         WHERE pred = '{RDF_TYPE}')
+            SELECT * FROM base
+            UNION
+            SELECT subj, '{RDF_TYPE}', '{SCHEMA_ORG}CreativeWork', 'iri',
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM subjects
+            UNION
+            SELECT subj, '{RDF_TYPE}', '{SCHEMA_ORG}Thing', 'iri',
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM subjects
+            UNION
+            SELECT subj, 'http://www.w3.org/2000/01/rdf-schema#label',
+                   obj_value, obj_kind, obj_datatype, obj_lang
+            FROM base WHERE pred = '{SCHEMA_ORG}name'
         """,
         "kg_bgp_minus": f"""
             WITH exp AS ({expected_triples_sql()}),
