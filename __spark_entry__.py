@@ -1071,6 +1071,22 @@ def q_kg_rdfs_entail(spark, sf_dir):
                            "obj_datatype", "obj_lang").distinct()
 
 
+def q_kg_construct_hasparts(spark, sf_dir):
+    """SPARQL CONSTRUCT: derive the inverse containment graph — each
+    (doc isPartOf src) solution instantiates (src hasPart doc) plus a
+    type assertion for the source — then graph-set dedup."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import (
+        bgp_construct, bgp_match)
+    t = _triples(spark, sf_dir)
+    sols = bgp_match(t, [("?doc", f"{SCHEMA_ORG}isPartOf", "?src")])
+    derived = bgp_construct(sols, [
+        ("?src", f"{SCHEMA_ORG}hasPart", "?doc"),
+        ("?src", RDF_TYPE, f"{SCHEMA_ORG}Collection"),
+    ])
+    return (derived.select("subj", "pred", "obj_value", "obj_kind")
+            .distinct())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1177,6 +1193,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_resolution": q_kg_sameas_resolution,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_rdfs_entail": q_kg_rdfs_entail,
+        "kg_construct_hasparts": q_kg_construct_hasparts,
     }
 
 
@@ -1527,6 +1544,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c.doc AS doc, f.obj_value AS kw
             FROM chain c JOIN t f
               ON f.subj = c.cell AND f.pred = '{_RDF_NS}first'
+        """,
+        "kg_construct_hasparts": f"""
+            WITH p AS ({_PAGES_CTE})
+            SELECT 'http://corpus.example.org/source/' || source AS subj,
+                   '{SCHEMA_ORG}hasPart' AS pred,
+                   url || '#it' AS obj_value, 'iri' AS obj_kind
+            FROM p
+            UNION
+            SELECT 'http://corpus.example.org/source/' || source,
+                   '{RDF_TYPE}', '{SCHEMA_ORG}Collection', 'iri'
+            FROM p
         """,
         # ρdf materialization: asserted graph-set UNION (distinct) the
         # derived strata — type climb to CreativeWork/Thing, rdfs:label

@@ -161,6 +161,57 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     return solution.select(*select) if select else solution
 
 
+def bgp_construct(solutions: DataFrame, template: list[Pattern],
+                  literal_vars: frozenset[str] | set[str] = frozenset()
+                  ) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate a triple template once per
+    solution row, producing a new triples-shaped DataFrame.
+
+    Each template pattern is ``(subject, predicate, object)`` where a
+    ``?var`` term pulls the solution column of that name and any other
+    term is a constant.  Output schema matches the engine's term
+    columns (``subj, subj_kind, pred, obj_value, obj_kind,
+    obj_datatype, obj_lang``); rows where any template position is
+    NULL (an unbound OPTIONAL variable) are dropped, per SPARQL.
+
+    Solution columns are bare strings (bgp_match does not carry term
+    metadata), so object kinds are re-derived from shape (``_:`` →
+    bnode, else iri) unless the variable name is listed in
+    ``literal_vars`` — those emit plain literals (datatype/language of
+    the source literal are not recoverable from a solution mapping;
+    templates that need them should match the typed columns
+    explicitly).  One projection + union per template pattern — no
+    shuffle; dedup to graph-set semantics downstream like every other
+    producer.
+    """
+    if not template:
+        raise ValueError("bgp_construct requires at least one pattern")
+
+    def term(t):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    def kind(t, value):
+        if _is_var(t) and t[1:] in literal_vars:
+            return F.lit("literal")
+        return (F.when(value.startswith("_:"), F.lit("bnode"))
+                .otherwise("iri"))
+
+    out: DataFrame | None = None
+    for s, p, o in template:
+        sv, pv, ov = term(s), term(p), term(o)
+        part = (solutions
+                .filter(sv.isNotNull() & pv.isNotNull() & ov.isNotNull())
+                .select(sv.alias("subj"),
+                        kind(s, sv).alias("subj_kind"),
+                        pv.alias("pred"),
+                        ov.alias("obj_value"),
+                        kind(o, ov).alias("obj_kind"),
+                        F.lit(None).cast("string").alias("obj_datatype"),
+                        F.lit(None).cast("string").alias("obj_lang")))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def bgp_union(*solutions: DataFrame) -> DataFrame:
     """SPARQL UNION of compiled groups: solutions stack by variable
     name; a variable absent from one branch is NULL (unbound) in that

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    bgp_match, bgp_union, entity_table)
+    bgp_construct, bgp_match, bgp_union, entity_table)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 S = "http://schema.org/"
@@ -144,6 +144,41 @@ def test_bgp_union_stacks_with_unbound_nulls(spark):
     rows = {(r.x, r.n, r.src) for r in got.collect()}
     assert rows == {("d1", "alpha", None), ("d2", "beta", None),
                     ("d3", None, "srcB")}
+
+
+def test_bgp_construct_instantiates_template_per_solution(spark):
+    sols = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article"),
+                                  ("?x", f"{S}name", "?n")])
+    got = bgp_construct(sols, [
+        ("?x", f"{S}headline", "?n"),
+        ("?x", RDF_TYPE, f"{S}Thing"),
+    ], literal_vars={"n"})
+    rows = {(r.subj, r.pred, r.obj_value, r.obj_kind)
+            for r in got.collect()}
+    assert rows == {
+        ("d1", f"{S}headline", "alpha", "literal"),
+        ("d2", f"{S}headline", "beta", "literal"),
+        ("d1", RDF_TYPE, f"{S}Thing", "iri"),
+        ("d2", RDF_TYPE, f"{S}Thing", "iri"),
+    }
+    assert got.columns == ["subj", "subj_kind", "pred", "obj_value",
+                           "obj_kind", "obj_datatype", "obj_lang"]
+
+
+def test_bgp_construct_drops_unbound_optional_rows(spark):
+    kg = _kg(spark).union(spark.createDataFrame(
+        [("d4", RDF_TYPE, f"{S}Article")], COLS))
+    sols = bgp_match(kg, [("?x", RDF_TYPE, f"{S}Article")],
+                     optionals=[([("?x", f"{S}isPartOf", "?src")], None)])
+    got = bgp_construct(sols, [("?src", f"{S}hasPart", "?x")])
+    assert {(r.subj, r.obj_value) for r in got.collect()} == {
+        ("srcA", "d1"), ("srcA", "d2")}  # d4's NULL ?src dropped
+
+
+def test_bgp_construct_bnode_kind_derived(spark):
+    sols = spark.createDataFrame([("_:b0", "d1")], ["b", "x"])
+    got = bgp_construct(sols, [("?b", f"{S}about", "?x")]).collect()
+    assert got[0].subj_kind == "bnode" and got[0].obj_kind == "iri"
 
 
 def test_entity_table_pivot_and_nulls(spark):
