@@ -65,7 +65,9 @@ def extract_triples(pages: DataFrame, profile: str = "html",
                     html_col: str = "html",
                     lang_col: str | None = "lang",
                     content_type_col: str | None = None,
-                    passthrough: tuple[str, ...] = ()) -> DataFrame:
+                    passthrough: tuple[str, ...] = (),
+                    vocab: str | None = None,
+                    default_graph: str | None = None) -> DataFrame:
     """pages(url, html[, lang]) → triples DataFrame (TRIPLES_SCHEMA).
 
     ``passthrough`` columns (e.g. ``warc_ts`` for the streaming pipeline's
@@ -77,6 +79,16 @@ def extract_triples(pages: DataFrame, profile: str = "html",
     application/xml / text/xml → xml), mirroring the reference's
     contentType option (/root/reference/lib/RdfaProfile.ts:150-161); rows
     with an unmapped/missing content type fall back to ``profile``.
+
+    ``vocab`` seeds the root evaluation context's default vocabulary,
+    mirroring the reference's ``vocab`` option
+    (/root/reference/lib/RdfaParser.ts:936-939).
+
+    ``default_graph`` mirrors the reference's quad graph term
+    (/root/reference/lib/RdfaParser.ts:37,803-811): the parser emits
+    quads in one constant graph per run, so the columnar equivalent is
+    a constant ``graph`` column appended to the output (omitted — the
+    triple default — when None, leaving existing consumers unchanged).
     """
     cols = [url_col, html_col] + ([lang_col] if lang_col else [])
     if content_type_col:
@@ -118,7 +130,7 @@ def extract_triples(pages: DataFrame, profile: str = "html",
                 extractor = parse_rdfa(html or b"", base_iri=url or "",
                                        profile=profile,
                                        content_type=ctypes[i],
-                                       language=lang or None)
+                                       language=lang or None, vocab=vocab)
                 for s, p, o in extractor.triples:
                     sv, sk, _, _ = _term_cols(s, url, skolemize)
                     ov, ok, odt, olang = _term_cols(o, url, skolemize)
@@ -133,7 +145,11 @@ def extract_triples(pages: DataFrame, profile: str = "html",
                 pass_types.extend(pa.string() for _ in passthrough)
             yield flush()
 
-    return pruned.mapInArrow(run, schema)
+    out = pruned.mapInArrow(run, schema)
+    if default_graph is not None:
+        from pyspark.sql import functions as F
+        out = out.withColumn("graph", F.lit(default_graph))
+    return out
 
 
 _STATS_SCHEMA = ("url string, n_triples long, text_chars long, "

@@ -111,6 +111,35 @@ def test_content_type_routing(spark):
                  "http://purl.org/dc/terms/description")] == "An SVG"
 
 
+def test_vocab_option_seeds_default_vocabulary(spark):
+    """Reference `vocab` option (RdfaParser.ts:936-939): bare terms
+    resolve against the configured default vocabulary."""
+    html = b'<div about="#a"><span property="name">N</span></div>'
+    df = spark.createDataFrame(
+        [("http://e.org/v", bytearray(html), "en")],
+        "url string, html binary, lang string")
+    got = extract_triples(df, vocab="http://schema.org/").collect()
+    assert {r.pred for r in got} == {"http://schema.org/name"}
+    # without the vocab, the bare term does not resolve to a triple
+    assert extract_triples(df).count() == 0
+
+
+def test_default_graph_appends_constant_column(spark):
+    """Reference defaultGraph option (RdfaParser.ts:37,803-811): one
+    constant graph per run -> a constant `graph` column; omitted (the
+    triple default) when not requested."""
+    html = (b'<div about="#a" property="dc:t" '
+            b'prefix="dc: http://purl.org/dc/terms/">T</div>')
+    df = spark.createDataFrame(
+        [("http://e.org/g", bytearray(html), "en")],
+        "url string, html binary, lang string")
+    plain = extract_triples(df)
+    assert "graph" not in plain.columns
+    quads = extract_triples(df, default_graph="http://e.org/graphs/g1")
+    assert quads.columns[-1] == "graph"
+    assert {r.graph for r in quads.collect()} == {"http://e.org/graphs/g1"}
+
+
 def test_page_stats_quarantine(spark):
     """Broken xml pages land as diagnostic rows, not task failures."""
     from rdfa_streaming_parser_js_spark.operators.extract import (
