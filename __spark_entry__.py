@@ -1087,6 +1087,25 @@ def q_kg_construct_hasparts(spark, sf_dir):
             .distinct())
 
 
+def q_kg_describe_entities(spark, sf_dir):
+    """SPARQL DESCRIBE (Concise Bounded Description) of the even-doc
+    article subjects over the rich corpus: seed triples plus the
+    recursive closure over blank nodes reached in object position (the
+    author bnode and both rdf:List cells) — exactly the per-entity
+    export a KG consumer ships."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import describe
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir),
+                        lang_col=None)  # template carries no language
+    seeds = (t.filter((F.col("pred") == RDF_TYPE)
+                      & ((_doc_id_from_url() % 2) == 0))
+             .select(F.col("subj").alias("node")))
+    return describe(t, seeds).select(
+        "url", "subj", "subj_kind", "pred", "obj_value", "obj_kind",
+        "obj_datatype", "obj_lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1194,6 +1213,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_rdfs_entail": q_kg_rdfs_entail,
         "kg_construct_hasparts": q_kg_construct_hasparts,
+        "kg_describe_entities": q_kg_describe_entities,
     }
 
 
@@ -1544,6 +1564,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c.doc AS doc, f.obj_value AS kw
             FROM chain c JOIN t f
               ON f.subj = c.cell AND f.pred = '{_RDF_NS}first'
+        """,
+        # CBD of even-doc article subjects = every rich-corpus triple
+        # of those pages (the bnode closure reaches the author node and
+        # both list cells; nothing else exists on a page).
+        "kg_describe_entities": f"""
+            SELECT * FROM ({_rich_sql()})
+            WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
+                  % 2 = 0
         """,
         "kg_construct_hasparts": f"""
             WITH p AS ({_PAGES_CTE})

@@ -224,6 +224,40 @@ def bgp_union(*solutions: DataFrame) -> DataFrame:
     return out
 
 
+def describe(triples: DataFrame, seeds: DataFrame,
+             max_rounds: int = 30) -> DataFrame:
+    """SPARQL DESCRIBE as a Concise Bounded Description: every triple
+    whose subject is a seed node, plus — recursively — the triples of
+    blank nodes reached in object position (bnodes have no global
+    identity, so an entity export without them would be unusable;
+    IRIs reached in object position are NOT expanded, per CBD).
+
+    ``seeds`` is a one-column ``node`` DataFrame.  Frontier loop: each
+    round joins the (tiny, broadcastable) frontier against the triple
+    table's subject and harvests newly reached bnodes, anti-joined
+    against the seen set — rounds = bnode nesting depth (bounded by DOM
+    depth for RDFa-minted bnodes), ONE action per round.  The instance
+    table is only ever filtered by join, never shuffled.
+    """
+    seen = seeds.select("node").distinct().localCheckpoint(eager=True)
+    frontier = seen
+    out: DataFrame | None = None
+    for _ in range(max_rounds):
+        hop = (triples.join(F.broadcast(frontier),
+                            triples.subj == F.col("node")).drop("node"))
+        out = hop if out is None else out.unionByName(hop)
+        reached = (hop.filter(F.col("obj_kind") == "bnode")
+                   .select(F.col("obj_value").alias("node")).distinct())
+        frontier = (reached.join(seen, "node", "left_anti")
+                    .localCheckpoint(eager=True))
+        if not frontier.take(1):  # one action: frontier drained?
+            return out
+        seen = seen.union(frontier).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"describe did not drain its bnode frontier in {max_rounds} "
+        "rounds; raise max_rounds for deeper bnode nesting")
+
+
 def entity_table(triples: DataFrame, type_iri: str,
                  properties: dict[str, str]) -> DataFrame:
     """Materialize a wide typed-entity view: one row per subject typed

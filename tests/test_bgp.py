@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    bgp_construct, bgp_match, bgp_union, entity_table)
+    bgp_construct, bgp_match, bgp_union, describe, entity_table)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 S = "http://schema.org/"
@@ -179,6 +179,56 @@ def test_bgp_construct_bnode_kind_derived(spark):
     sols = spark.createDataFrame([("_:b0", "d1")], ["b", "x"])
     got = bgp_construct(sols, [("?b", f"{S}about", "?x")]).collect()
     assert got[0].subj_kind == "bnode" and got[0].obj_kind == "iri"
+
+
+DESCRIBE_COLS = ["subj", "pred", "obj_value", "obj_kind"]
+
+
+def _describe_kg(spark):
+    return spark.createDataFrame([
+        ("d1", f"{S}name", "alpha", "literal"),
+        ("d1", f"{S}author", "_:b1", "bnode"),
+        ("_:b1", f"{S}name", "ann", "literal"),
+        ("_:b1", f"{S}knows", "_:b2", "bnode"),   # nested bnode
+        ("_:b2", f"{S}name", "bob", "literal"),
+        ("d1", f"{S}isPartOf", "srcA", "iri"),    # IRI: NOT expanded
+        ("srcA", f"{S}name", "source a", "literal"),
+        ("d9", f"{S}name", "other", "literal"),   # unreachable
+    ], DESCRIBE_COLS)
+
+
+def test_describe_follows_bnodes_not_iris(spark):
+    seeds = spark.createDataFrame([("d1",)], ["node"])
+    got = {(r.subj, r.pred, r.obj_value)
+           for r in describe(_describe_kg(spark), seeds).collect()}
+    assert got == {
+        ("d1", f"{S}name", "alpha"),
+        ("d1", f"{S}author", "_:b1"),
+        ("d1", f"{S}isPartOf", "srcA"),
+        ("_:b1", f"{S}name", "ann"),
+        ("_:b1", f"{S}knows", "_:b2"),
+        ("_:b2", f"{S}name", "bob"),
+    }
+
+
+def test_describe_multi_seed_and_shared_bnode_once(spark):
+    kg = _describe_kg(spark).union(spark.createDataFrame(
+        [("d9", f"{S}author", "_:b1", "bnode")], DESCRIBE_COLS))
+    seeds = spark.createDataFrame([("d1",), ("d9",)], ["node"])
+    got = describe(kg, seeds)
+    # _:b1 reached from both seeds -> its triples appear exactly once
+    assert got.filter((F.col("subj") == "_:b1")
+                      & (F.col("pred") == f"{S}name")).count() == 1
+
+
+def test_describe_raises_on_unbounded_depth(spark):
+    import pytest as _pytest
+    kg = spark.createDataFrame(
+        [(f"_:b{i}", f"{S}next", f"_:b{i+1}", "bnode") for i in range(9)],
+        DESCRIBE_COLS)
+    seeds = spark.createDataFrame([("_:b0",)], ["node"])
+    with _pytest.raises(RuntimeError, match="frontier"):
+        describe(kg, seeds, max_rounds=3)
 
 
 def test_entity_table_pivot_and_nulls(spark):
