@@ -1106,6 +1106,33 @@ def q_kg_describe_entities(spark, sf_dir):
         "obj_datatype", "obj_lang")
 
 
+def q_kg_shacl_report(spark, sf_dir):
+    """SHACL-lite validation report gating KG publication: required
+    keywords (minCount — every page lacks them), a language whitelist
+    (sh:in — non-en/es pages violate), a wordCount lexical pattern
+    (data-conditional), plus two shapes the corpus satisfies (name
+    cardinality, isPartOf nodeKind) proving the validator stays silent
+    on conforming data."""
+    from rdfa_streaming_parser_js_spark.operators.validate import (
+        PropertyShape, shacl_report)
+    shapes = [
+        PropertyShape("sh:article-name", f"{SCHEMA_ORG}Article",
+                      f"{SCHEMA_ORG}name", min_count=1, max_count=1),
+        PropertyShape("sh:article-keywords", f"{SCHEMA_ORG}Article",
+                      f"{SCHEMA_ORG}keywords", min_count=1),
+        PropertyShape("sh:article-lang", f"{SCHEMA_ORG}Article",
+                      f"{SCHEMA_ORG}inLanguage",
+                      in_values=("en", "es")),
+        PropertyShape("sh:article-wc", f"{SCHEMA_ORG}Article",
+                      f"{SCHEMA_ORG}wordCount",
+                      datatype=f"{XSD}integer",
+                      pattern="^[2-9][0-9]$"),
+        PropertyShape("sh:article-src", f"{SCHEMA_ORG}Article",
+                      f"{SCHEMA_ORG}isPartOf", node_kind="iri"),
+    ]
+    return shacl_report(_triples(spark, sf_dir), shapes)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1214,6 +1241,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entail": q_kg_rdfs_entail,
         "kg_construct_hasparts": q_kg_construct_hasparts,
         "kg_describe_entities": q_kg_describe_entities,
+        "kg_shacl_report": q_kg_shacl_report,
     }
 
 
@@ -1572,6 +1600,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({_rich_sql()})
             WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
                   % 2 = 0
+        """,
+        # shapes over the uniform template corpus: keywords are always
+        # absent (minCount fires per page), the lang whitelist and the
+        # wordCount pattern are data-conditional, name/isPartOf conform.
+        "kg_shacl_report": f"""
+            WITH p AS (
+              SELECT 'http://pages.example.org/page/'
+                       || CAST(doc_id AS VARCHAR) || '#it'
+                       AS focus,
+                     CAST(len(string_split(text, ' ')) AS VARCHAR) AS nw,
+                     lang
+              FROM documents)
+            SELECT focus, 'sh:article-keywords' AS shape_id,
+                   'minCount' AS "constraint",
+                   '{SCHEMA_ORG}keywords' AS path,
+                   '0' AS value, 'minCount 1' AS detail FROM p
+            UNION ALL
+            SELECT focus, 'sh:article-lang', 'in',
+                   '{SCHEMA_ORG}inLanguage', lang, 'en,es'
+            FROM p WHERE lang NOT IN ('en', 'es')
+            UNION ALL
+            SELECT focus, 'sh:article-wc', 'pattern',
+                   '{SCHEMA_ORG}wordCount', nw, '^[2-9][0-9]$'
+            FROM p WHERE NOT regexp_matches(nw, '^[2-9][0-9]$')
         """,
         "kg_construct_hasparts": f"""
             WITH p AS ({_PAGES_CTE})

@@ -1,0 +1,88 @@
+"""SHACL-lite shape validation (operators/validate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfa_streaming_parser_js_spark.operators.validate import (
+    PropertyShape, RDF_TYPE, conforms, shacl_report)
+
+S = "http://schema.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+COLS = ("subj string, pred string, obj_value string, obj_kind string, "
+        "obj_datatype string, obj_lang string")
+
+
+def _kg(spark):
+    rows = [
+        # d1: conforming article
+        ("d1", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d1", f"{S}name", "alpha", "literal", None, "en"),
+        ("d1", f"{S}wordCount", "10", "literal", f"{XSD}integer", None),
+        ("d1", f"{S}isPartOf", "http://src/a", "iri", None, None),
+        # d2: missing name (minCount), two wordCounts (maxCount), one of
+        # them a plain literal (datatype), literal isPartOf (nodeKind)
+        ("d2", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d2", f"{S}wordCount", "7", "literal", f"{XSD}integer", None),
+        ("d2", f"{S}wordCount", "seven", "literal", None, None),
+        ("d2", f"{S}isPartOf", "just text", "literal", None, None),
+        # d3: not an Article — never a focus node, violates nothing
+        ("d3", RDF_TYPE, f"{S}Person", "iri", None, None),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+SHAPES = [
+    PropertyShape("sh:name", f"{S}Article", f"{S}name", min_count=1,
+                  max_count=1),
+    PropertyShape("sh:wc", f"{S}Article", f"{S}wordCount", max_count=1,
+                  datatype=f"{XSD}integer", pattern="^[0-9]+$"),
+    PropertyShape("sh:src", f"{S}Article", f"{S}isPartOf",
+                  node_kind="iri"),
+]
+
+
+def test_shacl_report_components(spark):
+    rep = shacl_report(_kg(spark), SHAPES)
+    got = {(r.focus, r.shape_id, r.constraint, r.value)
+           for r in rep.collect()}
+    assert got == {
+        ("d2", "sh:name", "minCount", "0"),
+        ("d2", "sh:wc", "maxCount", "2"),
+        ("d2", "sh:wc", "datatype", "seven"),
+        ("d2", "sh:wc", "pattern", "seven"),
+        ("d2", "sh:src", "nodeKind", "just text"),
+    }
+
+
+def test_conforms_and_clean_subset(spark):
+    kg = _kg(spark).filter(F.col("subj") != "d2")
+    assert conforms(kg, SHAPES)
+    assert not conforms(_kg(spark), SHAPES)
+
+
+def test_min_count_zero_is_vacuous_and_in_values(spark):
+    shapes = [
+        PropertyShape("sh:opt", f"{S}Article", f"{S}missing",
+                      min_count=0),
+        PropertyShape("sh:lang", f"{S}Article", f"{S}name",
+                      in_values=("beta", "gamma")),
+    ]
+    rep = shacl_report(_kg(spark), shapes).collect()
+    assert {(r.shape_id, r.focus, r.value) for r in rep} == {
+        ("sh:lang", "d1", "alpha")}
+
+
+def test_empty_shapes_empty_report(spark):
+    rep = shacl_report(_kg(spark), [])
+    assert rep.columns == ["focus", "shape_id", "constraint", "path",
+                           "value", "detail"]
+    assert rep.count() == 0
+
+
+def test_report_plan_filters_pred_before_join(spark):
+    """The value-row join input must be the property slice (pred filter
+    pushed below the join), not the whole graph."""
+    rep = shacl_report(_kg(spark), SHAPES[:1])
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnotnull(pred" in plan
