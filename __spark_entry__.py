@@ -1133,6 +1133,22 @@ def q_kg_shacl_report(spark, sf_dir):
     return shacl_report(_triples(spark, sf_dir), shapes)
 
 
+VOID_DATASET_IRI = "http://corpus.example.org/void/dataset"
+
+
+def q_kg_void_stats(spark, sf_dir):
+    """W3C VoID description of the constructed KG — dataset statistics
+    emitted as RDF triples (global counts + class and property
+    partitions with md5-derived partition nodes), computed over the
+    graph-set (distinct) view of the extraction."""
+    from rdfa_streaming_parser_js_spark.operators.void_stats import (
+        void_description)
+    g = (_triples(spark, sf_dir)
+         .select("subj", "pred", "obj_value", "obj_kind",
+                 "obj_datatype", "obj_lang").distinct())
+    return void_description(g, VOID_DATASET_IRI)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gates the first 50 dict
     positions, so the surface is pruned to fit the gate window entirely
@@ -1242,6 +1258,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_hasparts": q_kg_construct_hasparts,
         "kg_describe_entities": q_kg_describe_entities,
         "kg_shacl_report": q_kg_shacl_report,
+        "kg_void_stats": q_kg_void_stats,
     }
 
 
@@ -1600,6 +1617,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({_rich_sql()})
             WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
                   % 2 = 0
+        """,
+        # VoID over the distinct graph-set: md5-derived partition nodes
+        # make the description engine-independent; counts are exact
+        # xsd:integer lexical forms.
+        "kg_void_stats": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            g AS (SELECT DISTINCT subj, pred, obj_value, obj_kind,
+                         obj_datatype, obj_lang FROM exp),
+            gstats AS (
+              SELECT CAST(count(*) AS VARCHAR) AS n_triples,
+                     CAST(count(DISTINCT subj) AS VARCHAR) AS n_subj,
+                     CAST(count(DISTINCT obj_value) AS VARCHAR) AS n_obj,
+                     CAST(count(DISTINCT pred) AS VARCHAR) AS n_pred,
+                     CAST(count(DISTINCT CASE WHEN pred = '{RDF_TYPE}'
+                          THEN obj_value END) AS VARCHAR) AS n_class
+              FROM g),
+            cls AS (
+              SELECT obj_value AS c,
+                     CAST(count(DISTINCT subj) AS VARCHAR) AS n_entities
+              FROM g WHERE pred = '{RDF_TYPE}' GROUP BY obj_value),
+            prop AS (
+              SELECT pred AS p, CAST(count(*) AS VARCHAR) AS n_triples,
+                     CAST(count(DISTINCT subj) AS VARCHAR) AS n_subj
+              FROM g GROUP BY pred)
+            SELECT '{VOID_DATASET_IRI}' AS subj, pred, obj_value,
+                   obj_kind, obj_datatype,
+                   CAST(NULL AS VARCHAR) AS obj_lang
+            FROM (
+              SELECT '{RDF_TYPE}' AS pred,
+                     'http://rdfs.org/ns/void#Dataset' AS obj_value,
+                     'iri' AS obj_kind,
+                     CAST(NULL AS VARCHAR) AS obj_datatype FROM gstats
+              UNION ALL SELECT 'http://rdfs.org/ns/void#triples',
+                     n_triples, 'literal', '{XSD}integer' FROM gstats
+              UNION ALL SELECT 'http://rdfs.org/ns/void#distinctSubjects',
+                     n_subj, 'literal', '{XSD}integer' FROM gstats
+              UNION ALL SELECT 'http://rdfs.org/ns/void#distinctObjects',
+                     n_obj, 'literal', '{XSD}integer' FROM gstats
+              UNION ALL SELECT 'http://rdfs.org/ns/void#properties',
+                     n_pred, 'literal', '{XSD}integer' FROM gstats
+              UNION ALL SELECT 'http://rdfs.org/ns/void#classes',
+                     n_class, 'literal', '{XSD}integer' FROM gstats
+              UNION ALL SELECT 'http://rdfs.org/ns/void#classPartition',
+                     '{VOID_DATASET_IRI}#class-' || md5(c), 'iri', NULL
+                     FROM cls
+              UNION ALL SELECT 'http://rdfs.org/ns/void#propertyPartition',
+                     '{VOID_DATASET_IRI}#prop-' || md5(p), 'iri', NULL
+                     FROM prop
+            )
+            UNION ALL
+            SELECT '{VOID_DATASET_IRI}#class-' || md5(c),
+                   'http://rdfs.org/ns/void#class', c, 'iri',
+                   NULL, NULL FROM cls
+            UNION ALL
+            SELECT '{VOID_DATASET_IRI}#class-' || md5(c),
+                   'http://rdfs.org/ns/void#entities', n_entities,
+                   'literal', '{XSD}integer', NULL FROM cls
+            UNION ALL
+            SELECT '{VOID_DATASET_IRI}#prop-' || md5(p),
+                   'http://rdfs.org/ns/void#property', p, 'iri',
+                   NULL, NULL FROM prop
+            UNION ALL
+            SELECT '{VOID_DATASET_IRI}#prop-' || md5(p),
+                   'http://rdfs.org/ns/void#triples', n_triples,
+                   'literal', '{XSD}integer', NULL FROM prop
+            UNION ALL
+            SELECT '{VOID_DATASET_IRI}#prop-' || md5(p),
+                   'http://rdfs.org/ns/void#distinctSubjects', n_subj,
+                   'literal', '{XSD}integer', NULL FROM prop
         """,
         # shapes over the uniform template corpus: keywords are always
         # absent (minCount fires per page), the lang whitelist and the
