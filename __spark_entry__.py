@@ -1133,6 +1133,22 @@ def q_kg_shacl_report(spark, sf_dir):
     return shacl_report(_triples(spark, sf_dir), shapes)
 
 
+def q_kg_skolemized_graph(spark, sf_dir):
+    """RDF 1.1 skolemization of the rich corpus graph: every
+    deterministic per-url blank node becomes its well-known genid IRI
+    (pure projection, shuffle-free), making the published graph
+    joinable across systems; deskolemize() inverts it losslessly
+    (round-trip pytest-gated)."""
+    from rdfa_streaming_parser_js_spark.functions.skolem import skolemize
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir),
+                        lang_col=None)
+    return skolemize(t, "corpus.example.org").select(
+        "url", "subj", "subj_kind", "pred", "obj_value", "obj_kind",
+        "obj_datatype", "obj_lang")
+
+
 VOID_DATASET_IRI = "http://corpus.example.org/void/dataset"
 
 
@@ -1259,6 +1275,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe_entities": q_kg_describe_entities,
         "kg_shacl_report": q_kg_shacl_report,
         "kg_void_stats": q_kg_void_stats,
+        "kg_skolemized_graph": q_kg_skolemized_graph,
     }
 
 
@@ -1617,6 +1634,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({_rich_sql()})
             WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
                   % 2 = 0
+        """,
+        "kg_skolemized_graph": f"""
+            WITH r AS ({_rich_sql()})
+            SELECT url,
+                   CASE WHEN subj_kind = 'bnode'
+                        THEN 'https://corpus.example.org/.well-known/genid/'
+                             || substr(subj, 3)
+                        ELSE subj END AS subj,
+                   CASE WHEN subj_kind = 'bnode' THEN 'iri'
+                        ELSE subj_kind END AS subj_kind,
+                   pred,
+                   CASE WHEN obj_kind = 'bnode'
+                        THEN 'https://corpus.example.org/.well-known/genid/'
+                             || substr(obj_value, 3)
+                        ELSE obj_value END AS obj_value,
+                   CASE WHEN obj_kind = 'bnode' THEN 'iri'
+                        ELSE obj_kind END AS obj_kind,
+                   obj_datatype, obj_lang
+            FROM r
         """,
         # VoID over the distinct graph-set: md5-derived partition nodes
         # make the description engine-independent; counts are exact
