@@ -73,6 +73,13 @@ class Alt(PathExpr):
 
 
 @dataclass(frozen=True)
+class Nps(PathExpr):
+    """Negated property set ``!(p1|...|pn)`` — one forward edge via any
+    predicate NOT in the set (SPARQL 1.1 §9.1)."""
+    preds: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class Plus(PathExpr):
     inner: PathExpr
 
@@ -106,6 +113,14 @@ def alt(*parts: PathExpr) -> PathExpr:
     return parts[0] if len(parts) == 1 else Alt(tuple(parts))
 
 
+def nps(*preds: str) -> PathExpr:
+    """``!(p1|p2|...)`` — negated property set.  ``inv(nps(...))`` is
+    the inverse form ``!(^p1|^p2|...)``."""
+    if not preds:
+        raise ValueError("nps requires at least one predicate")
+    return Nps(tuple(preds))
+
+
 def plus(p: PathExpr) -> PathExpr:
     """``path+`` — one-or-more (transitive closure)."""
     return Plus(p)
@@ -127,7 +142,7 @@ _IDENTITY = "identity"  # zero-length marker atom
 
 
 def _invert(p: PathExpr) -> PathExpr:
-    if isinstance(p, Link):
+    if isinstance(p, (Link, Nps)):
         return Inv(p)
     if isinstance(p, Inv):
         return p.inner
@@ -151,9 +166,13 @@ def _branches(p: PathExpr) -> list[list]:
     """
     if isinstance(p, Link):
         return [[("edge", p.pred, False)]]
+    if isinstance(p, Nps):
+        return [[("nedge", p.preds, False)]]
     if isinstance(p, Inv):
         inner = _invert(p.inner)
-        if isinstance(inner, Inv):  # Inv(Link) stays primitive
+        if isinstance(inner, Inv):  # Inv(Link)/Inv(Nps) stay primitive
+            if isinstance(inner.inner, Nps):
+                return [[("nedge", inner.inner.preds, True)]]
             return [[("edge", inner.inner.pred, True)]]
         return _branches(inner)
     if isinstance(p, Alt):
@@ -182,6 +201,13 @@ def _drop_identity(branch: list) -> list:
 def _edge_pairs(triples: DataFrame, pred: str,
                 inverted: bool) -> DataFrame:
     e = triples.filter(F.col("pred") == pred)
+    a, b = ("obj_value", "subj") if inverted else ("subj", "obj_value")
+    return e.select(F.col(a).alias("a"), F.col(b).alias("b"))
+
+
+def _nedge_pairs(triples: DataFrame, preds: tuple[str, ...],
+                 inverted: bool) -> DataFrame:
+    e = triples.filter(~F.col("pred").isin(list(preds)))
     a, b = ("obj_value", "subj") if inverted else ("subj", "obj_value")
     return e.select(F.col(a).alias("a"), F.col(b).alias("b"))
 
@@ -266,8 +292,10 @@ def path_pairs(triples: DataFrame, path: PathExpr,
             if atom is _IDENTITY:
                 nxt = (seeds.select("a", F.col("a").alias("b")).distinct()
                        if seeds is not None else _graph_terms(triples))
-            elif atom[0] == "edge":
-                nxt = _edge_pairs(triples, atom[1], atom[2])
+            elif atom[0] in ("edge", "nedge"):
+                pairs_of = (_edge_pairs if atom[0] == "edge"
+                            else _nedge_pairs)
+                nxt = pairs_of(triples, atom[1], atom[2])
                 if cur is None and seeds is not None:
                     nxt = nxt.join(seeds.select("a").distinct(), "a")
             else:  # ("plus", inner)

@@ -166,3 +166,20 @@ def test_edge_atom_pushes_predicate_to_scan(spark, tmp_path):
     plan = (path_pairs(t, seq(link(f"{EX}knows"), link(f"{EX}likes")))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in plan
+
+
+def test_nps_excludes_listed_predicates(spark):
+    from rdfa_streaming_parser_js_spark.operators.paths import nps
+    got = path_pairs(_kg(spark), nps(f"{EX}knows"))
+    assert _pairs(got) == {("a", "c")}
+
+
+def test_nps_inverse_and_seq(spark):
+    from rdfa_streaming_parser_js_spark.operators.paths import nps
+    # ^!(likes): everything but likes, inverted
+    got = path_pairs(_kg(spark), inv(nps(f"{EX}likes")))
+    assert _pairs(got) == {("b", "a"), ("c", "b"), ("y", "x"), ("x", "y")}
+    # !(likes)/!(likes) == knows/knows here — composes like any atom
+    got2 = path_pairs(_kg(spark), seq(nps(f"{EX}likes"),
+                                      nps(f"{EX}likes")))
+    assert _pairs(got2) == {("a", "c"), ("x", "x"), ("y", "y")}
