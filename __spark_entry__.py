@@ -1149,6 +1149,63 @@ def q_kg_skolemized_graph(spark, sf_dir):
         "obj_datatype", "obj_lang")
 
 
+def q_nquads_roundtrip(spark, sf_dir):
+    """N-Quads interchange identity: extraction → 4-term named-graph
+    serialization (graph = page url) → distributed parse — the quad
+    flavor of ntriples_roundtrip, matching the reference's
+    defaultGraph-bearing quad output."""
+    from rdfa_streaming_parser_js_spark.functions.nquads import (
+        nquads_lines, parse_nquads_lines)
+    lines = nquads_lines(_triples(spark, sf_dir)).select("line")
+    return parse_nquads_lines(lines).select(
+        "graph", "graph_kind", "subj", "subj_kind", "pred", "obj_value",
+        "obj_kind", "obj_datatype", "obj_lang")
+
+
+def q_kg_property_coverage(spark, sf_dir):
+    """Schema profiling over the combined base + rich corpora: per
+    (class, property), how many class instances carry the property —
+    base-only Article properties land at 500 per-mille because the rich
+    corpus doubles the Article population."""
+    from rdfa_streaming_parser_js_spark.operators.profile import (
+        class_property_coverage)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    cols = ["subj", "pred", "obj_value"]
+    t = (_triples(spark, sf_dir).select(cols).unionByName(
+        extract_triples(rich_pages_from_documents(spark, sf_dir),
+                        lang_col=None).select(cols)))
+    return class_property_coverage(t)
+
+
+def q_kg_asof_snapshot(spark, sf_dir):
+    """Time-travel read over three synthetic crawl generations: as-of a
+    cutoff between capture 2 and capture 3, every %4==1 url shows its
+    recrawled (uppercased-language) state, later captures are invisible,
+    everything else shows capture 1."""
+    from rdfa_streaming_parser_js_spark.operators.temporal import as_of
+    t = _triples(spark, sf_dir)
+    doc_id = _doc_id_from_url()
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    v1 = t.withColumn("warc_ts", ts("2024-01-01"))
+    v2 = (t.filter((doc_id % 4) == 1)
+          .withColumn("obj_value",
+                      F.when(F.col("pred").endswith("inLanguage"),
+                             F.upper("obj_value"))
+                      .otherwise(F.col("obj_value")))
+          .withColumn("warc_ts", ts("2024-06-01")))
+    v3 = (t.filter((doc_id % 8) == 1)
+          .withColumn("obj_value",
+                      F.when(F.col("pred").endswith("name"),
+                             F.upper("obj_value"))
+                      .otherwise(F.col("obj_value")))
+          .withColumn("warc_ts", ts("2024-12-01")))
+    captures = v1.unionByName(v2).unionByName(v3)
+    return (as_of(captures, ts("2024-07-01"))
+            .select("url", "subj", "subj_kind", "pred", "obj_value",
+                    "obj_kind", "obj_datatype", "obj_lang"))
+
+
 VOID_DATASET_IRI = "http://corpus.example.org/void/dataset"
 
 
@@ -1202,33 +1259,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_same_source": q_kg_bgp_same_source,
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
         "kg_entity_table": q_kg_entity_table,
+        # -- round-3 SPARQL/KG slab (first driver rows this round) ----
+        "kg_path_list_members": q_kg_path_list_members,
+        "kg_sameas_resolution": q_kg_sameas_resolution,
+        "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_rdfs_entail": q_kg_rdfs_entail,
+        "kg_construct_hasparts": q_kg_construct_hasparts,
+        "kg_describe_entities": q_kg_describe_entities,
+        "kg_shacl_report": q_kg_shacl_report,
+        "kg_void_stats": q_kg_void_stats,
+        "kg_skolemized_graph": q_kg_skolemized_graph,
         # -- extraction kernel + KG core ------------------------------
         "rdfa_extract": q_rdfa_extract,
         "rdfa_extract_rich": q_rdfa_extract_rich,
-        "rdfa_ntriples": q_rdfa_ntriples,
         "rdfa_extract_xmlcopy": q_rdfa_extract_xmlcopy,
         "rdfa_extract_role_time": q_rdfa_extract_role_time,
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_text_invariant": q_rdfa_text_invariant,
-        "rdfa_graph_canonical": q_rdfa_graph_canonical,
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
-        "salted_object_counts": q_salted_object_counts,
         "entity_link_top1": q_entity_link_top1,
         # -- relational core ------------------------------------------
-        "join_revenue_by_nation": q_join_revenue_by_nation,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         # -- training-data pipeline -----------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters_star": q_dedup_clusters_star,
         "embedding_cosine_topk": q_embedding_cosine_topk,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_repetition": q_text_repetition,
     }
 
 
@@ -1266,16 +1324,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_event_type": q_percentiles_by_event_type,
         "deterministic_sample": q_deterministic_sample,
         "text_fingerprint": q_text_fingerprint,
-        # round-3 additions awaiting their rotation into the window
-        "kg_path_list_members": q_kg_path_list_members,
-        "kg_sameas_resolution": q_kg_sameas_resolution,
-        "kg_bgp_minus": q_kg_bgp_minus,
-        "kg_rdfs_entail": q_kg_rdfs_entail,
-        "kg_construct_hasparts": q_kg_construct_hasparts,
-        "kg_describe_entities": q_kg_describe_entities,
-        "kg_shacl_report": q_kg_shacl_report,
-        "kg_void_stats": q_kg_void_stats,
-        "kg_skolemized_graph": q_kg_skolemized_graph,
+        # retired in the late-round-3 rotation that pulled the SPARQL/KG
+        # slab into the window (all driver-green r01+r02; see SURVEY §2.4)
+        "rdfa_ntriples": q_rdfa_ntriples,
+        "rdfa_graph_canonical": q_rdfa_graph_canonical,
+        "salted_object_counts": q_salted_object_counts,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_lang_id": q_text_lang_id,
+        "text_repetition": q_text_repetition,
+        # round-3 late additions awaiting their first rotation
+        "nquads_roundtrip": q_nquads_roundtrip,
+        "kg_property_coverage": q_kg_property_coverage,
+        "kg_asof_snapshot": q_kg_asof_snapshot,
     }
 
 
@@ -1634,6 +1697,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({_rich_sql()})
             WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
                   % 2 = 0
+        """,
+        # serialize→parse identity: the parsed quads must equal the
+        # expected triples with the page url as the (iri) graph label
+        "nquads_roundtrip": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT url AS graph, 'iri' AS graph_kind, subj, subj_kind,
+                   pred, obj_value, obj_kind, obj_datatype, obj_lang
+            FROM exp
+        """,
+        "kg_property_coverage": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            rich AS ({_rich_sql()}),
+            g AS (SELECT subj, pred, obj_value FROM exp
+                  UNION ALL
+                  SELECT subj, pred, obj_value FROM rich),
+            inst AS (SELECT DISTINCT subj, obj_value AS cls FROM g
+                     WHERE pred = '{RDF_TYPE}'),
+            sizes AS (SELECT cls, count(*) AS n_class_subjects
+                      FROM inst GROUP BY cls),
+            props AS (SELECT DISTINCT subj, pred FROM g
+                      WHERE pred <> '{RDF_TYPE}'),
+            cov AS (SELECT cls, pred, count(*) AS n_subjects
+                    FROM inst JOIN props USING (subj)
+                    GROUP BY cls, pred)
+            SELECT cls, pred, n_subjects, n_class_subjects,
+                   n_subjects * 1000 // n_class_subjects
+                     AS coverage_permille
+            FROM cov JOIN sizes USING (cls)
+        """,
+        # as-of 2024-07-01: capture-2 urls (%4==1) show the recrawled
+        # state, capture 3 is after the cutoff — identical in shape to
+        # the recrawl-merge oracle
+        "kg_asof_snapshot": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            new AS (SELECT url, subj, subj_kind, pred,
+                           CASE WHEN pred LIKE '%inLanguage'
+                                THEN upper(obj_value) ELSE obj_value END
+                               AS obj_value,
+                           obj_kind, obj_datatype, obj_lang
+                    FROM exp
+                    WHERE CAST(regexp_extract(url,'(\\d+)$',1) AS BIGINT)
+                          % 4 = 1)
+            SELECT * FROM exp
+            WHERE url NOT IN (SELECT DISTINCT url FROM new)
+            UNION ALL
+            SELECT * FROM new
         """,
         "kg_skolemized_graph": f"""
             WITH r AS ({_rich_sql()})
