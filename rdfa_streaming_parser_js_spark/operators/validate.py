@@ -7,28 +7,28 @@ publication on a validation report: which entities are missing required
 properties, carry the wrong datatype, or point at the wrong node kind.
 This module implements the workhorse SHACL core constraint components
 (sh:minCount / sh:maxCount / sh:datatype / sh:nodeKind / sh:in /
-sh:pattern) as Catalyst plans.
+sh:pattern) as ONE Catalyst plan for the whole shapes graph.
 
-Shapes are driver-side metadata (a real shapes graph is a few hundred
-rows — ontology-sized, never big data), so each constraint compiles to
-a declarative plan over the triple table:
+Scale shape — the shapes graph is data, not plan:
+- Shapes become a broadcast DataFrame (a real shapes graph is a few
+  hundred rows — ontology-sized).  A naive per-shape loop would union
+  one subplan per shape (plan size O(shapes)) and re-run the upstream
+  pipeline once per branch; here the instance table is scanned a fixed
+  number of times however many shapes there are.
+- Focus selection: the rdf:type slice joined (broadcast) to the shapes'
+  target classes.
+- Value rows: the property slice joined (broadcast) on the shape path,
+  then an equi-join on the focus subject — keyed on the graph's natural
+  subject key, co-located on bucketed graph tables.
+- The value-row set is materialized once (``localCheckpoint``) and
+  feeds all four row-local constraint checks plus the cardinality
+  aggregate — without it, each report branch would re-run extraction.
+- minCount additionally needs the zero-count foci — a left-anti join
+  from the (focus × shape) set against the value-bearing pairs
+  (counting can't see absent groups).
 
-- Focus selection: one filtered projection per target class
-  (``pred = rdf:type AND obj_value = <class>``) — pushed to the scan.
-- Value rows: focus ⨝ triples on ``subj`` restricted to the shape's
-  path predicate.  The pred filter lands in the scan too, so the join
-  input is the property's slice, not the graph.
-- Cardinality: groupBy(focus) count, compared to min/max.  minCount
-  additionally needs the zero-count foci — a left-anti join from the
-  focus set against the value-bearing foci (counting can't see absent
-  groups).
-- Value constraints (datatype / nodeKind / in / pattern): row-local
-  predicates on the value rows — pure codegen, no shuffle at all.
-
-Scale shape: every shuffle is keyed on the focus subject and operates
-on one property slice of one class — the full graph is never shuffled.
-Violations of all shapes/components are unioned into one report with a
-deterministic schema, ready to gate a publish step or to route rows to
+Violations of all components are unioned into one report with a
+deterministic schema, ready to gate a publish step or route entities to
 quarantine (the same pattern as operators/extract's parse_error
 column).
 """
@@ -45,6 +45,11 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 REPORT_COLUMNS = ["focus", "shape_id", "constraint", "path", "value",
                   "detail"]
+
+_SHAPE_SCHEMA = ("shape_id string, target_class string, path string, "
+                 "min_count int, max_count int, datatype string, "
+                 "node_kind string, in_values array<string>, "
+                 "pattern string")
 
 
 @dataclass(frozen=True)
@@ -63,19 +68,19 @@ class PropertyShape:
     pattern: Optional[str] = None        # RLIKE over obj_value
 
 
-def _focus_nodes(triples: DataFrame, target_class: str) -> DataFrame:
-    return (triples.filter((F.col("pred") == RDF_TYPE)
-                           & (F.col("obj_value") == target_class))
-            .select(F.col("subj").alias("focus")).distinct())
+def _shapes_df(spark, shapes: Sequence[PropertyShape]) -> DataFrame:
+    rows = [(s.shape_id, s.target_class, s.path, s.min_count,
+             s.max_count, s.datatype, s.node_kind,
+             list(s.in_values) if s.in_values is not None else None,
+             s.pattern) for s in shapes]
+    return spark.createDataFrame(rows, _SHAPE_SCHEMA)
 
 
-def _report(focus, shape: PropertyShape, constraint: str, value, detail):
-    """Project a violation DataFrame onto the report schema."""
-    return focus.select(
-        F.col("focus"), F.lit(shape.shape_id).alias("shape_id"),
+def _report(df, constraint: str, value, detail):
+    return df.select(
+        F.col("focus"), F.col("shape_id"),
         F.lit(constraint).alias("constraint"),
-        F.lit(shape.path).alias("path"), value.alias("value"),
-        detail.alias("detail"))
+        F.col("path"), value.alias("value"), detail.alias("detail"))
 
 
 def shacl_report(triples: DataFrame,
@@ -86,61 +91,76 @@ def shacl_report(triples: DataFrame,
     observed count for cardinality components); ``detail`` carries the
     expectation."""
     spark = triples.sparkSession
-    parts: list[DataFrame] = []
-    for sh in shapes:
-        focus = _focus_nodes(triples, sh.target_class)
-        values = (triples.filter(F.col("pred") == sh.path)
-                  .join(focus, triples.subj == F.col("focus"))
-                  .select("focus", "obj_value", "obj_kind",
-                          "obj_datatype", "obj_lang"))
-
-        if sh.min_count is not None or sh.max_count is not None:
-            counts = values.groupBy("focus").agg(
-                F.count(F.lit(1)).alias("n"))
-            if sh.min_count is not None:
-                if sh.min_count > 0:
-                    absent = focus.join(counts.select("focus"), "focus",
-                                        "left_anti").withColumn(
-                        "n", F.lit(0).cast("long"))
-                    low = counts.filter(F.col("n") < sh.min_count).unionByName(
-                        absent)
-                else:   # minCount 0 is vacuous
-                    low = counts.filter(F.lit(False))
-                parts.append(_report(
-                    low, sh, "minCount", F.col("n").cast("string"),
-                    F.lit(f"minCount {sh.min_count}")))
-            if sh.max_count is not None:
-                parts.append(_report(
-                    counts.filter(F.col("n") > sh.max_count), sh,
-                    "maxCount", F.col("n").cast("string"),
-                    F.lit(f"maxCount {sh.max_count}")))
-
-        if sh.datatype is not None:
-            bad = values.filter(
-                F.col("obj_datatype").isNull()
-                | (F.col("obj_datatype") != sh.datatype))
-            parts.append(_report(
-                bad, sh, "datatype", F.col("obj_value"),
-                F.coalesce(F.col("obj_datatype"), F.lit("(plain)"))))
-        if sh.node_kind is not None:
-            bad = values.filter(F.col("obj_kind") != sh.node_kind)
-            parts.append(_report(bad, sh, "nodeKind", F.col("obj_value"),
-                                 F.col("obj_kind")))
-        if sh.in_values is not None:
-            bad = values.filter(~F.col("obj_value").isin(
-                list(sh.in_values)))
-            parts.append(_report(
-                bad, sh, "in", F.col("obj_value"),
-                F.lit(",".join(sh.in_values))))
-        if sh.pattern is not None:
-            bad = values.filter(~F.col("obj_value").rlike(sh.pattern))
-            parts.append(_report(bad, sh, "pattern", F.col("obj_value"),
-                                 F.lit(sh.pattern)))
-
-    if not parts:
+    if not shapes:
         return spark.createDataFrame(
             [], "focus string, shape_id string, constraint string, "
                 "path string, value string, detail string")
+    sh = F.broadcast(_shapes_df(spark, shapes))
+
+    # (focus, shape) pairs: every instance of every targeted class
+    focus = (triples.filter(F.col("pred") == RDF_TYPE)
+             .select(F.col("subj").alias("focus"),
+                     F.col("obj_value").alias("target_class"))
+             .distinct()
+             .join(sh, "target_class")
+             .select("focus", "shape_id", "path", "min_count",
+                     "max_count"))
+
+    # value rows of every constrained property, restricted to typed
+    # foci; materialized ONCE — five report branches read it
+    values = (triples
+              .join(sh, triples.pred == sh.path)
+              .select(F.col("subj").alias("focus"), "shape_id",
+                      "target_class", "path", "min_count", "max_count",
+                      "datatype", "node_kind", "in_values", "pattern",
+                      "obj_value", "obj_kind", "obj_datatype",
+                      "obj_lang")
+              .join(focus.select("focus", "shape_id").distinct(),
+                    ["focus", "shape_id"])
+              .localCheckpoint(eager=True))
+
+    parts: list[DataFrame] = []
+
+    # cardinality -----------------------------------------------------
+    counts = (values.groupBy("focus", "shape_id", "path", "min_count",
+                             "max_count")
+              .agg(F.count(F.lit(1)).alias("n")))
+    absent = (focus.join(values.select("focus", "shape_id").distinct(),
+                         ["focus", "shape_id"], "left_anti")
+              .withColumn("n", F.lit(0).cast("long")))
+    low = counts.filter(F.col("n") < F.col("min_count")).unionByName(
+        absent.filter(F.col("min_count") > 0))
+    parts.append(_report(
+        low, "minCount", F.col("n").cast("string"),
+        F.concat(F.lit("minCount "), F.col("min_count"))))
+    parts.append(_report(
+        counts.filter(F.col("n") > F.col("max_count")), "maxCount",
+        F.col("n").cast("string"),
+        F.concat(F.lit("maxCount "), F.col("max_count"))))
+
+    # row-local value constraints ------------------------------------
+    parts.append(_report(
+        values.filter(F.col("datatype").isNotNull()
+                      & (F.col("obj_datatype").isNull()
+                         | (F.col("obj_datatype") != F.col("datatype")))),
+        "datatype", F.col("obj_value"),
+        F.coalesce(F.col("obj_datatype"), F.lit("(plain)"))))
+    parts.append(_report(
+        values.filter(F.col("node_kind").isNotNull()
+                      & (F.col("obj_kind") != F.col("node_kind"))),
+        "nodeKind", F.col("obj_value"), F.col("obj_kind")))
+    parts.append(_report(
+        values.filter(F.col("in_values").isNotNull()
+                      & ~F.array_contains(F.col("in_values"),
+                                          F.col("obj_value"))),
+        "in", F.col("obj_value"),
+        F.array_join(F.col("in_values"), ",")))
+    parts.append(_report(
+        values.filter(F.col("pattern").isNotNull()
+                      & ~F.regexp_like(F.col("obj_value"),
+                                       F.col("pattern"))),
+        "pattern", F.col("obj_value"), F.col("pattern")))
+
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
