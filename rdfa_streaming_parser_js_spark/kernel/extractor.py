@@ -690,8 +690,14 @@ class RdfaExtractor:
         """Validate and emit (RdfaParser.ts:803-811): NamedNodes must
         contain ':'; triples with a missing term are dropped (the
         reference would raise a stream error for nulls — unreachable on
-        well-formed input)."""
-        if subject is None or predicate is None or obj is None:
+        well-formed input).  Booleans are dropped too: the reference's
+        internal use-base-IRI sentinel can leak a raw ``false`` into a
+        quad on degenerate markup (about + rel + inlist with no object
+        and no children — getResourceOrBaseIri, lib/Util.ts:161-163,
+        only maps ``true``), producing an unrepresentable term; we emit
+        the representable subset of its output instead (fuzz-found)."""
+        if (subject is None or predicate is None or obj is None
+                or isinstance(subject, bool) or isinstance(obj, bool)):
             return
         if ((isinstance(subject, NamedNode) and ":" not in subject.value)
                 or (isinstance(predicate, NamedNode)

@@ -59,3 +59,22 @@ def test_kernel_never_crashes_and_is_deterministic(doc, profile):
     assert isomorphic(flatten_triples(a.triples), flatten_triples(b.triples))
     for s, p, o in a.triples:
         assert p.value  # predicates always non-empty IRIs
+
+
+def test_inlist_without_object_never_leaks_boolean_terms():
+    """Fuzz-found: about + rel + inlist with no object resource and no
+    children made the explicit-new-subject singleton-list path emit the
+    reference's internal use-base-IRI sentinel (a raw boolean) as the
+    rdf:first object (the reference itself pushes ``false`` here —
+    lib/RdfaParser.ts:443 + lib/Util.ts:161-163).  We drop the
+    unrepresentable term and keep the representable rows."""
+    from rdfa_streaming_parser_js_spark.kernel import parse_rdfa
+    p = parse_rdfa('<div ><div ><div about="" rel="ex:y" inlist="">',
+                   base_iri="http://ex.org/x", profile="html")
+    flat = flatten_triples(p.triples)  # must not raise
+    assert all(isinstance(part, str)
+               for t in flat for term in t for part in term
+               if part is not None)
+    preds = sorted(t[1][1] for t in flat)
+    assert preds == ["ex:y",
+                     "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"]
