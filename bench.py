@@ -128,6 +128,11 @@ def main() -> None:
         "kg_degrees", "kg_pagerank", "warc_roundtrip", "warc_to_graph",
         "bm25_topk", "dedup_clusters_star", "corpus_curation",
         "embedding_kmeans",
+        # round-3 SPARQL/KG slab
+        "kg_path_list_members", "kg_sameas_resolution", "kg_rdfs_entail",
+        "kg_describe_entities", "kg_shacl_report", "kg_void_stats",
+        "kg_skolemized_graph", "kg_property_coverage", "kg_asof_snapshot",
+        "nquads_roundtrip",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)
