@@ -97,6 +97,32 @@ def main() -> None:
     materialize_graph(triples, f"{args.out_dir}/graph")
     hubs = hub_subjects(triples, k=10).collect()
 
+    # publish gating: SHACL report + VoID description live NEXT TO the
+    # graph — consumers read the stats, operators alert on violations
+    from rdfa_streaming_parser_js_spark.operators.validate import (
+        PropertyShape, shacl_report)
+    from rdfa_streaming_parser_js_spark.operators.void_stats import (
+        void_description)
+    schema_org = "http://schema.org/"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    shapes = [
+        PropertyShape("sh:article-name", f"{schema_org}Article",
+                      f"{schema_org}name", min_count=1, max_count=1),
+        PropertyShape("sh:article-src", f"{schema_org}Article",
+                      f"{schema_org}isPartOf", node_kind="iri"),
+        PropertyShape("sh:article-wc", f"{schema_org}Article",
+                      f"{schema_org}wordCount",
+                      datatype=f"{xsd}integer"),
+    ]
+    graph_set = triples.select("subj", "pred", "obj_value", "obj_kind",
+                               "obj_datatype", "obj_lang").distinct()
+    report = shacl_report(triples, shapes)
+    report.write.mode("overwrite").parquet(
+        f"{args.out_dir}/shacl_report")
+    void_description(
+        graph_set, "http://corpus.example.org/void/dataset"
+    ).write.mode("overwrite").parquet(f"{args.out_dir}/void")
+
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     links = best_entity_per_doc(docs, entity_dictionary(spark))
     links.write.mode("overwrite").parquet(f"{args.out_dir}/entity_links")
@@ -109,6 +135,10 @@ def main() -> None:
         "n_canonical_triples": graph.count(),
         "n_graph_buckets": graph.select("bucket").distinct().count(),
         "n_entity_links": links.count(),
+        "n_shacl_violations": spark.read.parquet(
+            f"{args.out_dir}/shacl_report").count(),
+        "n_void_triples": spark.read.parquet(
+            f"{args.out_dir}/void").count(),
         "top_hub_subjects": [(r.subj, r.n_triples) for r in hubs[:3]],
         "lineage_buckets": (ck.metrics(spark).count()
                             if args.mode == "batch" else None),
