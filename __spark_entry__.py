@@ -82,6 +82,18 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(pages_from_documents(spark, sf_dir))
 
 
+
+def _triples_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction materialized once (eager localCheckpoint).  The KG
+    queries scan the triple set several times — one scan per BGP
+    pattern, per rule stratum, per union branch, per closure round.  In
+    production those are cheap pruned re-scans of the bucketed graph
+    TABLE; over the inline extraction each would re-run the mapInArrow
+    kernel, so the cut reproduces the production cost shape (extract
+    once, then query the materialized graph)."""
+    return _triples(spark, sf_dir).localCheckpoint(eager=True)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str):
     row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
            .select("embedding", "label").head())
@@ -905,7 +917,7 @@ def _doc_id_from_url():
 def q_kg_snapshot_delta(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.operators.incremental import (
         snapshot_delta)
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     doc_id = _doc_id_from_url()
     new = (t.filter((doc_id % 5) != 0)
            .withColumn("obj_value",
@@ -919,7 +931,7 @@ def q_kg_snapshot_delta(spark, sf_dir):
 def q_kg_recrawl_merge(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.operators.incremental import (
         merge_by_url)
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     new = (t.filter((_doc_id_from_url() % 4) == 1)
            .withColumn("obj_value",
                        F.when(F.col("pred").endswith("inLanguage"),
@@ -932,7 +944,7 @@ def q_kg_bgp_article_info(spark, sf_dir):
     """SPARQL-style BGP compiled to a Catalyst join plan: articles with
     their name and source (three patterns sharing ?doc)."""
     from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     return bgp_match(t, [
         ("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
         ("?doc", f"{SCHEMA_ORG}name", "?name"),
@@ -945,7 +957,7 @@ def q_kg_bgp_same_source(spark, sf_dir):
     + downstream aggregation: ordered same-source article pairs counted
     per source."""
     from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     pairs = bgp_match(t, [
         ("?a", f"{SCHEMA_ORG}isPartOf", "?src"),
         ("?b", f"{SCHEMA_ORG}isPartOf", "?src"),
@@ -959,7 +971,7 @@ def q_kg_bgp_optional_filter(spark, sf_dir):
     and OPTIONAL (left join; group-local filter ⇒ NULL for non-English
     articles)."""
     from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     return bgp_match(
         t,
         [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
@@ -973,7 +985,7 @@ def q_kg_bgp_optional_filter(spark, sf_dir):
 def q_kg_entity_table(spark, sf_dir):
     """Wide typed-entity view of the KG (one pivoted aggregation)."""
     from rdfa_streaming_parser_js_spark.operators.bgp import entity_table
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     return entity_table(t, f"{SCHEMA_ORG}Article", {
         "name": f"{SCHEMA_ORG}name",
         "lang": f"{SCHEMA_ORG}inLanguage",
@@ -994,7 +1006,8 @@ def q_kg_path_list_members(spark, sf_dir):
         link, seq, star)
     from rdfa_streaming_parser_js_spark.sources.pages import (
         RDF_NS, rich_pages_from_documents)
-    t = extract_triples(rich_pages_from_documents(spark, sf_dir))
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir)
+                        ).localCheckpoint(eager=True)  # scan per atom
     path = seq(link(f"{SCHEMA_ORG}keywords"),
                star(link(f"{RDF_NS}rest")), link(f"{RDF_NS}first"))
     return bgp_match(t, [("?doc", path, "?kw")], select=["doc", "kw"])
@@ -1008,7 +1021,7 @@ def q_kg_sameas_resolution(spark, sf_dir):
     aggregated to graph-set semantics with provenance counts."""
     from rdfa_streaming_parser_js_spark.operators.resolution import (
         OWL_SAMEAS, resolve_same_as)
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     doc_id = _doc_id_from_url()
     leader = F.concat(F.lit("http://pages.example.org/page/"),
                       (doc_id - doc_id % 10).cast("string"), F.lit("#it"))
@@ -1033,7 +1046,7 @@ def q_kg_bgp_minus(spark, sf_dir):
     whose language is English (the negation group carries its own
     group-local filter)."""
     from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     return bgp_match(
         t,
         [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
@@ -1066,7 +1079,7 @@ def q_kg_rdfs_entail(spark, sf_dir):
         "url string, subj string, subj_kind string, pred string, "
         "obj_value string, obj_kind string, obj_datatype string, "
         "obj_lang string")
-    entailed = rdfs_entail(_triples(spark, sf_dir), ontology)
+    entailed = rdfs_entail(_triples_cut(spark, sf_dir), ontology)
     return entailed.select("subj", "pred", "obj_value", "obj_kind",
                            "obj_datatype", "obj_lang").distinct()
 
@@ -1096,8 +1109,11 @@ def q_kg_describe_entities(spark, sf_dir):
     from rdfa_streaming_parser_js_spark.operators.bgp import describe
     from rdfa_streaming_parser_js_spark.sources.pages import (
         rich_pages_from_documents)
+    # materialized once: the frontier loop joins the triple table every
+    # round (= bnode depth), and each join would re-run extraction
     t = extract_triples(rich_pages_from_documents(spark, sf_dir),
-                        lang_col=None)  # template carries no language
+                        lang_col=None  # template carries no language
+                        ).localCheckpoint(eager=True)
     seeds = (t.filter((F.col("pred") == RDF_TYPE)
                       & ((_doc_id_from_url() % 2) == 0))
              .select(F.col("subj").alias("node")))
@@ -1130,7 +1146,7 @@ def q_kg_shacl_report(spark, sf_dir):
         PropertyShape("sh:article-src", f"{SCHEMA_ORG}Article",
                       f"{SCHEMA_ORG}isPartOf", node_kind="iri"),
     ]
-    return shacl_report(_triples(spark, sf_dir), shapes)
+    return shacl_report(_triples_cut(spark, sf_dir), shapes)
 
 
 def q_kg_skolemized_graph(spark, sf_dir):
@@ -1174,7 +1190,8 @@ def q_kg_property_coverage(spark, sf_dir):
     cols = ["subj", "pred", "obj_value"]
     t = (_triples(spark, sf_dir).select(cols).unionByName(
         extract_triples(rich_pages_from_documents(spark, sf_dir),
-                        lang_col=None).select(cols)))
+                        lang_col=None).select(cols))
+        .localCheckpoint(eager=True))  # instance + property scans
     return class_property_coverage(t)
 
 
@@ -1184,7 +1201,7 @@ def q_kg_asof_snapshot(spark, sf_dir):
     recrawled (uppercased-language) state, later captures are invisible,
     everything else shows capture 1."""
     from rdfa_streaming_parser_js_spark.operators.temporal import as_of
-    t = _triples(spark, sf_dir)
+    t = _triples_cut(spark, sf_dir)
     doc_id = _doc_id_from_url()
     ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
     v1 = t.withColumn("warc_ts", ts("2024-01-01"))
@@ -1216,7 +1233,7 @@ def q_kg_void_stats(spark, sf_dir):
     graph-set (distinct) view of the extraction."""
     from rdfa_streaming_parser_js_spark.operators.void_stats import (
         void_description)
-    g = (_triples(spark, sf_dir)
+    g = (_triples_cut(spark, sf_dir)
          .select("subj", "pred", "obj_value", "obj_kind",
                  "obj_datatype", "obj_lang").distinct())
     return void_description(g, VOID_DATASET_IRI)

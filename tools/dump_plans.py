@@ -51,6 +51,31 @@ NOTES = {
         "map-side partial sums) plus the ranks⋈edges join; lineage cut "
         "by localCheckpoint every third round. Integer arithmetic keeps "
         "results bit-identical at any partitioning."),
+    "kg_shacl_report": (
+        "Shapes are DATA, not plan: one broadcast shapes table joined "
+        "against the type slice (focus set) and the property slice "
+        "(value rows, materialized once) — plan size is constant in the "
+        "number of shapes, and the five report branches share the "
+        "checkpointed value rows instead of re-running extraction."),
+    "kg_void_stats": (
+        "Dataset statistics in three aggregates: one single-row global "
+        "agg (Expand ×5 for the exact count-distincts), one groupBy "
+        "over the vocabulary-sized class slice, one over predicates; "
+        "md5-derived partition IRIs keep the description byte-stable."),
+    "kg_rdfs_entail": (
+        "Instance table is NEVER shuffled: ontology closures are "
+        "computed once (semi-naive, eager-cut) and every rule joins "
+        "them **BroadcastHashJoin**; stratified rule order reaches the "
+        "ρdf fixpoint in one pass."),
+    "kg_describe_entities": (
+        "CBD frontier loop: the (tiny) bnode frontier is broadcast "
+        "against the subject column each round — rounds = bnode nesting "
+        "depth (DOM-bounded), one action per round, and the triple "
+        "table is only ever filtered by join."),
+    "kg_asof_snapshot": (
+        "Time travel in one Exchange: cutoff filter pushed to the scan "
+        "(partition-prunable on a day-partitioned Iceberg table), then "
+        "a single url-keyed window keeps the latest visible capture."),
 }
 
 
@@ -61,7 +86,7 @@ def main() -> None:
 
     spark = get_spark("plans", parallelism=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = e.queries()
+    qs = {**e.queries(), **e.extra_queries()}
 
     print("# PLANS — physical plans of headline queries "
           "(`tools/dump_plans.py`)\n")
