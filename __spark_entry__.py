@@ -1165,6 +1165,49 @@ def q_kg_skolemized_graph(spark, sf_dir):
         "obj_datatype", "obj_lang")
 
 
+def q_kg_group_concat_keywords(spark, sf_dir):
+    """SPARQL aggregates over BGP solutions: GROUP BY ?doc with
+    COUNT(?kw) and GROUP_CONCAT(?kw) — the concat is sorted before
+    joining, so the aggregate is deterministic at any parallelism
+    (SPARQL leaves GROUP_CONCAT order undefined; sorted is the only
+    byte-stable choice for a distributed engine)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    from rdfa_streaming_parser_js_spark.operators.paths import (
+        link, seq, star)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        RDF_NS, rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir)
+                        ).localCheckpoint(eager=True)
+    path = seq(link(f"{SCHEMA_ORG}keywords"),
+               star(link(f"{RDF_NS}rest")), link(f"{RDF_NS}first"))
+    sols = bgp_match(t, [("?doc", path, "?kw")], select=["doc", "kw"])
+    return (sols.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_keywords"),
+                 F.array_join(F.array_sort(F.collect_list("kw")), ",")
+                 .alias("keywords_concat")))
+
+
+def q_kg_ask_patterns(spark, sf_dir):
+    """SPARQL ASK: one boolean row per probe pattern — an existence
+    aggregate over the BGP solution set (positive and negative probes,
+    so both outcomes are oracle-gated)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples_cut(spark, sf_dir)
+    probes = {
+        "any_zh_article": [("?d", RDF_TYPE, f"{SCHEMA_ORG}Article"),
+                           ("?d", f"{SCHEMA_ORG}inLanguage", "zh")],
+        "any_video_object": [("?d", RDF_TYPE,
+                              f"{SCHEMA_ORG}VideoObject")],
+    }
+    out = None
+    for name, patterns in probes.items():
+        row = (bgp_match(t, patterns).limit(1)
+               .agg((F.count(F.lit(1)) > 0).alias("answer"))
+               .select(F.lit(name).alias("probe"), "answer"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_nquads_roundtrip(spark, sf_dir):
     """N-Quads interchange identity: extraction → 4-term named-graph
     serialization (graph = page url) → distributed parse — the quad
@@ -1356,6 +1399,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_roundtrip": q_nquads_roundtrip,
         "kg_property_coverage": q_kg_property_coverage,
         "kg_asof_snapshot": q_kg_asof_snapshot,
+        "kg_group_concat_keywords": q_kg_group_concat_keywords,
+        "kg_ask_patterns": q_kg_ask_patterns,
     }
 
 
@@ -1714,6 +1759,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({_rich_sql()})
             WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
                   % 2 = 0
+        """,
+        # path solutions are DISTINCT pairs (path_pairs semantics), so
+        # a doc whose 2nd and 3rd words coincide contributes one member
+        "kg_group_concat_keywords": """
+            WITH kw AS (
+              SELECT DISTINCT
+                     'http://pages.example.org/rich/'
+                       || CAST(doc_id AS VARCHAR) || '#it' AS doc,
+                     unnest([string_split(text, ' ')[2],
+                             string_split(text, ' ')[3]]) AS kw
+              FROM documents)
+            SELECT doc, count(*) AS n_keywords,
+                   string_agg(kw, ',' ORDER BY kw) AS keywords_concat
+            FROM kw GROUP BY doc
+        """,
+        "kg_ask_patterns": """
+            SELECT 'any_zh_article' AS probe,
+                   EXISTS(SELECT 1 FROM documents WHERE lang = 'zh')
+                     AS answer
+            UNION ALL
+            SELECT 'any_video_object', FALSE
         """,
         # serialize→parse identity: the parsed quads must equal the
         # expected triples with the page url as the (iri) graph label
