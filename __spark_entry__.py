@@ -690,6 +690,51 @@ def q_streaming_windowed_counts(spark, sf_dir):
             .select(F.unix_timestamp("win_start").alias("win_start"),
                     "pred", "n_triples"))
 
+def q_streaming_stateful_dedup(spark, sf_dir):
+    """Custom stateful streaming operator, oracle-gated: first-seen url
+    dedup via applyInPandasWithState over a staged crawl + recrawl
+    stream.  Recrawl files (later warc_ts, uppercased lang) arrive in
+    later micro-batches; per-key state suppresses them, so the output
+    is exactly the original sightings — whatever the batching, because
+    within a mixed batch the operator keeps the earliest event time."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.streaming.pipeline import (
+        read_page_stream)
+    from rdfa_streaming_parser_js_spark.streaming.stateful import (
+        stream_dedup_first_seen)
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    pages_dir = f"{workdir}/pages"
+    pages = pages_from_documents(spark, sf_dir)
+    (pages.repartitionByRange(3, "page_id")
+     .sortWithinPartitions("page_id")
+     .write.mode("overwrite").parquet(pages_dir))
+    recrawl = (pages.filter(F.col("page_id") % 3 == 0)
+               .withColumn("warc_ts", F.col("warc_ts")
+                           + F.expr("INTERVAL 180 DAYS"))
+               .withColumn("lang", F.upper("lang")))
+    (recrawl.repartitionByRange(3, "page_id")
+     .sortWithinPartitions("page_id")
+     .write.mode("append").parquet(pages_dir))
+    # originals before recrawls in the file source's mtime order
+    parts = sorted((f for f in os.listdir(pages_dir)
+                    if f.endswith(".parquet")),
+                   key=lambda f: os.path.getmtime(f"{pages_dir}/{f}"))
+    now = time.time()
+    for i, name in enumerate(parts):
+        os.utime(f"{pages_dir}/{name}", (now + i, now + i))
+    deduped = stream_dedup_first_seen(
+        read_page_stream(spark, pages_dir, max_files_per_trigger=2))
+    q = (deduped.writeStream.format("parquet")
+         .option("path", f"{workdir}/firsts")
+         .option("checkpointLocation", f"{workdir}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{workdir}/firsts")
+            .select("url", F.unix_timestamp("warc_ts").alias("first_ts"),
+                    "lang"))
+
+
 CURATION_LANGS = ("en", "de")
 CURATION_MIN_TOKENS = 30
 CURATION_MAX_DUP_RATIO = 0.65
@@ -1401,6 +1446,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "kg_group_concat_keywords": q_kg_group_concat_keywords,
         "kg_ask_patterns": q_kg_ask_patterns,
+        "streaming_stateful_dedup": q_streaming_stateful_dedup,
     }
 
 
@@ -2508,6 +2554,17 @@ def oracle_sql() -> dict[str, str]:
     from rdfa_streaming_parser_js_spark.functions.jsonld import (
         json_graph_nodes_sql as _json_nodes_sql)
     oracles["json_graph_nodes"] = _json_nodes_sql(expected_triples_sql())
+    # first-seen dedup: whatever the micro-batching, the survivors are
+    # the ORIGINAL sightings — original warc_ts, original lang
+    oracles["streaming_stateful_dedup"] = """
+        SELECT 'http://pages.example.org/page/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+                          + doc_id * INTERVAL 1 SECOND) AS BIGINT)
+                 AS first_ts,
+               lang
+        FROM documents
+    """
     oracles["streaming_windowed_counts"] = f"""
         WITH p AS (
           SELECT doc_id, TIMESTAMP '2024-01-01 00:00:00'
