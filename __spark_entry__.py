@@ -32,6 +32,8 @@ from rdfa_streaming_parser_js_spark.operators.dedup import (
     simhash_bands)
 from rdfa_streaming_parser_js_spark.functions.urls import (
     canonical_url_sql as _canon_url_sql)
+from rdfa_streaming_parser_js_spark.functions.chunking import (
+    chunk_documents_sql as _chunking_sql)
 from rdfa_streaming_parser_js_spark.operators.entity_link import (
     KB_PREFIX, DEFAULT_ENTITY_NAMES, best_entity_per_doc, entity_dictionary)
 from rdfa_streaming_parser_js_spark.operators.graph import (
@@ -1253,6 +1255,21 @@ def q_kg_ask_patterns(spark, sf_dir):
     return out
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q_text_chunking(spark, sf_dir):
+    """Training-data chunking: fixed token windows with overlap over the
+    documents table — pure flatMap (sequence/slice/posexplode codegen,
+    zero shuffle), deterministic chunk identity at any parallelism."""
+    from rdfa_streaming_parser_js_spark.functions.chunking import (
+        chunk_documents)
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk_tokens=CHUNK_TOKENS,
+                           overlap_tokens=CHUNK_OVERLAP)
+
+
 def q_nquads_roundtrip(spark, sf_dir):
     """N-Quads interchange identity: extraction → 4-term named-graph
     serialization (graph = page url) → distributed parse — the quad
@@ -1447,6 +1464,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_group_concat_keywords": q_kg_group_concat_keywords,
         "kg_ask_patterns": q_kg_ask_patterns,
         "streaming_stateful_dedup": q_streaming_stateful_dedup,
+        "text_chunking": q_text_chunking,
     }
 
 
@@ -1806,6 +1824,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)
                   % 2 = 0
         """,
+        "text_chunking": _chunking_sql(CHUNK_TOKENS, CHUNK_OVERLAP),
         # path solutions are DISTINCT pairs (path_pairs semantics), so
         # a doc whose 2nd and 3rd words coincide contributes one member
         "kg_group_concat_keywords": """
