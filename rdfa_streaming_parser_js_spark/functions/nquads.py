@@ -61,7 +61,12 @@ def parse_nquads_lines(lines: DataFrame,
     graph_term = g(9)
     from rdfa_streaming_parser_js_spark.functions.ntriples import (
         unescape_literal)
-    passthrough = [c for c in lines.columns if c != line_col]
+    parsed_cols = {"subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                   "obj_datatype", "obj_lang", "graph", "graph_kind"}
+    # a passthrough column named like a parsed output (e.g. the
+    # serializer's own ``graph``) would make the result ambiguous
+    passthrough = [c for c in lines.columns
+                   if c != line_col and c not in parsed_cols]
     return lines.filter(F.col(line_col).rlike(NQ_LINE_RE)).select(
         *passthrough,
         F.when(subj_bn != "", subj_bn).otherwise(g(1)).alias("subj"),

@@ -66,21 +66,27 @@ NT_LINE_RE = (r'^(?:<([^>]*)>|(_:\S+)) <([^>]*)> '
               r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
               r'(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?) \.$')
 
-# Unescape sentinel: must not occur in content (control char; the
-# serializer never emits it because ECHAR escapes cover it implicitly).
-_SENT = "\x01"
-
-
 def unescape_literal(col: Column) -> Column:
-    """Inverse of :func:`escape_literal` — plain ``replace`` chains
-    (no regex replacement-string semantics), with a sentinel so an
-    escaped backslash never merges with a following 'n'/'t'/'r'."""
-    out = F.replace(col, F.lit("\\\\"), F.lit(_SENT))
-    out = F.replace(out, F.lit('\\"'), F.lit('"'))
-    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
-    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
-    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
-    return F.replace(out, F.lit(_SENT), F.lit("\\"))
+    """Inverse of :func:`escape_literal`, sentinel-free: split on
+    escaped-backslash pairs, unescape the remaining (single-backslash)
+    ECHARs inside each part, re-join with a real backslash.
+
+    A sentinel-character scheme is WRONG here: ECHAR only escapes
+    ``\\ " LF CR TAB``, so any other byte — including whatever sentinel
+    one picks — can legitimately appear raw inside a serialized
+    literal, and the sentinel round-trip corrupts it (fuzz-found with
+    literals containing 0x01)."""
+    parts = F.split(col, r"\\\\", -1)
+    unesc = F.transform(
+        parts,
+        lambda x: F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(x, F.lit('\\"'), F.lit('"')),
+                    F.lit("\\n"), F.lit("\n")),
+                F.lit("\\r"), F.lit("\r")),
+            F.lit("\\t"), F.lit("\t")))
+    return F.array_join(unesc, "\\")
 
 
 def parse_ntriples_lines(lines: DataFrame,
@@ -121,9 +127,15 @@ def parse_ntriples_sql(line_expr: str) -> str:
     ``regexp_matches(line, ...)``)."""
     pat = NT_LINE_RE
     g = lambda i: f"regexp_extract({line_expr}, '{pat}', {i})"  # noqa: E731
-    unesc = (f"replace(replace(replace(replace(replace(replace("
-             f"{g(6)}, '\\\\', chr(1)), '\\\"', '\"'), '\\n', chr(10)),"
-             f" '\\r', chr(13)), '\\t', chr(9)), chr(1), '\\')")
+    # sentinel-free, mirrors unescape_literal: split on '\\' pairs
+    # (string_split takes a PLAIN separator), per-part ECHAR replaces,
+    # re-join with a single backslash
+    unesc = (
+        "array_to_string(list_transform(string_split("
+        f"{g(6)}, '\\\\'), x -> "
+        "replace(replace(replace(replace(x,"
+        " '\\\"', '\"'), '\\n', chr(10)), '\\r', chr(13)),"
+        " '\\t', chr(9))), '\\')")
     return f"""
         CASE WHEN {g(2)} <> '' THEN {g(2)} ELSE {g(1)} END AS subj,
         CASE WHEN {g(2)} <> '' THEN 'bnode' ELSE 'iri' END AS subj_kind,

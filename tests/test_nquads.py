@@ -82,3 +82,17 @@ def test_sql_mirror_matches_spark(spark):
                  "obj_datatype", "obj_lang", "graph", "graph_kind")
          .collect()))
     assert [tuple(r) for r in spark_rows] == [tuple(r) for r in oracle]
+
+
+def test_raw_control_chars_roundtrip(spark):
+    """Fuzz-found: ECHAR leaves bytes like 0x01 RAW on the wire, so a
+    sentinel-based unescape corrupts literals containing them; the
+    sentinel-free split/join unescape must round-trip any byte."""
+    nasty = ["\x01", "\x01\x01_:", "a\\\x01b", "<<\\^<\n..^",
+             "\\u0001", "tail\\"]
+    kg = spark.createDataFrame(
+        [("http://g/1", f"http://d/{i}", "iri", "http://p", v,
+          "literal", None, None) for i, v in enumerate(nasty)], COLS)
+    back = parse_nquads_lines(nquads_lines(kg).select("line"))
+    got = {r.obj_value for r in back.collect()}
+    assert got == set(nasty)
