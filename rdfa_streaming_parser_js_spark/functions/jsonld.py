@@ -29,17 +29,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# C0 controls other than LF/CR/TAB (which get short escapes): RFC 8259
+# requires EVERY control below 0x20 escaped, and raw bytes like 0x01 do
+# survive HTML text accumulation into literals (fuzz-found in the
+# N-Triples pair; same wire reality here).
+_OTHER_CONTROLS = [c for c in range(0x20) if chr(c) not in "\n\r\t"]
+
+
 def json_escape(col: Column) -> Column:
     """JSON string escaping for HTML-extracted text: backslash first
-    (so later escapes aren't double-escaped), then quote, then the
-    control characters that DO survive text accumulation — newlines,
-    carriage returns and tabs appear verbatim in extracted literals
-    (the N-Triples serializer escapes exactly the same set)."""
+    (so later escapes aren't double-escaped), then quote, the
+    short-escape controls (LF/CR/TAB), then every remaining C0 control
+    as ``\\u00XX`` — anything less emits invalid JSON documents."""
     out = F.replace(F.replace(col, F.lit("\\"), F.lit("\\\\")),
                     F.lit('"'), F.lit('\\"'))
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
     out = F.replace(out, F.lit("\r"), F.lit("\\r"))
-    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    for c in _OTHER_CONTROLS:
+        out = F.replace(out, F.lit(chr(c)), F.lit(f"\\u{c:04x}"))
+    return out
 
 
 def _edge_fragment() -> Column:
@@ -76,10 +85,14 @@ def json_graph_nodes(triples: DataFrame) -> DataFrame:
 
 def json_graph_nodes_sql(triples_cte: str) -> str:
     """DuckDB mirror over a CTE yielding the triples columns."""
-    esc = (lambda e: f"replace(replace(replace(replace(replace("
-           f"{e}, '\\', '\\\\'), "
-           f"'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), "
-           f"chr(9), '\\t')")
+    def esc(e: str) -> str:
+        out = (f"replace(replace(replace(replace(replace("
+               f"{e}, '\\', '\\\\'), "
+               f"'\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), "
+               f"chr(9), '\\t')")
+        for c in _OTHER_CONTROLS:
+            out = f"replace({out}, chr({c}), '\\u{c:04x}')"
+        return out
     obj = f"""CASE WHEN obj_kind <> 'literal'
         THEN '{{"@id":"' || {esc('obj_value')} || '"}}'
         ELSE '{{"@value":"' || {esc('obj_value')} || '"' ||

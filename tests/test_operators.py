@@ -432,3 +432,31 @@ def test_json_graph_nodes_valid_and_escaped(spark):
     assert "line1\nline2\r\ttab" in vals
     d2 = json.loads(got["s2"])
     assert d2["edges"][0]["o"]["@type"] == "http://dt"
+
+
+def test_json_graph_nodes_c0_controls_escaped(spark):
+    """RFC 8259: every control below 0x20 must be escaped — raw 0x01
+    etc. survive HTML extraction into literals (fuzz-found)."""
+    import json
+    import duckdb
+    from rdfa_streaming_parser_js_spark.functions.jsonld import (
+        json_graph_nodes, json_graph_nodes_sql)
+    nasty = "\x01ctl\x00nul\x1funit"
+    t = spark.createDataFrame(
+        [("s1", "iri", "http://p", nasty, "literal", None, None)],
+        "subj string, subj_kind string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string")
+    node = json_graph_nodes(t).head().node_json
+    assert json.loads(node)["edges"][0]["o"]["@value"] == nasty
+    assert "\x01" not in node  # escaped, not raw
+    # the DuckDB mirror emits byte-identical documents
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr(subj VARCHAR, subj_kind VARCHAR, "
+                "pred VARCHAR, obj_value VARCHAR, obj_kind VARCHAR, "
+                "obj_datatype VARCHAR, obj_lang VARCHAR)")
+    con.execute("INSERT INTO tr VALUES ('s1','iri','http://p',"
+                "chr(1)||'ctl'||chr(0)||'nul'||chr(31)||'unit',"
+                "'literal',NULL,NULL)")
+    mirror = con.execute(json_graph_nodes_sql(
+        "SELECT * FROM tr")).fetchone()[1]
+    assert mirror == node
