@@ -2220,9 +2220,11 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS ns
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (
-              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING)
-                        AS session_seq
+              -- DuckDB's windowed sum(INTEGER) is HUGEINT (int128); Spark
+              -- emits LONG, so the typed byte-hash needs an explicit cast.
+              SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS session_seq
               FROM g
             )
             SELECT user_id, session_seq, count(*) AS n_events,
