@@ -4,7 +4,8 @@ DataFrame plans.
 The reference parser (rubensworks/rdfa-streaming-parser.js) emits the
 triples; querying them with paths is the downstream KG half this engine
 adds.  Semantics follow SPARQL 1.1 §9.1 (PredicatePath, InversePath,
-SequencePath, AlternativePath, OneOrMorePath, ZeroOrMorePath) with one
+SequencePath, AlternativePath, OneOrMorePath, ZeroOrMorePath,
+ZeroOrOnePath) with one
 documented simplification: results are SET-semantics throughout — each
 connected ``(a, b)`` pair is returned once, the way SPARQL already
 evaluates the closure operators (ALP) and the way every shipped engine
@@ -25,14 +26,17 @@ Compilation strategy (scale-first):
   (``pred = <iri>``), so Catalyst prunes columns and pushes the
   predicate to parquet.
 - ``plus`` runs semi-naive transitive closure (the Datalog TC loop):
-  the base edge set is computed once and cached, each round joins only
-  the *delta* against it, anti-joins out already-seen pairs, and issues
-  exactly one action (the delta count, which doubles as the convergence
-  signal).  Rounds = graph depth; lineage is cut with
-  ``localCheckpoint`` so round N never recomputes rounds 0..N-1.  At
-  cluster scale the base stays hash-partitioned on its join key for
-  the duration of the loop — the same shape as the connected-components
-  loop in ``operators/components.py``.
+  the base edge set is computed once and checkpointed, each round joins
+  only the *delta* against it, anti-joins out already-seen pairs, and
+  issues one materializing action (the frontier's eager checkpoint; the
+  empty-frontier probe then reads one materialized partition).  Rounds
+  = graph depth; lineage is cut with ``localCheckpoint`` so round N
+  never recomputes rounds 0..N-1, and superseded generations are
+  RELEASED as they fall out of the live union (≤2 total-generations
+  persisted at any moment).  At cluster scale the base stays
+  hash-partitioned on its join key for the duration of the loop — the
+  same shape as the connected-components loop in
+  ``operators/components.py``.
 """
 
 from __future__ import annotations
@@ -89,6 +93,11 @@ class Star(PathExpr):
     inner: PathExpr
 
 
+@dataclass(frozen=True)
+class Opt(PathExpr):
+    inner: PathExpr
+
+
 def link(pred: str) -> PathExpr:
     """``<p>`` — one forward edge via predicate IRI ``pred``."""
     return Link(pred)
@@ -134,6 +143,17 @@ def star(p: PathExpr) -> PathExpr:
     return Star(p)
 
 
+def opt(p: PathExpr) -> PathExpr:
+    """``path?`` — zero-or-one (SPARQL 1.1 §9.1 ZeroOrOnePath).
+
+    Normalizes to ``identity ∪ branches(p)`` — exactly ``star`` minus
+    the transitive closure, so no closure work is ever materialized:
+    ``a/b?`` compiles to the union of the ``a`` scan and the ``a/b``
+    join, and the zero-length identity is composed away algebraically
+    inside sequences just like ``star``'s."""
+    return Opt(p)
+
+
 # --------------------------------------------------------------------
 # Normalization: AST -> branches (union of atom sequences)
 # --------------------------------------------------------------------
@@ -154,6 +174,8 @@ def _invert(p: PathExpr) -> PathExpr:
         return Plus(_invert(p.inner))
     if isinstance(p, Star):
         return Star(_invert(p.inner))
+    if isinstance(p, Opt):
+        return Opt(_invert(p.inner))
     raise TypeError(f"not a path expression: {p!r}")
 
 
@@ -186,6 +208,8 @@ def _branches(p: PathExpr) -> list[list]:
         return [[("plus", p.inner)]]
     if isinstance(p, Star):
         return [[_IDENTITY]] + _branches(Plus(p.inner))
+    if isinstance(p, Opt):
+        return [[_IDENTITY]] + _branches(p.inner)
     raise TypeError(f"not a path expression: {p!r}")
 
 
@@ -220,6 +244,24 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
     return terms.select(F.col("t").alias("a"), F.col("t").alias("b"))
 
 
+def release(df: DataFrame) -> None:
+    """Free the storage behind a ``.cache()``d or ``.localCheckpoint``ed
+    frame.  ``Dataset.unpersist`` only clears CacheManager entries, so
+    for checkpointed frames (plan = ``LogicalRDD``) the backing RDD is
+    unpersisted directly — otherwise every localCheckpoint in an
+    iterative loop leaks executor storage for the session's lifetime.
+    Only call on frames whose data is no longer referenced: a local
+    checkpoint truncates lineage, so released blocks cannot be
+    recomputed."""
+    try:
+        df.unpersist()
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - py4j internals moved
+        pass
+
+
 def transitive_closure(pairs: DataFrame, max_rounds: int = 30,
                        checkpoint_every: int = 3,
                        seeds: DataFrame | None = None) -> DataFrame:
@@ -236,37 +278,97 @@ def transitive_closure(pairs: DataFrame, max_rounds: int = 30,
     endpoint this is the difference between BFS-from-one-node and
     materializing the full quadratic closure — mandatory at
     10^13-triple scale.
+
+    Storage discipline: every intermediate generation is released as
+    soon as a newer eager checkpoint supersedes it (superseded totals
+    on every ``checkpoint_every``-th round, every frontier once folded
+    in), and a ``finally`` sweep releases the rest — including on the
+    non-convergence RuntimeError path — so a long-lived session can
+    evaluate arbitrarily many property paths without accumulating
+    executor storage.  The returned frame is eagerly checkpointed, so
+    it is self-contained (no lineage into released intermediates).
     """
-    base = pairs.select("a", "b").distinct().cache()
-    if seeds is not None:
-        first = base.join(seeds.select("a").distinct(), "a").cache()
-        total = first
-        delta = first
-    else:
-        total = base
-        delta = base
-    for rnd in range(max_rounds):
-        grown = (delta.alias("d")
-                 .join(base.alias("e"), F.col("d.b") == F.col("e.a"))
-                 .select(F.col("d.a").alias("a"), F.col("e.b").alias("b"))
-                 .distinct())
-        delta = grown.join(total, on=["a", "b"], how="left_anti")
-        delta = (delta.localCheckpoint(eager=True)
-                 if rnd % checkpoint_every == checkpoint_every - 1
-                 else delta.cache())
-        if not delta.take(1):  # one action: frontier empty?
-            base.unpersist()
-            return total
-        # delta is anti-joined against total, so the union stays
-        # distinct by construction — no extra shuffle needed here.
-        total = total.union(delta)
-        if rnd % checkpoint_every == checkpoint_every - 1:
-            total = total.localCheckpoint(eager=True)
+    held: list[DataFrame] = []  # every frame this call persisted
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # Eager checkpoint with constraint propagation disabled for the
+        # capture: Spark's Dataset.checkpoint otherwise snapshots the
+        # origin plan's constraints into the LogicalRDD, and for plans
+        # with filters those can reference pre-checkpoint exprIds —
+        # optimizing any later union over such frames then dies in
+        # UnionBase.rewriteConstraints with "key not found: <attr>".
+        # With the flag off during capture the LogicalRDD carries no
+        # constraints at all; the data is identical and only the
+        # optimizer's inferred-filter pass over these internal frames
+        # is skipped.
+        spark = df.sparkSession
+        key = "spark.sql.constraintPropagation.enabled"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "false")
+        try:
+            out = df.localCheckpoint(eager=True)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        held.append(out)
+        return out
+
+    result: DataFrame | None = None
+    try:
+        base = _ckpt(pairs.select("a", "b").distinct())
+        if seeds is not None:
+            first = _ckpt(base.join(seeds.select("a").distinct(), "a"))
+            total = first
+            delta = first
         else:
-            total = total.cache()
-    raise RuntimeError(
-        f"transitive closure did not converge in {max_rounds} rounds; "
-        "raise max_rounds for deeper graphs")
+            total = base
+            delta = base
+        # persisted frames the current lazy `total` union still
+        # references (base is tracked separately: the grow-join needs
+        # it every round regardless)
+        chain = [total]
+        for rnd in range(max_rounds):
+            grown = (delta.alias("d")
+                     .join(base.alias("e"), F.col("d.b") == F.col("e.a"))
+                     .select(F.col("d.a").alias("a"),
+                             F.col("e.b").alias("b"))
+                     .distinct())
+            # eager checkpoint = the round's one materializing action;
+            # every generation is self-contained, so releasing a dead
+            # one can never invalidate a live frame's lineage
+            new_delta = _ckpt(grown.join(total, on=["a", "b"],
+                                         how="left_anti"))
+            # the previous frontier is superseded; it stays persisted
+            # only while the lazy total still unions over it
+            if delta is not base and not any(delta is f for f in chain):
+                release(delta)
+            delta = new_delta
+            if not delta.take(1):  # frontier empty: fixpoint
+                result = _ckpt(total)  # self-contained result
+                return result
+            # delta is anti-joined against total, so the union stays
+            # distinct by construction — no extra shuffle needed here.
+            total = total.union(delta)
+            chain.append(delta)
+            if rnd % checkpoint_every == checkpoint_every - 1:
+                total = _ckpt(total)
+                # the previous total generation and the frontiers
+                # folded into it are now unreferenced — release them
+                # (≤2 total-generations live; the live frontier is
+                # still the grow-join's input, so it survives)
+                for f in chain:
+                    if f is not base and f is not delta:
+                        release(f)
+                chain = [total]
+        raise RuntimeError(
+            f"transitive closure did not converge in {max_rounds} "
+            "rounds; raise max_rounds for deeper graphs")
+    finally:
+        for f in held:
+            if f is not result:
+                release(f)
 
 
 def path_pairs(triples: DataFrame, path: PathExpr,

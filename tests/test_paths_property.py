@@ -8,7 +8,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from rdfa_streaming_parser_js_spark.operators.paths import (
-    Alt, Inv, Link, Nps, Plus, Seq, Star, path_pairs)
+    Alt, Inv, Link, Nps, Opt, Plus, Seq, Star, path_pairs)
 
 NODES = ["n0", "n1", "n2", "n3"]
 PREDS = ["p0", "p1", "p2"]
@@ -18,7 +18,7 @@ PREDS = ["p0", "p1", "p2"]
 def path_expr(draw, depth=0):
     opts = ["link", "nps", "inv"]
     if depth < 2:
-        opts += ["seq", "alt", "plus", "star"]
+        opts += ["seq", "alt", "plus", "star", "opt"]
     kind = draw(st.sampled_from(opts))
     if kind == "link":
         return Link(draw(st.sampled_from(PREDS)))
@@ -28,9 +28,9 @@ def path_expr(draw, depth=0):
         return Nps(tuple(preds))
     if kind == "inv":
         return Inv(draw(path_expr(depth + 1)))
-    if kind in ("plus", "star"):
+    if kind in ("plus", "star", "opt"):
         inner = draw(path_expr(depth + 1))
-        return Plus(inner) if kind == "plus" else Star(inner)
+        return {"plus": Plus, "star": Star, "opt": Opt}[kind](inner)
     parts = tuple(draw(path_expr(depth + 1))
                   for _ in range(draw(st.integers(2, 3))))
     return Seq(parts) if kind == "seq" else Alt(parts)
@@ -81,6 +81,8 @@ def naive_pairs(triples, path):
             return _closure(ev(p.inner))
         if isinstance(p, Star):
             return _closure(ev(p.inner)) | {(t, t) for t in terms}
+        if isinstance(p, Opt):
+            return ev(p.inner) | {(t, t) for t in terms}
         raise TypeError(p)
     return ev(path)
 
