@@ -1042,6 +1042,81 @@ def q_kg_entity_table(spark, sf_dir):
     })
 
 
+def q_kg_entity_table_multi(spark, sf_dir):
+    """Faithful multi-valued entity view: rdf:List keywords are first
+    flattened to direct multi-values via the ``keywords/rest*/first``
+    property path, then ``entity_table_multi`` pivots each property to
+    its sorted distinct-value array (lossless where ``entity_table``
+    collapses to ``min``).  Arrays are projected to '|'-joined strings
+    only for the driver's byte-hash gate."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import (
+        bgp_match, entity_table_multi)
+    from rdfa_streaming_parser_js_spark.operators.paths import (
+        link, seq, star)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        RDF_NS, rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir)
+                        ).localCheckpoint(eager=True)
+    path = seq(link(f"{SCHEMA_ORG}keywords"),
+               star(link(f"{RDF_NS}rest")), link(f"{RDF_NS}first"))
+    flat = (bgp_match(t, [("?doc", path, "?kw")], select=["doc", "kw"])
+            .select(F.col("doc").alias("subj"),
+                    F.lit(f"{SCHEMA_ORG}keywords").alias("pred"),
+                    F.col("kw").alias("obj_value")))
+    tm = (t.select("subj", "pred", "obj_value")
+          .filter(F.col("pred") != f"{SCHEMA_ORG}keywords")
+          .union(flat))
+    wide = entity_table_multi(tm, f"{SCHEMA_ORG}Article", {
+        "authors": f"{SCHEMA_ORG}author",
+        "keywords": f"{SCHEMA_ORG}keywords",
+    })
+    return wide.select(
+        "subj",
+        F.array_join("authors", "|").alias("authors"),
+        F.array_join("keywords", "|").alias("keywords"))
+
+
+def q_kg_path_zero_or_one(spark, sf_dir):
+    """SPARQL 1.1 ZeroOrOnePath: ``schema:author?/schema:name`` binds
+    the author's name both from the article (one step through author)
+    and from the Person node itself (zero steps) — ``?`` compiles to
+    identity ∪ branch, no closure work materialized."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    from rdfa_streaming_parser_js_spark.operators.paths import (
+        link, opt, seq)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir)
+                        ).localCheckpoint(eager=True)
+    path = seq(opt(link(f"{SCHEMA_ORG}author")),
+               link(f"{SCHEMA_ORG}name"))
+    return bgp_match(t, [("?s", path, "?n")], select=["s", "n"])
+
+
+def q_graph_table_roundtrip(spark, sf_dir):
+    """Write→read identity of the bucketed graph TABLE: the canonical
+    graph is materialized via GraphCatalog (Iceberg-or-parquet
+    subject-hash bucket layout, sources/catalog.py), read back from
+    storage, and returned minus the layout column — gated against the
+    same canonical-graph oracle as the in-memory pipeline, so the
+    storage leg must be content-invisible."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.operators.canonicalize import (
+        canonicalize_triples)
+    from rdfa_streaming_parser_js_spark.sources.catalog import (
+        GraphCatalog)
+    cat = GraphCatalog(
+        spark,
+        os.path.join(tempfile.gettempdir(), "rdfa_graft_graph_roundtrip"),
+        n_buckets=8)
+    cols = ["subj", "pred", "obj_value", "obj_kind", "obj_datatype",
+            "obj_lang", "first_url", "n_pages"]
+    cat.write(canonicalize_triples(_triples(spark, sf_dir)).select(cols),
+              "triples", bucket_key="subj")
+    return cat.read("triples").select(cols)
+
+
 def q_kg_path_list_members(spark, sf_dir):
     """SPARQL 1.1 property path compiled to a DataFrame plan:
     ``schema:keywords/rdf:rest*/rdf:first`` binds every member of each
@@ -1354,13 +1429,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``extra_queries()`` — still oracle-gated locally
     (tools/check_oracles.py) and by pytest."""
     return {
-        # -- never driver-verified before round 3, + this round's work --
+        # -- never driver-verified: round-3 late additions + round-4 new
+        "nquads_roundtrip": q_nquads_roundtrip,
+        "kg_property_coverage": q_kg_property_coverage,
+        "kg_asof_snapshot": q_kg_asof_snapshot,
+        "kg_group_concat_keywords": q_kg_group_concat_keywords,
+        "kg_ask_patterns": q_kg_ask_patterns,
+        "streaming_stateful_dedup": q_streaming_stateful_dedup,
+        "text_chunking": q_text_chunking,
+        "kg_path_zero_or_one": q_kg_path_zero_or_one,
+        "kg_entity_table_multi": q_kg_entity_table_multi,
+        "graph_table_roundtrip": q_graph_table_roundtrip,
+        # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_cooccurrence": q_kg_cooccurrence,
-        "kg_stats_cube": q_kg_stats_cube,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "warc_to_graph": q_warc_to_graph,
@@ -1373,8 +1458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extract": q_streaming_extract,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "multimodal_decode_meta": q_multimodal_decode_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
         "kg_snapshot_delta": q_kg_snapshot_delta,
         "kg_recrawl_merge": q_kg_recrawl_merge,
         "kg_bgp_article_info": q_kg_bgp_article_info,
@@ -1394,21 +1477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- extraction kernel + KG core ------------------------------
         "rdfa_extract": q_rdfa_extract,
         "rdfa_extract_rich": q_rdfa_extract_rich,
-        "rdfa_extract_xmlcopy": q_rdfa_extract_xmlcopy,
-        "rdfa_extract_role_time": q_rdfa_extract_role_time,
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_text_invariant": q_rdfa_text_invariant,
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         "entity_link_top1": q_entity_link_top1,
         # -- relational core ------------------------------------------
-        "agg_lineitem_pricing": q_agg_lineitem_pricing,
         # -- training-data pipeline -----------------------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "text_quality": q_text_quality,
     }
 
 
@@ -1457,14 +1533,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
-        # round-3 late additions awaiting their first rotation
-        "nquads_roundtrip": q_nquads_roundtrip,
-        "kg_property_coverage": q_kg_property_coverage,
-        "kg_asof_snapshot": q_kg_asof_snapshot,
-        "kg_group_concat_keywords": q_kg_group_concat_keywords,
-        "kg_ask_patterns": q_kg_ask_patterns,
-        "streaming_stateful_dedup": q_streaming_stateful_dedup,
-        "text_chunking": q_text_chunking,
+        # retired in the round-4 rotation that gated the round-3 late
+        # additions + round-4 operators (driver-green rounds per key in
+        # SURVEY §2.4; all remain oracle-gated here + pytest)
+        "rdfa_extract_xmlcopy": q_rdfa_extract_xmlcopy,
+        "rdfa_extract_role_time": q_rdfa_extract_role_time,
+        "kg_stats_cube": q_kg_stats_cube,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
     }
 
 
@@ -1798,6 +1879,57 @@ def oracle_sql() -> dict[str, str]:
                             THEN obj_value END) AS date_created
             FROM typed LEFT JOIN exp ON exp.subj = typed.subj
             GROUP BY typed.subj
+        """,
+        # Multi-valued entity view: list keywords flattened through the
+        # same recursive chain, every property aggregated as its sorted
+        # distinct-value join (mirrors array_sort∘collect_set + '|').
+        "kg_entity_table_multi": f"""
+            WITH RECURSIVE t AS (SELECT * FROM ({_rich_sql()})),
+            typed AS (SELECT DISTINCT subj FROM t
+                      WHERE pred = '{RDF_TYPE}'
+                        AND obj_value = '{SCHEMA_ORG}Article'),
+            chain(doc, cell) AS (
+                SELECT subj, obj_value FROM t
+                WHERE pred = '{SCHEMA_ORG}keywords'
+                UNION
+                SELECT c.doc, e.obj_value
+                FROM chain c JOIN t e
+                  ON e.subj = c.cell AND e.pred = '{_RDF_NS}rest'
+            ),
+            kws AS (SELECT DISTINCT c.doc AS subj, f.obj_value AS v
+                    FROM chain c JOIN t f
+                      ON f.subj = c.cell AND f.pred = '{_RDF_NS}first'),
+            auth AS (SELECT DISTINCT subj, obj_value AS v FROM t
+                     WHERE pred = '{SCHEMA_ORG}author')
+            SELECT typed.subj AS subj,
+                   (SELECT string_agg(v, '|' ORDER BY v) FROM auth a
+                    WHERE a.subj = typed.subj) AS authors,
+                   (SELECT string_agg(v, '|' ORDER BY v) FROM kws k
+                    WHERE k.subj = typed.subj) AS keywords
+            FROM typed
+        """,
+        # ZeroOrOnePath author?/name = name-edges ∪ author∘name.
+        "kg_path_zero_or_one": f"""
+            WITH t AS (SELECT * FROM ({_rich_sql()})),
+            names AS (SELECT DISTINCT subj, obj_value FROM t
+                      WHERE pred = '{SCHEMA_ORG}name'),
+            auth AS (SELECT DISTINCT subj, obj_value FROM t
+                     WHERE pred = '{SCHEMA_ORG}author')
+            SELECT DISTINCT s, n FROM (
+                SELECT subj AS s, obj_value AS n FROM names
+                UNION ALL
+                SELECT a.subj AS s, n.obj_value AS n
+                FROM auth a JOIN names n ON n.subj = a.obj_value
+            )
+        """,
+        # The storage leg must be content-invisible, so the graph-table
+        # round-trip shares the canonical-graph oracle verbatim.
+        "graph_table_roundtrip": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT subj, pred, obj_value, obj_kind, obj_datatype, obj_lang,
+                   min(url) AS first_url, count(*) AS n_pages
+            FROM exp
+            GROUP BY subj, pred, obj_value, obj_kind, obj_datatype, obj_lang
         """,
         # Property path keywords/rest*/first: the oracle mirrors the
         # star closure with a recursive CTE over the reconstructed rich

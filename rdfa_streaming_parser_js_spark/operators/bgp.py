@@ -290,3 +290,39 @@ def entity_table(triples: DataFrame, type_iri: str,
     # subjects with the type but none of the properties still get a row
     return (typed.join(renamed, "subj", "left")
             .select("subj", *pred_to_col.values()))
+
+
+def entity_table_multi(triples: DataFrame, type_iri: str,
+                       properties: dict[str, str]) -> DataFrame:
+    """Faithful multi-valued variant of :func:`entity_table`: each
+    property column holds the SORTED ARRAY of the property's distinct
+    values (``array_sort ∘ collect_set``) instead of collapsing to
+    ``min`` — lossless for real schema.org data where authors/keywords
+    repeat.  Absent properties are NULL (not an empty array), matching
+    ``entity_table``'s missing-row semantics.  Same single pivoted
+    aggregation — one shuffle on ``subj`` regardless of column count;
+    the sort is per-row (array_sort), byte-stable at any parallelism.
+    """
+    if not properties:
+        raise ValueError("entity_table_multi requires at least one "
+                         "property")
+    pred_to_col = {iri: name for name, iri in properties.items()}
+    typed = (triples
+             .filter((F.col("pred") ==
+                      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+                     & (F.col("obj_value") == type_iri))
+             .select("subj").distinct())
+    props = (triples
+             .filter(F.col("pred").isin(list(pred_to_col)))
+             .join(typed, "subj")
+             .groupBy("subj")
+             .pivot("pred", list(pred_to_col))
+             .agg(F.array_sort(F.collect_set("obj_value"))))
+    # collect_set over zero rows yields [] — normalize to NULL so a
+    # subject lacking one property matches one lacking all of them
+    renamed = props.select(
+        "subj", *[F.when(F.size(F.col(f"`{iri}`")) > 0,
+                         F.col(f"`{iri}`")).alias(name)
+                  for iri, name in pred_to_col.items()])
+    return (typed.join(renamed, "subj", "left")
+            .select("subj", *pred_to_col.values()))

@@ -256,6 +256,31 @@ def test_entity_table_requires_properties(spark):
         entity_table(_kg(spark), f"{S}Article", {})
 
 
+def test_entity_table_multi_sorted_arrays(spark):
+    from rdfa_streaming_parser_js_spark.operators.bgp import (
+        entity_table_multi)
+    kg = _kg(spark).union(spark.createDataFrame(
+        [("d2", f"{S}name", "aaa-earlier"),
+         ("d2", f"{S}name", "zzz-later"),
+         ("d2", f"{S}name", "aaa-earlier")], COLS))  # dup collapses
+    got = entity_table_multi(kg, f"{S}Article", {
+        "name": f"{S}name", "source": f"{S}isPartOf",
+        "missing": f"{S}wordCount"})
+    rows = {r.subj: r for r in got.collect()}
+    assert set(rows) == {"d1", "d2"}
+    assert rows["d1"].name == ["alpha"]  # single value still an array
+    # distinct values (dup collapsed), sorted; d2's own name included
+    assert rows["d2"].name == ["aaa-earlier", "beta", "zzz-later"]
+    assert rows["d1"].missing is None  # absent property -> NULL
+
+
+def test_entity_table_multi_requires_properties(spark):
+    from rdfa_streaming_parser_js_spark.operators.bgp import (
+        entity_table_multi)
+    with pytest.raises(ValueError):
+        entity_table_multi(_kg(spark), f"{S}Article", {})
+
+
 def test_bgp_constant_filters_reach_the_scan(spark, tmp_path):
     """Plan shape: a constant-predicate pattern pushes its filter into
     the parquet scan (PushedFilters), so a 10^13-triple table prunes to
