@@ -133,6 +133,10 @@ def main() -> None:
         "kg_describe_entities", "kg_shacl_report", "kg_void_stats",
         "kg_skolemized_graph", "kg_property_coverage", "kg_asof_snapshot",
         "nquads_roundtrip",
+        # round-4 additions
+        "kg_group_concat_keywords", "kg_ask_patterns", "text_chunking",
+        "kg_path_zero_or_one", "kg_entity_table_multi",
+        "graph_table_roundtrip",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)
@@ -153,13 +157,39 @@ def main() -> None:
         loads[name] = round(statistics.median(qloads), 1)
 
     total = round(sum(timings.values()), 3)
+
+    # --- two-point scale check ---------------------------------------
+    # The same suite at a ~10x-smaller sf: a single-scale bench cannot
+    # see super-linear blowups (the regression class most likely to
+    # hide in the closure/CC queries).  scale_ratio = t(big)/t(small);
+    # with 10x the data anything well beyond ~10x plus fixed overhead
+    # is a scaling bug.  Small-scale runs are fixed-cost-dominated, so
+    # ratios BELOW the data ratio are expected and fine.
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR",
+                               "/root/testdata/sf0.01")
+    scale_ratio: dict[str, float] = {}
+    small_timings: dict[str, float] = {}
+    if scale_dir != sf_dir and os.path.isdir(scale_dir):
+        for name in bench_queries:
+            trials = []
+            for _ in range(TRIALS):
+                t0 = time.time()
+                force(qs[name](spark, scale_dir))
+                trials.append(time.time() - t0)
+                release_persisted()
+            small = statistics.median(trials)
+            small_timings[name] = round(small, 3)
+            scale_ratio[name] = round(timings[name] / max(small, 1e-9), 2)
+
     # Per-trial [min, max] ranges and per-query loadavg go to a SIDE
     # file: round 2's summary JSON (ranges inline) outgrew the driver's
     # stdout tail-capture window and BENCH_r02.json came back
     # parsed:null.  The final printed line stays compact — medians,
     # headline throughput, loadavg — and must remain the LAST line.
     side = {"query_ranges": ranges, "query_loadavg": loads,
-            "trials_per_query": TRIALS}
+            "trials_per_query": TRIALS,
+            "scale_small_sec": small_timings,
+            "scale_small_sf": scale_dir}
     side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_RANGES.json")
     try:
@@ -180,6 +210,8 @@ def main() -> None:
         "triples_per_sec": round(n_triples / extract_sec, 1),
         "parallelism": cpus,
         "loadavg": [load_start, round(os.getloadavg()[0], 1)],
+        "scale_ratio": scale_ratio,
+        "scale_small_sf": scale_dir,
         "scaling_evidence": "tools/scaling_bench.py (see BENCH.md)",
         "note": f"median-of-{TRIALS}; ranges+per-query loadavg in "
                 "BENCH_RANGES.json",

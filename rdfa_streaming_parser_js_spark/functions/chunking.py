@@ -36,9 +36,9 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
             f"({chunk_tokens})")
     step = chunk_tokens - overlap_tokens
     toks = F.split(F.col(text_col), " ")
-    chunks = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')), 1),"
-        f" {step}), s -> slice(split({text_col}, ' '), s, {chunk_tokens}))")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
     return (docs
             .select(*id_cols, F.posexplode(chunks)
                     .alias("chunk_idx", "chunk_toks"))

@@ -48,6 +48,7 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
         PathExpr, inv, path_pairs)
 
     solution: DataFrame | None = None
+    gates: list[DataFrame] = []  # fully-constant patterns
     for s, p, o in patterns:
         if isinstance(p, PathExpr):
             # property-path pattern: endpoints bind against the
@@ -84,7 +85,13 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
             else:
                 part = part.filter(F.col(col) == term)
         if not bound:
-            raise ValueError(f"pattern ({s}, {p}, {o}) binds no variable")
+            # fully-constant pattern (legal SPARQL — SPARQL 1.1 §5.1):
+            # an existence constraint on the whole group.  Compiled to
+            # a 1-or-0-row gate cross-joined in at the end: present →
+            # solutions unchanged, absent → empty.  The limit(1) keeps
+            # the probe a pushed-filter scan that stops at first match.
+            gates.append(part.limit(1).select(F.lit(1).alias("_gate")))
+            continue
         part = part.select(
             *[F.col(c).alias(v) for v, c in bound.items()])
         if solution is None:
@@ -93,6 +100,13 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
             shared = [v for v in part.columns if v in solution.columns]
             solution = (solution.join(part, on=shared, how="inner")
                         if shared else solution.crossJoin(part))
+    if solution is None:
+        raise ValueError(
+            "group binds no variable (all patterns constant) — there is "
+            "no solution relation to return; probe existence with "
+            "bgp_ask/an aggregate over a variable pattern instead")
+    for gate in gates:
+        solution = solution.crossJoin(F.broadcast(gate)).drop("_gate")
     for expr in filters or ():
         solution = solution.filter(F.expr(expr))
     return solution
@@ -114,6 +128,12 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
 
     A variable repeated *within* one pattern constrains both positions
     to be equal (e.g. ``("?x", "ex:knows", "?x")`` finds self-loops).
+
+    A fully-constant pattern (no variable at all) is an existence
+    constraint on the group: solutions pass through unchanged when the
+    triple is present and the group is empty when it is not.  A group
+    consisting ONLY of constant patterns raises — there is no solution
+    relation to return (use an aggregate/ASK-style probe instead).
 
     A pattern's predicate may also be a ``operators.paths.PathExpr``
     (SPARQL property path): the pattern then matches the path's

@@ -32,17 +32,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# NULL-safe join sentinel: obj_datatype / obj_lang are NULL for plain
-# literals and IRIs; an equi-join key must not contain NULLs (NULL !=
-# NULL would classify every such triple as added+removed).
-_NULLABLE_KEY_COLS = ("obj_datatype", "obj_lang")
-
-
 def _null_safe(df: DataFrame, cols: list[str]) -> DataFrame:
+    """NULL-safe join keys: an equi-join key must not contain NULLs
+    (NULL != NULL would classify such a triple as both added and
+    removed).  EVERY string key column is coalesced to '' — not just
+    obj_datatype/obj_lang: quad dumps re-imported through
+    parse_nquads_lines carry a NULL graph column for default-graph
+    lines, and any future nullable key gets the same treatment for
+    free.  Non-string key columns (none in the triple schema) would
+    need their own sentinel; keep keys stringly-typed."""
     out = df.select(*cols)
-    for c in _NULLABLE_KEY_COLS:
-        if c in cols:
-            out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    for field in out.schema.fields:
+        if field.dataType.typeName() == "string":
+            out = out.withColumn(
+                field.name, F.coalesce(F.col(field.name), F.lit("")))
     return out
 
 

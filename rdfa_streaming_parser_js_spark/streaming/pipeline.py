@@ -104,18 +104,45 @@ def run_kg_maintenance_stream(spark: SparkSession, pages_dir: str,
     idempotent, so crash-between-write-and-checkpoint re-runs converge
     to the same table.
 
-    Sink note: the sandbox sink is read-modify-overwrite parquet, made
-    safe by eagerly materializing the previous table before the
-    overwrite.  On a real deployment ``foreachBatch`` issues
-    ``MERGE INTO`` on the url-bucketed Iceberg graph table, so only the
-    buckets containing the batch's urls rewrite — this function's
-    shape (extract → latest-per-url → replace-merge) is unchanged.
+    Sink note: the sandbox sink is CRASH-ATOMIC read-modify-swap
+    parquet: each batch writes the merged table to a staging directory
+    first (data-first), then swaps it in with two renames (current →
+    ``.old``, staging → current) and drops the backup.  A crash at any
+    point leaves either the previous committed table, or a complete
+    staging/backup that ``_recover`` promotes on the next batch — the
+    graph table is never truncated.  On a real deployment
+    ``foreachBatch`` issues ``MERGE INTO`` on the url-bucketed Iceberg
+    graph table instead (snapshot-atomic, only the buckets containing
+    the batch's urls rewrite) — this function's shape (extract →
+    latest-per-url → replace-merge) is unchanged.
     """
+    import os
+    import shutil
+
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from ..operators.incremental import merge_by_url
 
+    staging = graph_dir.rstrip("/") + ".staging"
+    backup = graph_dir.rstrip("/") + ".old"
+
+    def _complete(d: str) -> bool:  # Spark marks finished writes
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def _recover() -> None:
+        """Re-establish the committed table after a mid-swap crash:
+        a complete staging dir is the newer state (its write finished
+        before any rename started) — promote it; otherwise restore the
+        backup.  No-op when the current table exists."""
+        if os.path.exists(graph_dir):
+            return
+        if _complete(staging):
+            os.rename(staging, graph_dir)
+        elif _complete(backup):
+            os.rename(backup, graph_dir)
+
     def _merge(batch: DataFrame, _batch_id: int) -> None:
+        _recover()
         latest = batch.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
         pages_latest = (batch.join(latest, ["url", "warc_ts"])
                         .dropDuplicates(["url"]))
@@ -126,8 +153,15 @@ def run_kg_maintenance_stream(spark: SparkSession, pages_dir: str,
             merged = new_triples
         else:
             merged = merge_by_url(old, new_triples)
-        merged.write.mode("overwrite").parquet(graph_dir)
+        # data first: the swap below only involves metadata renames
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(graph_dir):
+            os.rename(graph_dir, backup)
+        os.rename(staging, graph_dir)
+        shutil.rmtree(backup, ignore_errors=True)
 
+    _recover()  # a restart with no new files never fires _merge
     pages = read_page_stream(spark, pages_dir, max_files_per_trigger)
     return (pages.writeStream
             .foreachBatch(_merge)

@@ -256,6 +256,26 @@ def test_entity_table_requires_properties(spark):
         entity_table(_kg(spark), f"{S}Article", {})
 
 
+def test_bgp_constant_only_pattern_gates_the_group(spark):
+    """A fully-constant pattern is an existence constraint (SPARQL 1.1
+    §5.1): present → solutions unchanged, absent → empty group."""
+    present = bgp_match(_kg(spark), [
+        ("?s", RDF_TYPE, f"{S}Article"),
+        ("d3", RDF_TYPE, f"{S}Person"),  # exists
+    ], select=["s"])
+    assert sorted(r.s for r in present.collect()) == ["d1", "d2"]
+    absent = bgp_match(_kg(spark), [
+        ("?s", RDF_TYPE, f"{S}Article"),
+        ("d3", RDF_TYPE, f"{S}Robot"),  # does not exist
+    ], select=["s"])
+    assert absent.count() == 0
+
+
+def test_bgp_all_constant_group_raises(spark):
+    with pytest.raises(ValueError, match="binds no variable"):
+        bgp_match(_kg(spark), [("d3", RDF_TYPE, f"{S}Person")])
+
+
 def test_entity_table_multi_sorted_arrays(spark):
     from rdfa_streaming_parser_js_spark.operators.bgp import (
         entity_table_multi)

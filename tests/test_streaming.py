@@ -121,6 +121,37 @@ def test_kg_maintenance_stream_replaces_recrawled_pages(
             spark.read.parquet(graph_dir).collect()} == expected
 
 
+def test_kg_maintenance_sink_recovers_from_mid_swap_crash(
+        spark, pages, tmp_path):
+    """Crash-atomicity of the read-modify-swap sink: a process that died
+    between the two commit renames leaves no current table but a
+    complete staging/backup dir — the next run must re-establish the
+    committed state instead of losing the whole graph (ADVICE r03)."""
+    import os
+    import shutil
+
+    pages_dir = str(tmp_path / "pages")
+    graph_dir = str(tmp_path / "graph")
+    ck_dir = str(tmp_path / "ck")
+    pages.write.parquet(pages_dir)
+    _await(run_kg_maintenance_stream(spark, pages_dir, graph_dir, ck_dir))
+    expected = {tuple(r) for r in spark.read.parquet(graph_dir).collect()}
+
+    # crash window A: current renamed to .old, staging promotion lost
+    os.rename(graph_dir, graph_dir + ".old")
+    _await(run_kg_maintenance_stream(spark, pages_dir, graph_dir, ck_dir))
+    assert {tuple(r) for r in
+            spark.read.parquet(graph_dir).collect()} == expected
+
+    # crash window B: staging completely written, swap never started
+    shutil.copytree(graph_dir, graph_dir + ".staging")
+    os.rename(graph_dir, graph_dir + ".bak-simulated-loss")
+    shutil.rmtree(graph_dir + ".bak-simulated-loss")
+    _await(run_kg_maintenance_stream(spark, pages_dir, graph_dir, ck_dir))
+    assert {tuple(r) for r in
+            spark.read.parquet(graph_dir).collect()} == expected
+
+
 def test_stateful_first_seen_dedup_across_batches(spark, pages, tmp_path):
     """applyInPandasWithState: re-crawled urls are suppressed across
     micro-batches within one run (state lives in the state store)."""

@@ -15,7 +15,11 @@ Coverage: html5 (@property, @rel+@rev, @content, @datatype, <link>/
 @inlist rdf:List, @lang inheritance, <time>/@datetime sniffing),
 xhtml5 (bare @rel terms from the XHTML initial context), svg
 (xmlns-prefix mapping, xml:base) — the three profiles the reference's
-CI `spec` job exercises.
+CI `spec` job exercises — plus, since round 4, the role-attribute
+suite (the CI `spec-role` job) and the rdfa:copy/rdfa:Pattern family;
+those cases also cite their reference jest anchors
+(test/RdfParser-test.ts:3349-3414 and :1682-2194) in a `reference`
+field.  See FIXTURES.md §7 for the full case list and honesty note.
 
 Comparison is graph isomorphism, like the reference's
 ``toBeRdfIsomorphic`` and the jest-derived corpus in test_fixtures.py.
