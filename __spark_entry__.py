@@ -238,10 +238,16 @@ def q_salted_object_counts(spark, sf_dir):
 
 def q_agg_events_by_type(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # + 0.0 normalizes IEEE negative zero: DuckDB's round() preserves
+    # -0.0 (a sum in (-0.0005, 0] rounds to it) while Spark's yields
+    # +0.0, and a typed byte-hash distinguishes them (found by
+    # tests/test_oracle_types.py fuzzing)
     return (ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 3).alias("sum_value"),
-                 F.round(F.avg("value"), 3).alias("avg_value"),
+                 (F.round(F.sum("value"), 3) + F.lit(0.0))
+                 .alias("sum_value"),
+                 (F.round(F.avg("value"), 3) + F.lit(0.0))
+                 .alias("avg_value"),
                  F.count_distinct("user_id").alias("n_users")))
 
 
@@ -347,9 +353,11 @@ def q_rollup_orders(spark, sf_dir):
 def q_percentiles_by_event_type(spark, sf_dir):
     """Exact percentiles (p50/p90/p99) of event value per type."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # + 0.0: negative-zero normalization (DuckDB round preserves -0.0,
+    # Spark's does not; the typed hash distinguishes them)
     return (ev.groupBy("event_type")
-            .agg(*[F.round(F.percentile("value", F.lit(p)), 6)
-                   .alias(f"p{int(p * 100)}")
+            .agg(*[(F.round(F.percentile("value", F.lit(p)), 6)
+                    + F.lit(0.0)).alias(f"p{int(p * 100)}")
                    for p in (0.5, 0.9, 0.99)]))
 
 
@@ -399,7 +407,8 @@ def q_approx_stats(spark, sf_dir):
     agg = ev.agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        (F.round(F.percentile("value", F.lit(0.5)), 6) + F.lit(0.0))
+        .alias("exact_p50"),
         F.percentile_approx("value", F.lit(0.5), F.lit(1000))
         .alias("approx_p50"),
         F.percentile("value", F.lit(0.45)).alias("p45"),
@@ -2261,8 +2270,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_events_by_type": """
             SELECT event_type,
                    count(*) AS n_events,
-                   round(sum(value), 3) AS sum_value,
-                   round(avg(value), 3) AS avg_value,
+                   round(sum(value), 3) + 0.0 AS sum_value,
+                   round(avg(value), 3) + 0.0 AS avg_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
@@ -2375,14 +2384,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "percentiles_by_event_type": """
             SELECT event_type,
-                   round(quantile_cont(value, 0.5), 6) AS p50,
-                   round(quantile_cont(value, 0.9), 6) AS p90,
-                   round(quantile_cont(value, 0.99), 6) AS p99
+                   round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+                   round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+                   round(quantile_cont(value, 0.99), 6) + 0.0 AS p99
             FROM events GROUP BY event_type
         """,
         "approx_stats": """
             SELECT count(DISTINCT user_id) AS exact_users,
-                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   round(quantile_cont(value, 0.5), 6) + 0.0 AS exact_p50,
                    TRUE AS approx_users_ok,
                    TRUE AS approx_p50_ok
             FROM events

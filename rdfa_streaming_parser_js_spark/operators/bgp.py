@@ -258,24 +258,50 @@ def describe(triples: DataFrame, seeds: DataFrame,
     against the seen set — rounds = bnode nesting depth (bounded by DOM
     depth for RDFa-minted bnodes), ONE action per round.  The instance
     table is only ever filtered by join, never shuffled.
+
+    Storage: superseded ``seen`` generations are released each round
+    (the cumulative set, the only frame that grows); the per-round
+    frontier checkpoints stay persisted because the returned lazy union
+    broadcasts them — they are bnode-id lists, not graph-sized.  On the
+    error path everything this call persisted is released.
     """
-    seen = seeds.select("node").distinct().localCheckpoint(eager=True)
-    frontier = seen
+    from rdfa_streaming_parser_js_spark.operators.storage import release
+
+    seeds_ck = seeds.select("node").distinct().localCheckpoint(eager=True)
+    seen = seeds_ck
+    frontier = seeds_ck
+    frontiers = [seeds_ck]  # persisted frames the output may reference
     out: DataFrame | None = None
-    for _ in range(max_rounds):
-        hop = (triples.join(F.broadcast(frontier),
-                            triples.subj == F.col("node")).drop("node"))
-        out = hop if out is None else out.unionByName(hop)
-        reached = (hop.filter(F.col("obj_kind") == "bnode")
-                   .select(F.col("obj_value").alias("node")).distinct())
-        frontier = (reached.join(seen, "node", "left_anti")
-                    .localCheckpoint(eager=True))
-        if not frontier.take(1):  # one action: frontier drained?
-            return out
-        seen = seen.union(frontier).localCheckpoint(eager=True)
-    raise RuntimeError(
-        f"describe did not drain its bnode frontier in {max_rounds} "
-        "rounds; raise max_rounds for deeper bnode nesting")
+    try:
+        for _ in range(max_rounds):
+            hop = (triples.join(F.broadcast(frontier),
+                                triples.subj == F.col("node"))
+                   .drop("node"))
+            out = hop if out is None else out.unionByName(hop)
+            reached = (hop.filter(F.col("obj_kind") == "bnode")
+                       .select(F.col("obj_value").alias("node"))
+                       .distinct())
+            frontier = (reached.join(seen, "node", "left_anti")
+                        .localCheckpoint(eager=True))
+            if not frontier.take(1):  # one action: frontier drained?
+                release(frontier)  # empty — no hop was built from it
+                if seen is not seeds_ck:
+                    release(seen)  # the returned union never reads it
+                return out
+            frontiers.append(frontier)
+            new_seen = seen.union(frontier).localCheckpoint(eager=True)
+            if seen is not seeds_ck:
+                release(seen)  # superseded generation
+            seen = new_seen
+        raise RuntimeError(
+            f"describe did not drain its bnode frontier in {max_rounds} "
+            "rounds; raise max_rounds for deeper bnode nesting")
+    except Exception:
+        for f in frontiers:
+            release(f)
+        if seen is not seeds_ck:
+            release(seen)
+        raise
 
 
 def entity_table(triples: DataFrame, type_iri: str,

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdfa_streaming_parser_js_spark.operators.storage import release
+
 PAGERANK_SCALE = 1_000_000_000_000  # 10^12
 DEFAULT_ITERATIONS = 6
 
@@ -85,6 +87,7 @@ def pagerank(edges: DataFrame, iterations: int = DEFAULT_ITERATIONS,
 
     base = (15 * scale) // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    prev_cut: DataFrame | None = None
     for i in range(iterations):
         inflow = (contrib_edges.join(ranks, ranks.id == contrib_edges.src)
                   .select(F.col("dst").alias("id"),
@@ -98,7 +101,12 @@ def pagerank(edges: DataFrame, iterations: int = DEFAULT_ITERATIONS,
         # eager cut every other round: keeps the unrolled plan shallow
         # (two rounds deep max) without paying a materialization per round
         if i % 2 == 1 and i != iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            new_ranks = ranks.localCheckpoint(eager=True)
+            # the cut two rounds back is now superseded and unreferenced
+            # (the new checkpoint is self-contained) — release it
+            if prev_cut is not None:
+                release(prev_cut)
+            ranks = prev_cut = new_ranks
     return ranks
 
 

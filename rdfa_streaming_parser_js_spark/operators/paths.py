@@ -46,6 +46,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdfa_streaming_parser_js_spark.operators.storage import release
+
 
 # --------------------------------------------------------------------
 # AST
@@ -244,22 +246,6 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
     return terms.select(F.col("t").alias("a"), F.col("t").alias("b"))
 
 
-def release(df: DataFrame) -> None:
-    """Free the storage behind a ``.cache()``d or ``.localCheckpoint``ed
-    frame.  ``Dataset.unpersist`` only clears CacheManager entries, so
-    for checkpointed frames (plan = ``LogicalRDD``) the backing RDD is
-    unpersisted directly — otherwise every localCheckpoint in an
-    iterative loop leaks executor storage for the session's lifetime.
-    Only call on frames whose data is no longer referenced: a local
-    checkpoint truncates lineage, so released blocks cannot be
-    recomputed."""
-    try:
-        df.unpersist()
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
-    except Exception:  # pragma: no cover - py4j internals moved
-        pass
 
 
 def transitive_closure(pairs: DataFrame, max_rounds: int = 30,

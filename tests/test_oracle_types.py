@@ -57,8 +57,14 @@ def tables(draw):
             draw(st.integers(0, 86_400)),
             draw(st.integers(0, n_users - 1)),
             draw(st.sampled_from(["view", "click", "buy"])),
-            draw(st.floats(-100, 100, allow_nan=False,
-                           allow_infinity=False, width=32)),
+            # dyadic values (k/8): double sums are EXACT, so the value
+            # comparison is association-order-independent — arbitrary
+            # floats made the float-agg queries flake on last-ulp
+            # rounding boundaries between Spark's partial aggregation
+            # and DuckDB's sequential sum.  The negative-zero class
+            # those floats caught is pinned below as a deterministic
+            # regression test.
+            draw(st.integers(-8000, 8000)) / 8.0,
             "{}",
         ))
     docs = []
@@ -128,3 +134,36 @@ def test_gated_queries_type_and_value_identical(spark, tmp_path_factory,
         exp = sorted(tuple(_canon_value(row[i]) for i in order)
                      for row in rel.fetchall())
         assert got == exp, f"{name}: value mismatch on fuzzed input"
+
+
+def test_negative_zero_rounding_regression(spark, tmp_path):
+    """Pinned fuzz find: a value sum in (-0.0005, 0] rounds to -0.0 in
+    DuckDB (sign-preserving round) but +0.0 in Spark; the driver's
+    typed byte-hash distinguishes them.  Both sides of the
+    agg_events_by_type oracle pair normalize with `+ 0.0`."""
+    sf_dir = str(tmp_path / "sf")
+    rows = [(i, 0, 0, "view", 0.0, "{}") for i in range(9)]
+    rows.append((9, 0, 0, "view", -2.220446049250313e-16, "{}"))
+    (spark.createDataFrame(
+        rows, "event_id long, ts_off long, user_id long, "
+              "event_type string, value double, props string")
+     .selectExpr("event_id",
+                 "timestamp'2024-01-01 00:00:00' "
+                 "+ make_interval(0,0,0,0,0,0,ts_off) AS ts",
+                 "user_id", "event_type", "value", "props")
+     .write.mode("overwrite").parquet(f"{sf_dir}/events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS "
+            f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'")
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    df = qs["agg_events_by_type"](spark, sf_dir)
+    cols = sorted(df.columns)
+    got = sorted(tuple(_canon_value(r[c]) for c in cols)
+                 for r in df.collect())
+    rel = con.sql(entrymod.oracle_sql()["agg_events_by_type"])
+    order = [rel.columns.index(c) for c in cols]
+    exp = sorted(tuple(_canon_value(row[i]) for i in order)
+                 for row in rel.fetchall())
+    assert got == exp
+    # and the canon really is +0.0 on both sides
+    assert all("f:-0.0" not in r for row in got for r in row)
