@@ -127,10 +127,22 @@ def extract_triples(pages: DataFrame, profile: str = "html",
             extra = [batch.column(n_base + i).to_pylist()
                      for i in range(len(passthrough))]
             for i, (url, html, lang) in enumerate(zip(urls, htmls, langs)):
-                extractor = parse_rdfa(html or b"", base_iri=url or "",
-                                       profile=profile,
-                                       content_type=ctypes[i],
-                                       language=lang or None, vocab=vocab)
+                try:
+                    extractor = parse_rdfa(html or b"", base_iri=url or "",
+                                           profile=profile,
+                                           content_type=ctypes[i],
+                                           language=lang or None,
+                                           vocab=vocab)
+                except Exception:
+                    # Hard kernel failure on an adversarial page (e.g.
+                    # mutually-cyclic rdfa:copy patterns exhaust the
+                    # replay stack — the reference's JS throws the same
+                    # way): quarantine the page (zero triples) instead
+                    # of failing the task; per-page error visibility is
+                    # extract_page_stats' job.  Soft errors (malformed
+                    # markup) never reach here — the drivers record
+                    # them on parse_error and keep partial triples.
+                    continue
                 for s, p, o in extractor.triples:
                     sv, sk, _, _ = _term_cols(s, url, skolemize)
                     ov, ok, odt, olang = _term_cols(o, url, skolemize)
@@ -175,8 +187,14 @@ def extract_page_stats(pages: DataFrame, profile: str = "html",
                      else [None] * len(urls))
             n_triples, text_chars, errors = [], [], []
             for url, html, lang in zip(urls, htmls, langs):
-                ex = parse_rdfa(html or b"", base_iri=url or "",
-                                profile=profile, language=lang or None)
+                try:
+                    ex = parse_rdfa(html or b"", base_iri=url or "",
+                                    profile=profile, language=lang or None)
+                except Exception as e:  # hard kernel failure: a row,
+                    n_triples.append(0)  # never a task failure
+                    text_chars.append(0)
+                    errors.append(f"{type(e).__name__}: {e}"[:500])
+                    continue
                 n_triples.append(len(ex.triples))
                 text_chars.append(len(ex.extracted_text()))
                 errors.append(ex.parse_error)
@@ -207,10 +225,14 @@ def extract_page_text(pages: DataFrame, profile: str = "html",
                      else [None] * len(urls))
             texts = []
             for url, html, lang in zip(urls, htmls, langs):
-                extractor = parse_rdfa(html or b"", base_iri=url or "",
-                                       profile=profile,
-                                       language=lang or None)
-                texts.append(extractor.extracted_text())
+                try:
+                    extractor = parse_rdfa(html or b"", base_iri=url or "",
+                                           profile=profile,
+                                           language=lang or None)
+                    texts.append(extractor.extracted_text())
+                except Exception:  # hard kernel failure: empty text,
+                    texts.append("")  # never a task failure
+
             yield pa.RecordBatch.from_arrays(
                 [pa.array(urls, type=pa.string()),
                  pa.array(texts, type=pa.string())],

@@ -275,3 +275,13 @@ def test_transitive_closure_releases_on_error_path(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         transitive_closure(edges, max_rounds=2)
     assert _n_persisted(spark) == before
+
+
+def test_bgp_constant_subject_seeds_opt_path(spark):
+    """ZeroOrOnePath with a bound subject: the identity branch binds the
+    seed itself (zero steps), the edge branch its neighbors — all
+    seeded, no graph-wide term scan."""
+    from rdfa_streaming_parser_js_spark.operators.paths import opt
+    got = bgp_match(_kg(spark), [("a", opt(link(f"{EX}knows")), "?n")],
+                    select=["n"])
+    assert sorted(r.n for r in got.collect()) == ["a", "b"]

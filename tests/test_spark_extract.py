@@ -156,3 +156,42 @@ def test_page_stats_quarantine(spark):
     assert rows["http://e.org/ok"].n_triples == 1
     assert rows["http://e.org/bad"].parse_error is not None
     assert rows["http://e.org/bad"].n_triples == 0
+
+
+def test_hard_kernel_failure_is_quarantined_not_task_failure(spark):
+    """A page whose patterns form a MUTUAL rdfa:copy cycle exhausts the
+    replay stack (RecursionError — the reference's JS throws a
+    RangeError the same way, its cyclic guard at RdfaParser.ts:855-858
+    only cuts direct self-cycles).  At 10^12-page scale one adversarial
+    page must not fail the job: extract_triples quarantines it (zero
+    triples), extract_page_stats records the error, extract_page_text
+    yields empty text — and healthy pages in the same batch are
+    unaffected."""
+    from rdfa_streaming_parser_js_spark.operators.extract import (
+        extract_page_stats)
+    cyclic = (b'<html><body prefix="schema: http://schema.org/">'
+              b'<div resource="#a" typeof="rdfa:Pattern">'
+              b'<link property="rdfa:copy" href="#b"/></div>'
+              b'<div resource="#b" typeof="rdfa:Pattern">'
+              b'<link property="rdfa:copy" href="#a"/></div>'
+              b'<div typeof="schema:Person">'
+              b'<link property="rdfa:copy" href="#a"/></div>'
+              b'</body></html>')
+    # @content supplies the literal, so the element text is NOT consumed
+    # and survives into extracted_text()
+    ok = (b'<html><body prefix="schema: http://schema.org/">'
+          b'<div about="#it" property="schema:name" content="n">fine'
+          b'</div></body></html>')
+    df = spark.createDataFrame(
+        [("http://e.org/cyclic", bytearray(cyclic), None),
+         ("http://e.org/ok", bytearray(ok), None)],
+        "url string, html binary, lang string")
+    trips = extract_triples(df).collect()
+    assert {r.url for r in trips} == {"http://e.org/ok"}
+    stats = {r.url: r for r in extract_page_stats(df).collect()}
+    assert stats["http://e.org/cyclic"].n_triples == 0
+    assert "RecursionError" in stats["http://e.org/cyclic"].parse_error
+    assert stats["http://e.org/ok"].n_triples == 1
+    texts = {r.url: r.text for r in extract_page_text(df).collect()}
+    assert texts["http://e.org/cyclic"] == ""
+    assert texts["http://e.org/ok"] == "fine"
