@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdfa_streaming_parser_js_spark.operators.storage import release
+
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
@@ -39,6 +41,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .cache())
 
     prev_sum = object()  # sentinel: never equals a real sum
+    # superseded generations awaiting a SELF-CONTAINED successor: a
+    # cached generation's blocks can be evicted and recomputed from its
+    # predecessors, so predecessors are only truly dead (releasable —
+    # Dataset.unpersist is a no-op on checkpointed frames, see
+    # operators/storage.release) once an eager checkpoint cuts them out
+    # of every live lineage.  Entries are (frame, is_checkpointed).
+    pending: list[tuple[DataFrame, bool]] = []
+    last_cut = False
     for i in range(max_iterations):
         msgs = (sym.join(labels, sym.a == labels.id)
                 .select(F.col("b").alias("id"), "comp"))
@@ -47,7 +57,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # Materialize each round: without this, round N's action would
         # recompute the entire label chain from round 0 (and the pair
         # generator feeding it) — iteration cost would grow linearly.
-        if i % 3 == 2:
+        cut = i % 3 == 2
+        if cut:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
@@ -59,11 +70,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         cur_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
-        labels.unpersist()
+        pending.append((labels, last_cut))
+        if cut:  # new_labels self-contained: all priors are dead
+            for f, _ in pending:
+                release(f)
+            pending = []
         labels = new_labels
+        last_cut = cut
         if cur_sum is None or cur_sum == prev_sum:
             break  # empty graph, or fixpoint reached
         prev_sum = cur_sum
+    # Leftovers since the last checkpoint: release CACHED ones only
+    # (their data recomputes from the still-live checkpoint below
+    # them); the ≤1 checkpointed leftover must stay — the returned
+    # cached generation's lineage may need it if blocks are evicted.
+    for f, was_ckpt in pending:
+        if not was_ckpt:
+            release(f)
     sym.unpersist()
     return labels
 
@@ -133,10 +156,15 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
              .union(raw.select(F.col("v").alias("id"))).distinct()
              .cache())
 
-    prev_sig, prev_e = None, None
+    prev_sig = None
+    # superseded generations pending a self-contained successor —
+    # same release discipline as connected_components above
+    pending: list[tuple[DataFrame, bool]] = []
+    last_cut = False
     for i in range(max_iterations):
         new_e = _small_star(_large_star(e))
-        if i % 3 == 2:
+        cut = i % 3 == 2
+        if cut:
             new_e = new_e.localCheckpoint(eager=True)
         else:
             new_e = new_e.cache()
@@ -148,15 +176,24 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
         ).collect()[0]
-        # only now is it safe to drop last round's blocks (new_e no
-        # longer needs its parent's cache once materialized)
-        if prev_e is not None:
-            prev_e.unpersist()
-        e = prev_e = new_e
+        if i > 0:  # round 0's `e` is the unpersisted lazy input view
+            pending.append((e, last_cut))
+        if cut:  # new_e self-contained: every prior generation is dead
+            for f, _ in pending:
+                release(f)
+            pending = []
+        e = new_e
+        last_cut = cut
         sig = (row.n, row.h)
         if sig == prev_sig or row.n == 0:
             break
         prev_sig = sig
+    # cached leftovers recompute from the still-live checkpoint below
+    # them; a checkpointed leftover stays (the returned labels' lineage
+    # may need it on cache eviction)
+    for f, was_ckpt in pending:
+        if not was_ckpt:
+            release(f)
 
     labels = (nodes.join(e.select(F.col("u").alias("id"),
                                   F.col("v").alias("comp")), "id", "left")

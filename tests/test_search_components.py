@@ -112,3 +112,60 @@ def test_tfidf_top_terms(spark):
     import collections
     per_doc = collections.Counter(i for i, _ in got)
     assert max(per_doc.values()) <= 2
+
+
+def _n_persisted(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _run_with_release_spy(spark, fn):
+    """Run fn() while spying on components.release; return (result,
+    peak persisted count observed at release points, baseline count)."""
+    import rdfa_streaming_parser_js_spark.operators.components as cc_mod
+    spark.catalog.clearCache()
+    before = _n_persisted(spark)
+    peak = {"n": 0}
+    orig_release = cc_mod.release
+
+    def spying_release(df):
+        peak["n"] = max(peak["n"], _n_persisted(spark))
+        orig_release(df)
+
+    cc_mod.release = spying_release
+    try:
+        result = fn()
+    finally:
+        cc_mod.release = orig_release
+    return result, peak["n"], before
+
+
+def test_label_prop_releases_intermediates(spark):
+    """Storage discipline (VERDICT r03 'What's wrong #3'): a multi-round
+    label-propagation run holds a bounded number of persisted
+    generations — never proportional to round count — and leaves at
+    most the result + one checkpointed ancestor behind."""
+    pairs = _cc_pairs(spark, [(i, i + 1) for i in range(12)])
+    labels, peak, before = _run_with_release_spy(
+        spark, lambda: connected_components(pairs))
+    assert _labels(labels) == {i: 0 for i in range(13)}
+    # while looping: sym + initial labels + ≤3 in-window generations +
+    # the in-flight new generation (12 rounds would leak ~14 without
+    # the release discipline)
+    assert peak - before <= 7
+    # after return: the result generation, plus at most one checkpointed
+    # ancestor its lineage may still need on block eviction
+    assert _n_persisted(spark) - before <= 2
+
+
+def test_star_releases_intermediates(spark):
+    """Same discipline for the alternating large/small-star loop."""
+    pairs = _cc_pairs(spark, [(i, i + 1) for i in range(40)])
+    labels, peak, before = _run_with_release_spy(
+        spark, lambda: connected_components_star(pairs))
+    assert _labels(labels) == {i: 0 for i in range(41)}
+    # raw input checkpoint + nodes + ≤3 in-window edge generations +
+    # the in-flight new generation
+    assert peak - before <= 7
+    # after return: raw + final edge set (+ ≤1 checkpointed ancestor);
+    # nodes is unpersisted on exit
+    assert _n_persisted(spark) - before <= 3
