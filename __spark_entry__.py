@@ -1102,6 +1102,45 @@ def q_kg_path_zero_or_one(spark, sf_dir):
     return bgp_match(t, [("?s", path, "?n")], select=["s", "n"])
 
 
+def q_kg_values_lang_label(spark, sf_dir):
+    """SPARQL VALUES (inline data, §10.2): join a three-row multiset —
+    ``(?lang ?label) { ('en' 'English') ('es' 'Spanish') ('de' UNDEF) }``
+    — into the article/language BGP.  The block both CONSTRAINS (?lang
+    must hit one of the three rows; fr/zh articles drop) and EXTENDS
+    (?label is a new column; the UNDEF row surfaces it as NULL).  Rows
+    are grouped by defined-variable mask and broadcast-joined."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples_cut(spark, sf_dir)
+    return bgp_match(
+        t,
+        [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
+         ("?doc", f"{SCHEMA_ORG}inLanguage", "?lang")],
+        values=[{"lang": "en", "label": "English"},
+                {"lang": "es", "label": "Spanish"},
+                {"lang": "de", "label": None}],
+        select=["doc", "lang", "label"])
+
+
+def q_kg_exists_filters(spark, sf_dir):
+    """SPARQL FILTER EXISTS / NOT EXISTS compiled to semi/anti joins:
+    long non-English articles — EXISTS {?doc wordCount ?wc FILTER
+    wc ≥ 50} (group-local filter inside the probe) AND NOT EXISTS
+    {?doc inLanguage 'en'}.  Both probes correlate on ?doc, so output
+    multiplicity is untouched (semi/anti join, never a multiplying
+    inner join)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples_cut(spark, sf_dir)
+    return bgp_match(
+        t,
+        [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
+         ("?doc", f"{SCHEMA_ORG}name", "?name")],
+        exists=[([("?doc", f"{SCHEMA_ORG}wordCount", "?wc")],
+                 ["CAST(wc AS INT) >= 50"])],
+        not_exists=[([("?doc", f"{SCHEMA_ORG}inLanguage", "?l")],
+                     ["l = 'en'"])],
+        select=["doc", "name"])
+
+
 def q_graph_table_roundtrip(spark, sf_dir):
     """Write→read identity of the bucketed graph TABLE: the canonical
     graph is materialized via GraphCatalog (Iceberg-or-parquet
@@ -1449,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_zero_or_one": q_kg_path_zero_or_one,
         "kg_entity_table_multi": q_kg_entity_table_multi,
         "graph_table_roundtrip": q_graph_table_roundtrip,
+        "kg_values_lang_label": q_kg_values_lang_label,
+        "kg_exists_filters": q_kg_exists_filters,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1461,12 +1502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
-        "ntriples_roundtrip": q_ntriples_roundtrip,
         "json_graph_nodes": q_json_graph_nodes,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
         "streaming_windowed_counts": q_streaming_windowed_counts,
-        "multimodal_decode_meta": q_multimodal_decode_meta,
         "kg_snapshot_delta": q_kg_snapshot_delta,
         "kg_recrawl_merge": q_kg_recrawl_merge,
         "kg_bgp_article_info": q_kg_bgp_article_info,
@@ -1505,6 +1544,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys and their surviving in-window evidence are tabled in
     SURVEY.md §2.4."""
     return {
+        "ntriples_roundtrip": q_ntriples_roundtrip,
+        "multimodal_decode_meta": q_multimodal_decode_meta,
         "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
         "rdfa_lang_distribution": q_rdfa_lang_distribution,
         "hub_subjects_topk": q_hub_subjects_topk,
@@ -2179,6 +2220,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, 'http://www.w3.org/2000/01/rdf-schema#label',
                    obj_value, obj_kind, obj_datatype, obj_lang
             FROM base WHERE pred = '{SCHEMA_ORG}name'
+        """,
+        "kg_values_lang_label": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            d AS (SELECT t.subj AS doc, l.obj_value AS lang
+                  FROM exp t JOIN exp l ON l.subj = t.subj
+                  WHERE t.pred = '{RDF_TYPE}'
+                    AND t.obj_value = '{SCHEMA_ORG}Article'
+                    AND l.pred = '{SCHEMA_ORG}inLanguage')
+            SELECT d.doc AS doc, d.lang AS lang, v.label AS label
+            FROM d JOIN (VALUES ('en', 'English'), ('es', 'Spanish'),
+                                ('de', CAST(NULL AS VARCHAR)))
+                       AS v(lang, label)
+                 ON d.lang = v.lang
+        """,
+        "kg_exists_filters": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            req AS (SELECT t.subj AS doc, n.obj_value AS name
+                    FROM exp t JOIN exp n ON n.subj = t.subj
+                    WHERE t.pred = '{RDF_TYPE}'
+                      AND t.obj_value = '{SCHEMA_ORG}Article'
+                      AND n.pred = '{SCHEMA_ORG}name')
+            SELECT doc, name FROM req
+            WHERE EXISTS (SELECT 1 FROM exp w
+                          WHERE w.subj = req.doc
+                            AND w.pred = '{SCHEMA_ORG}wordCount'
+                            AND CAST(w.obj_value AS INT) >= 50)
+              AND NOT EXISTS (SELECT 1 FROM exp l
+                              WHERE l.subj = req.doc
+                                AND l.pred = '{SCHEMA_ORG}inLanguage'
+                                AND l.obj_value = 'en')
         """,
         "kg_bgp_minus": f"""
             WITH exp AS ({expected_triples_sql()}),

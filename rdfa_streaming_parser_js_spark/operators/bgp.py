@@ -43,7 +43,8 @@ def _is_var(term: str) -> bool:
 
 
 def _compile_group(triples: DataFrame, patterns: list[Pattern],
-                   filters: list[str] | None) -> DataFrame:
+                   filters: list[str] | None,
+                   constant_only_ok: bool = False) -> DataFrame:
     from rdfa_streaming_parser_js_spark.operators.paths import (
         PathExpr, inv, path_pairs)
 
@@ -101,6 +102,17 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
             solution = (solution.join(part, on=shared, how="inner")
                         if shared else solution.crossJoin(part))
     if solution is None:
+        if constant_only_ok:
+            # EXISTS/NOT EXISTS callers: a constant-only group is a
+            # legitimate global probe — combine the per-pattern gates
+            # into one 1-row-iff-all-present frame (column ``_gate``).
+            probe = gates[0]
+            for g in gates[1:]:
+                probe = probe.crossJoin(
+                    g.select(F.col("_gate").alias("_g2"))).drop("_g2")
+            for expr in filters or ():
+                probe = probe.filter(F.expr(expr))
+            return probe
         raise ValueError(
             "group binds no variable (all patterns constant) — there is "
             "no solution relation to return; probe existence with "
@@ -112,11 +124,87 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
     return solution
 
 
+def _join_values(solution: DataFrame,
+                 rows: "list[dict[str, str | None]]") -> DataFrame:
+    """SPARQL VALUES: join an inline multiset of partial bindings into
+    the solution (SPARQL 1.1 §10.2 ``Join(Ω, data)``).
+
+    ``None`` is UNDEF.  Rows are grouped by their defined-variable mask;
+    each mask group is a tiny literal DataFrame broadcast-joined on the
+    variables the solution already binds (required bindings are never
+    NULL, so the equi-join IS SPARQL compatibility).  Variables the
+    solution does not bind become new columns; variables a row leaves
+    UNDEF surface as NULL.  Duplicate rows multiply, per bag semantics.
+
+    Each mask group's branch re-references the solution plan (one
+    branch per distinct UNDEF shape — almost always one); over an
+    expensive group, materialize the triples input first (the gated
+    queries read the checkpointed extraction cut, so a re-reference is
+    a cheap cached scan).
+    """
+    spark = solution.sparkSession
+    all_vars = sorted({v for r in rows for v in r})
+    by_mask: dict[tuple, list] = {}
+    for r in rows:
+        mask = tuple(sorted(k for k, v in r.items() if v is not None))
+        by_mask.setdefault(mask, []).append(r)
+    out: DataFrame | None = None
+    for mask, rws in by_mask.items():
+        # the trailing literal keeps an all-UNDEF mask a valid 1-column
+        # frame (pure multiplicity row, joins everything)
+        schema = ", ".join([f"`{v}` string" for v in mask]
+                           + ["`_undef` int"])
+        data = spark.createDataFrame(
+            [tuple(r[v] for v in mask) + (1,) for r in rws], schema)
+        shared = [v for v in mask if v in solution.columns]
+        part = (solution.join(F.broadcast(data), on=shared, how="inner")
+                if shared else solution.crossJoin(F.broadcast(data)))
+        part = part.drop("_undef")
+        for v in all_vars:
+            if v not in part.columns:
+                part = part.withColumn(v, F.lit(None).cast("string"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _apply_exists(triples: DataFrame, solution: DataFrame,
+                  groups: "list[OptionalGroup]", negate: bool
+                  ) -> DataFrame:
+    """FILTER [NOT] EXISTS: each group keeps (or removes) the solutions
+    some group solution is compatible with on the shared variables —
+    a semi (anti) join, so multiplicities never change.  A group sharing
+    no variable — including a constant-only group — is a global probe:
+    EXISTS keeps everything iff the group matches at all, NOT EXISTS
+    empties the solution iff it does (the SPARQL §8.3.3 case where
+    NOT EXISTS and MINUS genuinely differ)."""
+    for pats, flts in groups:
+        group = _compile_group(triples, pats, flts, constant_only_ok=True)
+        shared = [v for v in group.columns
+                  if v != "_gate" and v in solution.columns]
+        if shared:
+            solution = solution.join(group.select(*shared), on=shared,
+                                     how="left_anti" if negate
+                                     else "left_semi")
+        else:
+            gate = group.limit(1).select(F.lit(1).alias("_exists"))
+            if negate:
+                solution = solution.join(F.broadcast(gate), F.lit(True),
+                                         "left_anti")
+            else:
+                solution = (solution.crossJoin(F.broadcast(gate))
+                            .drop("_exists"))
+    return solution
+
+
 def bgp_match(triples: DataFrame, patterns: list[Pattern],
               select: list[str] | None = None,
               filters: list[str] | None = None,
               optionals: list[OptionalGroup] | None = None,
-              minus: "list[OptionalGroup] | None" = None) -> DataFrame:
+              minus: "list[OptionalGroup] | None" = None,
+              values: "list[dict[str, str | None]] | None" = None,
+              exists: "list[OptionalGroup] | None" = None,
+              not_exists: "list[OptionalGroup] | None" = None
+              ) -> DataFrame:
     """Compile a basic graph pattern into a DataFrame join plan.
 
     Each pattern is a ``(subject, predicate, object)`` triple of terms;
@@ -160,10 +248,33 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     SPARQL §8.3.3, a MINUS group sharing no variable with the required
     group removes nothing (the anti join would wrongly delete
     everything, so it is skipped).
+
+    ``values``: SPARQL VALUES — an inline multiset of partial bindings
+    (``[{"lang": "en", "label": "English"}, {"lang": "de",
+    "label": None}]``; ``None`` = UNDEF) joined into the REQUIRED group
+    (``Join(Ω, data)``, §10.2) before OPTIONAL/MINUS, so compatibility
+    is decided on required variables (always bound — the broadcast
+    equi-join is exact).  Variables the group does not bind become new
+    output columns; UNDEF positions surface as NULL; duplicate rows
+    multiply (bag semantics).
+
+    ``exists`` / ``not_exists``: SPARQL FILTER (NOT) EXISTS — each
+    ``(patterns, filters)`` group keeps (removes) the solutions that
+    some group solution agrees with on the shared variables: a semi
+    (anti) join, so output multiplicities never change.  Applied AFTER
+    OPTIONAL/MINUS, per FILTER placement.  Unlike ``minus``, a group
+    sharing no variable — a constant-only group included — acts as a
+    GLOBAL probe: ``exists`` keeps all solutions iff the group matches
+    at all, ``not_exists`` empties the result iff it does (the §8.3.3
+    case where NOT EXISTS and MINUS differ).  Correlation through an
+    unbound OPTIONAL variable (NULL) never matches — correlate on
+    required variables for exact SPARQL substitution semantics.
     """
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
     solution = _compile_group(triples, patterns, filters)
+    if values:
+        solution = _join_values(solution, values)
     for opt_patterns, opt_filters in optionals or ():
         group = _compile_group(triples, opt_patterns, opt_filters)
         shared = [v for v in group.columns if v in solution.columns]
@@ -178,6 +289,11 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
         if shared:  # disjoint-domain MINUS is a no-op (SPARQL §8.3.3)
             solution = solution.join(group.select(*shared),
                                      on=shared, how="left_anti")
+    if exists:
+        solution = _apply_exists(triples, solution, exists, negate=False)
+    if not_exists:
+        solution = _apply_exists(triples, solution, not_exists,
+                                 negate=True)
     return solution.select(*select) if select else solution
 
 

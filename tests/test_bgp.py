@@ -311,3 +311,116 @@ def test_bgp_constant_filters_reach_the_scan(spark, tmp_path):
     plan = (bgp_match(t, [("?x", RDF_TYPE, "?t")])
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in plan
+
+
+# ---------------------------------------------------------------------------
+# VALUES / FILTER EXISTS / FILTER NOT EXISTS
+# ---------------------------------------------------------------------------
+
+ARTICLES = [("?x", RDF_TYPE, f"{S}Article"), ("?x", f"{S}name", "?n")]
+
+
+def test_values_constrains_and_extends(spark):
+    """VALUES rows constrain bound vars (inner join) and surface new
+    vars as columns; UNDEF positions come back NULL."""
+    got = bgp_match(_kg(spark), ARTICLES,
+                    values=[{"n": "alpha", "label": "first"},
+                            {"n": "beta", "label": None},
+                            {"n": "nope", "label": "never"}],
+                    select=["x", "n", "label"])
+    assert {(r.x, r.n, r.label) for r in got.collect()} == {
+        ("d1", "alpha", "first"), ("d2", "beta", None)}
+
+
+def test_values_duplicate_rows_multiply(spark):
+    got = bgp_match(_kg(spark), ARTICLES,
+                    values=[{"n": "alpha"}, {"n": "alpha"}])
+    assert [r.x for r in got.collect()] == ["d1", "d1"]
+
+
+def test_values_unshared_vars_cross_join(spark):
+    """A VALUES block binding only new variables is a cross product —
+    every solution times every row."""
+    got = bgp_match(_kg(spark), ARTICLES,
+                    values=[{"tag": "t1"}, {"tag": "t2"}],
+                    select=["x", "tag"])
+    assert sorted((r.x, r.tag) for r in got.collect()) == [
+        ("d1", "t1"), ("d1", "t2"), ("d2", "t1"), ("d2", "t2")]
+
+
+def test_values_all_undef_row_is_pure_multiplicity(spark):
+    """A row of nothing but UNDEF is compatible with every solution."""
+    got = bgp_match(_kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+                    values=[{"n2": None}, {"n2": "x"}])
+    # the UNDEF-mask row keeps both articles once; the defined row
+    # cross-joins them a second time with n2='x'
+    assert sorted(((r.x, r.n2) for r in got.collect()),
+                  key=lambda t: (t[0], t[1] or "")) == [
+        ("d1", None), ("d1", "x"), ("d2", None), ("d2", "x")]
+
+
+def test_exists_keeps_correlated_solutions(spark):
+    got = bgp_match(_kg(spark), ARTICLES,
+                    exists=[([("?x", f"{S}isPartOf", "srcA")], None)])
+    assert sorted(r.x for r in got.collect()) == ["d1", "d2"]
+    got = bgp_match(_kg(spark), ARTICLES,
+                    exists=[([("?x", f"{S}isPartOf", "srcB")], None)])
+    assert got.count() == 0  # no Article is in srcB
+
+
+def test_not_exists_removes_correlated_solutions(spark):
+    got = bgp_match(_kg(spark),
+                    [("?x", f"{S}name", "?n")],
+                    not_exists=[([("?x", RDF_TYPE, f"{S}Article")], None)])
+    assert sorted(r.x for r in got.collect()) == ["d3"]
+
+
+def test_exists_group_local_filter(spark):
+    got = bgp_match(_kg(spark), ARTICLES,
+                    exists=[([("?x", f"{S}name", "?en")],
+                             ["en > 'alpha'"])])
+    assert sorted(r.x for r in got.collect()) == ["d2"]
+
+
+def test_exists_semi_join_never_multiplies(spark):
+    """Two matching group solutions must not duplicate the kept row."""
+    kg = _kg(spark).union(spark.createDataFrame(
+        [("d1", f"{S}keywords", "k1"), ("d1", f"{S}keywords", "k2")],
+        COLS))
+    got = bgp_match(kg, ARTICLES,
+                    exists=[([("?x", f"{S}keywords", "?k")], None)])
+    assert [r.x for r in got.collect()] == ["d1"]
+
+
+def test_disjoint_not_exists_differs_from_minus(spark):
+    """SPARQL §8.3.3: a negation group sharing no variable is a no-op
+    under MINUS but a global gate under NOT EXISTS."""
+    pats = [("?x", RDF_TYPE, f"{S}Article")]
+    neg = [([("?y", f"{S}sameAs", "?z")], None)]
+    kept = bgp_match(_kg(spark), pats, minus=neg)
+    assert kept.count() == 2  # MINUS: disjoint → removes nothing
+    gone = bgp_match(_kg(spark), pats, not_exists=neg)
+    assert gone.count() == 0  # NOT EXISTS: group matches → all gone
+    # and when the probe group matches nothing, NOT EXISTS keeps all
+    neg_empty = [([("?y", f"{S}missing", "?z")], None)]
+    assert bgp_match(_kg(spark), pats, not_exists=neg_empty).count() == 2
+
+
+def test_constant_only_exists_group_is_global_probe(spark):
+    pats = [("?x", RDF_TYPE, f"{S}Article")]
+    present = [([("d3", RDF_TYPE, f"{S}Person")], None)]
+    absent = [([("d3", RDF_TYPE, f"{S}Robot")], None)]
+    assert bgp_match(_kg(spark), pats, exists=present).count() == 2
+    assert bgp_match(_kg(spark), pats, exists=absent).count() == 0
+    assert bgp_match(_kg(spark), pats, not_exists=absent).count() == 2
+    assert bgp_match(_kg(spark), pats, not_exists=present).count() == 0
+
+
+def test_exists_applies_after_optional(spark):
+    """FILTER placement: EXISTS sees OPTIONAL columns; correlation on
+    an unbound (NULL) optional variable never matches."""
+    got = bgp_match(
+        _kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+        optionals=[([("?x", f"{S}missing", "?m")], None)],
+        exists=[([("?m", f"{S}whatever", "?w")], None)])
+    assert got.count() == 0

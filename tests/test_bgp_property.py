@@ -76,3 +76,98 @@ def test_bgp_match_agrees_with_naive_evaluator(spark, case):
                   for r in got_rows)
     expect = Counter(tuple(sol[v] for v in var_names) for sol in want)
     assert got == expect
+
+
+@st.composite
+def graph_bgp_and_negation(draw):
+    """A graph, a required BGP, and one negation group (for MINUS /
+    NOT EXISTS / EXISTS cross-validation) — the negation group may or
+    may not share variables with the required group."""
+    triples, patterns = draw(graph_and_bgp())
+    s = draw(st.sampled_from(VARS + SUBJECTS))
+    p = draw(st.sampled_from(VARS + PREDS))
+    o = draw(st.sampled_from(VARS + OBJECTS))
+    return triples, patterns, [(s, p, o)]
+
+
+def _shared_vars(patterns, group):
+    pv = {t[1:] for pat in patterns for t in pat if t.startswith("?")}
+    gv = {t[1:] for pat in group for t in pat if t.startswith("?")}
+    return sorted(pv & gv)
+
+
+@given(graph_bgp_and_negation())
+@settings(max_examples=20, deadline=None)
+def test_exists_not_exists_agree_with_naive(spark, case):
+    """FILTER (NOT) EXISTS vs the naive evaluator: a solution survives
+    EXISTS iff some group solution agrees on the shared variables
+    (globally non-empty when disjoint); NOT EXISTS is the complement.
+    Multiplicities must be preserved exactly (semi/anti join)."""
+    triples, patterns, group = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    var_names = sorted({t[1:] for pat in patterns for t in pat
+                        if t.startswith("?")})
+    shared = _shared_vars(patterns, group)
+    inner = naive_bgp(triples, group)
+    outer = naive_bgp(triples, patterns)
+
+    def match(sol):
+        if not shared:
+            return bool(inner)
+        return any(all(g[v] == sol[v] for v in shared) for g in inner)
+
+    for negate in (False, True):
+        kw = {"not_exists": [(group, None)]} if negate else \
+             {"exists": [(group, None)]}
+        got_rows = bgp_match(df, patterns, **kw).collect()
+        got = Counter(tuple(getattr(r, v) for v in var_names)
+                      for r in got_rows)
+        expect = Counter(
+            tuple(sol[v] for v in var_names)
+            for sol in outer if match(sol) != negate)
+        assert got == expect, (patterns, group, negate)
+
+
+@st.composite
+def graph_bgp_and_values(draw):
+    triples, patterns = draw(graph_and_bgp())
+    bgp_vars = sorted({t[1:] for pat in patterns for t in pat
+                       if t.startswith("?")})
+    value_vars = draw(st.lists(
+        st.sampled_from(bgp_vars + ["w"]), min_size=1, max_size=2,
+        unique=True))
+    rows = draw(st.lists(
+        st.fixed_dictionaries({
+            v: st.one_of(st.none(),
+                         st.sampled_from(SUBJECTS + PREDS + OBJECTS))
+            for v in value_vars}),
+        min_size=1, max_size=4))
+    return triples, patterns, rows
+
+
+@given(graph_bgp_and_values())
+@settings(max_examples=20, deadline=None)
+def test_values_agrees_with_naive_join(spark, case):
+    """VALUES vs the naive evaluator: SPARQL Join(Ω, data) with UNDEF
+    compatible with anything, bag multiplicities included."""
+    triples, patterns, rows = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    bgp_vars = sorted({t[1:] for pat in patterns for t in pat
+                       if t.startswith("?")})
+    all_vars = sorted(set(bgp_vars) | {v for r in rows for v in r})
+    outer = naive_bgp(triples, patterns)
+    expect = Counter()
+    for sol in outer:
+        for r in rows:
+            if all(r[v] is None or v not in sol or r[v] == sol[v]
+                   for v in r):
+                merged = dict(sol)
+                merged.update({v: x for v, x in r.items()
+                               if x is not None and v not in sol})
+                expect[tuple(merged.get(v) for v in all_vars)] += 1
+    got_rows = bgp_match(df, patterns, values=rows).collect()
+    got = Counter(tuple(getattr(r, v) for v in all_vars)
+                  for r in got_rows)
+    assert got == expect, (patterns, rows)

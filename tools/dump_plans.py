@@ -76,6 +76,12 @@ NOTES = {
         "Time travel in one Exchange: cutoff filter pushed to the scan "
         "(partition-prunable on a day-partitioned Iceberg table), then "
         "a single url-keyed window keeps the latest visible capture."),
+    "kg_exists_filters": (
+        "FILTER EXISTS / NOT EXISTS compile to **LeftSemi / LeftAnti** "
+        "hash joins on the correlation variable — solution "
+        "multiplicities cannot change, probe sides are predicate-pruned "
+        "slices, and AQE broadcasts whichever side is small at "
+        "runtime."),
 }
 
 
