@@ -1121,6 +1121,25 @@ def q_kg_values_lang_label(spark, sf_dir):
         select=["doc", "lang", "label"])
 
 
+def q_kg_bind_expr(spark, sf_dir):
+    """SPARQL BIND (§18.4 Extend): each solution gains a
+    ``lang:name`` display label and an integer word-count decade,
+    computed in order (pure projection — Catalyst folds both
+    expressions into the pattern-join stage, no extra shuffle)."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    t = _triples_cut(spark, sf_dir)
+    return bgp_match(
+        t,
+        [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
+         ("?doc", f"{SCHEMA_ORG}name", "?name"),
+         ("?doc", f"{SCHEMA_ORG}inLanguage", "?lang"),
+         ("?doc", f"{SCHEMA_ORG}wordCount", "?wc")],
+        binds=[("display", "concat(lang, ':', name)"),
+               ("wc_decade",
+                "CAST(CAST(wc AS BIGINT) DIV 10 AS BIGINT)")],
+        select=["doc", "display", "wc_decade"])
+
+
 def q_kg_exists_filters(spark, sf_dir):
     """SPARQL FILTER EXISTS / NOT EXISTS compiled to semi/anti joins:
     long non-English articles — EXISTS {?doc wordCount ?wc FILTER
@@ -1490,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_table_roundtrip": q_graph_table_roundtrip,
         "kg_values_lang_label": q_kg_values_lang_label,
         "kg_exists_filters": q_kg_exists_filters,
+        "kg_bind_expr": q_kg_bind_expr,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1528,7 +1548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_text_invariant": q_rdfa_text_invariant,
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
-        "entity_link_top1": q_entity_link_top1,
         # -- relational core ------------------------------------------
         # -- training-data pipeline -----------------------------------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1546,6 +1565,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "multimodal_decode_meta": q_multimodal_decode_meta,
+        "entity_link_top1": q_entity_link_top1,
         "rdfa_triples_by_pred": q_rdfa_triples_by_pred,
         "rdfa_lang_distribution": q_rdfa_lang_distribution,
         "hub_subjects_topk": q_hub_subjects_topk,
@@ -2233,6 +2253,22 @@ def oracle_sql() -> dict[str, str]:
                                 ('de', CAST(NULL AS VARCHAR)))
                        AS v(lang, label)
                  ON d.lang = v.lang
+        """,
+        "kg_bind_expr": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT t.subj AS doc,
+                   l.obj_value || ':' || n.obj_value AS display,
+                   CAST(CAST(w.obj_value AS BIGINT) // 10 AS BIGINT)
+                     AS wc_decade
+            FROM exp t
+            JOIN exp n ON n.subj = t.subj
+            JOIN exp l ON l.subj = t.subj
+            JOIN exp w ON w.subj = t.subj
+            WHERE t.pred = '{RDF_TYPE}'
+              AND t.obj_value = '{SCHEMA_ORG}Article'
+              AND n.pred = '{SCHEMA_ORG}name'
+              AND l.pred = '{SCHEMA_ORG}inLanguage'
+              AND w.pred = '{SCHEMA_ORG}wordCount'
         """,
         "kg_exists_filters": f"""
             WITH exp AS ({expected_triples_sql()}),

@@ -202,6 +202,7 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
               optionals: list[OptionalGroup] | None = None,
               minus: "list[OptionalGroup] | None" = None,
               values: "list[dict[str, str | None]] | None" = None,
+              binds: "list[tuple[str, str]] | None" = None,
               exists: "list[OptionalGroup] | None" = None,
               not_exists: "list[OptionalGroup] | None" = None
               ) -> DataFrame:
@@ -258,6 +259,14 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     output columns; UNDEF positions surface as NULL; duplicate rows
     multiply (bag semantics).
 
+    ``binds``: SPARQL BIND — ``(var, sql_expr)`` assignments evaluated
+    in order against the required solution (after FILTER and VALUES,
+    before OPTIONAL/MINUS), each extending every solution with a new
+    column (``Extend(Ω, var, expr)``, §18.4).  Rebinding an in-scope
+    variable raises, per the SPARQL grammar constraint; later binds may
+    reference earlier ones.  Pure projection — Catalyst folds the
+    expressions into the surrounding stage, no shuffle.
+
     ``exists`` / ``not_exists``: SPARQL FILTER (NOT) EXISTS — each
     ``(patterns, filters)`` group keeps (removes) the solutions that
     some group solution agrees with on the shared variables: a semi
@@ -275,6 +284,12 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     solution = _compile_group(triples, patterns, filters)
     if values:
         solution = _join_values(solution, values)
+    for var, expr in binds or ():
+        if var in solution.columns:
+            raise ValueError(
+                f"BIND would rebind ?{var} — the variable is already "
+                "in scope (SPARQL grammar note 12 forbids this)")
+        solution = solution.withColumn(var, F.expr(expr))
     for opt_patterns, opt_filters in optionals or ():
         group = _compile_group(triples, opt_patterns, opt_filters)
         shared = [v for v in group.columns if v in solution.columns]

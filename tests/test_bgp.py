@@ -424,3 +424,29 @@ def test_exists_applies_after_optional(spark):
         optionals=[([("?x", f"{S}missing", "?m")], None)],
         exists=[([("?m", f"{S}whatever", "?w")], None)])
     assert got.count() == 0
+
+
+def test_bind_extends_solutions(spark):
+    got = bgp_match(_kg(spark), ARTICLES,
+                    binds=[("upper_n", "upper(n)"),
+                           ("tagged", "concat(upper_n, '!')")],
+                    select=["x", "upper_n", "tagged"])
+    assert {(r.x, r.upper_n, r.tagged) for r in got.collect()} == {
+        ("d1", "ALPHA", "ALPHA!"), ("d2", "BETA", "BETA!")}
+
+
+def test_bind_rebinding_raises(spark):
+    with pytest.raises(ValueError, match="rebind"):
+        bgp_match(_kg(spark), ARTICLES, binds=[("n", "upper(n)")])
+
+
+def test_bind_var_joins_with_optional(spark):
+    """A BIND-created variable participates in OPTIONAL compatibility
+    like any other binding (it is in scope before the left join)."""
+    got = bgp_match(
+        _kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
+        binds=[("n", "CASE WHEN x = 'd1' THEN 'alpha' ELSE 'zz' END")],
+        optionals=[([("?y", f"{S}name", "?n")], None)],
+        select=["x", "n", "y"])
+    rows = {(r.x, r.n, r.y) for r in got.collect()}
+    assert rows == {("d1", "alpha", "d1"), ("d2", "zz", None)}
