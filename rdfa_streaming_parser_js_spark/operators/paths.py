@@ -193,12 +193,14 @@ def _branches(p: PathExpr) -> list[list]:
     if isinstance(p, Nps):
         return [[("nedge", p.preds, False)]]
     if isinstance(p, Inv):
-        inner = _invert(p.inner)
-        if isinstance(inner, Inv):  # Inv(Link)/Inv(Nps) stay primitive
-            if isinstance(inner.inner, Nps):
-                return [[("nedge", inner.inner.preds, True)]]
-            return [[("edge", inner.inner.pred, True)]]
-        return _branches(inner)
+        inner = p.inner
+        if isinstance(inner, Inv):  # inv(inv(x)) = x, any nesting depth
+            return _branches(inner.inner)
+        if isinstance(inner, Link):  # primitive inverted atoms
+            return [[("edge", inner.pred, True)]]
+        if isinstance(inner, Nps):
+            return [[("nedge", inner.preds, True)]]
+        return _branches(_invert(inner))  # push into composites
     if isinstance(p, Alt):
         return [b for part in p.parts for b in _branches(part)]
     if isinstance(p, Seq):

@@ -285,3 +285,27 @@ def test_bgp_constant_subject_seeds_opt_path(spark):
     got = bgp_match(_kg(spark), [("a", opt(link(f"{EX}knows")), "?n")],
                     select=["n"])
     assert sorted(r.n for r in got.collect()) == ["a", "b"]
+
+
+def test_nested_inversions_cancel(spark):
+    """inv(inv(p)) = p at ANY nesting depth — depth-4 crashed the
+    branch normalizer before round 4 (found by the property fuzzer:
+    _branches assumed Inv(Inv(x)) had a primitive x)."""
+    kg = _kg(spark)
+    base = {(r.a, r.b) for r in path_pairs(kg, link(f"{EX}knows")).collect()}
+    inv1 = {(r.b, r.a)
+            for r in path_pairs(kg, inv(link(f"{EX}knows"))).collect()}
+    assert base == inv1
+    p = link(f"{EX}knows")
+    for depth in (2, 3, 4, 5):
+        p_nested = p
+        for _ in range(depth):
+            p_nested = inv(p_nested)
+        got = {(r.a, r.b) for r in path_pairs(kg, p_nested).collect()}
+        want = base if depth % 2 == 0 else {(b, a) for a, b in base}
+        assert got == want, depth
+    # composite under double inversion: inv(inv(seq)) = seq
+    s = seq(link(f"{EX}knows"), link(f"{EX}likes"))
+    got = {(r.a, r.b) for r in path_pairs(kg, inv(inv(s))).collect()}
+    want = {(r.a, r.b) for r in path_pairs(kg, s).collect()}
+    assert got == want
