@@ -1102,6 +1102,31 @@ def q_kg_path_zero_or_one(spark, sf_dir):
     return bgp_match(t, [("?s", path, "?n")], select=["s", "n"])
 
 
+SPARQL_SELECT_TEXT = """
+    PREFIX schema: <http://schema.org/>
+    SELECT DISTINCT ?doc ?name ?wc ?lang WHERE {
+        ?doc a schema:Article ;
+             schema:name ?name ;
+             schema:wordCount ?wc .
+        OPTIONAL { ?doc schema:inLanguage ?lang . FILTER(?lang = "en") }
+        FILTER(?wc >= 40)
+    } ORDER BY ?doc LIMIT 100
+"""
+
+
+def q_kg_sparql_select(spark, sf_dir):
+    """The SPARQL text front-end end-to-end: the query STRING is parsed
+    (operators/sparql.py) and compiled onto the BGP algebra — DISTINCT
+    + OPTIONAL with a group-local FILTER + numeric FILTER + ORDER BY +
+    LIMIT all from source text.  ``?doc`` is unique per solution (the
+    base corpus is single-valued per property), so the ORDER BY makes
+    the LIMIT deterministic on any engine."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    t = _triples_cut(spark, sf_dir)
+    return sparql_query(t, SPARQL_SELECT_TEXT)
+
+
 def q_kg_values_lang_label(spark, sf_dir):
     """SPARQL VALUES (inline data, §10.2): join a three-row multiset —
     ``(?lang ?label) { ('en' 'English') ('es' 'Spanish') ('de' UNDEF) }``
@@ -1510,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_values_lang_label": q_kg_values_lang_label,
         "kg_exists_filters": q_kg_exists_filters,
         "kg_bind_expr": q_kg_bind_expr,
+        "kg_sparql_select": q_kg_sparql_select,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1550,7 +1576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         # -- relational core ------------------------------------------
         # -- training-data pipeline -----------------------------------
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters_star": q_dedup_clusters_star,
     }
 
@@ -1563,6 +1588,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys and their surviving in-window evidence are tabled in
     SURVEY.md §2.4."""
     return {
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "entity_link_top1": q_entity_link_top1,
@@ -1907,6 +1933,30 @@ def oracle_sql() -> dict[str, str]:
               AND t.obj_value = '{SCHEMA_ORG}Article'
               AND n.pred = '{SCHEMA_ORG}name'
               AND s.pred = '{SCHEMA_ORG}isPartOf'
+        """,
+        # Mirror of the SPARQL text front-end query: same BGP joins,
+        # the OPTIONAL's group-local filter folded into the left-join
+        # slice, DISTINCT before ORDER/LIMIT (SPARQL slice order);
+        # ?doc is unique per solution so the LIMIT is deterministic.
+        "kg_sparql_select": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            req AS (
+                SELECT t.subj AS doc, n.obj_value AS name,
+                       w.obj_value AS wc
+                FROM exp t
+                JOIN exp n ON n.subj = t.subj
+                          AND n.pred = '{SCHEMA_ORG}name'
+                JOIN exp w ON w.subj = t.subj
+                          AND w.pred = '{SCHEMA_ORG}wordCount'
+                WHERE t.pred = '{RDF_TYPE}'
+                  AND t.obj_value = '{SCHEMA_ORG}Article'
+                  AND CAST(w.obj_value AS DOUBLE) >= 40),
+            opt AS (SELECT subj AS doc, obj_value AS lang FROM exp
+                    WHERE pred = '{SCHEMA_ORG}inLanguage'
+                      AND obj_value = 'en')
+            SELECT DISTINCT doc, name, wc, lang
+            FROM req LEFT JOIN opt USING (doc)
+            ORDER BY doc LIMIT 100
         """,
         "kg_bgp_same_source": f"""
             WITH exp AS ({expected_triples_sql()}),

@@ -1,0 +1,879 @@
+"""SPARQL query-text front-end: parse a SPARQL 1.1 subset and compile
+it onto the engine's BGP/path algebra.
+
+The reference parser (rubensworks/rdfa-streaming-parser.js) feeds its
+quad stream into RDF/JS stores that consumers then query with SPARQL
+(its README pipes into ``rdf-store-stream``; /root/reference/README.md:
+37-57).  ``operators/bgp.py`` and ``operators/paths.py`` already give
+that query layer Spark-native semantics; this module closes the last
+usability gap by accepting the *query text itself*, so a user of the
+reference stack can bring their SPARQL strings as-is:
+
+    >>> sparql_query(triples, '''
+    ...     PREFIX schema: <http://schema.org/>
+    ...     SELECT DISTINCT ?doc ?name WHERE {
+    ...         ?doc a schema:Article ; schema:name ?name .
+    ...         FILTER(STRLEN(?name) > 3)
+    ...     } ORDER BY ?doc LIMIT 10''')
+
+Everything compiles to the existing operators — the parser adds ZERO
+execution code, so every scale property of the algebra (predicate
+pushdown per pattern, equi-joins on shared variables, frontier-seeded
+closures, anti-join MINUS) carries over unchanged.
+
+Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
+
+- ``PREFIX`` / ``BASE`` prologue; ``a`` for rdf:type.
+- ``SELECT [DISTINCT|REDUCED] (?v... | * | (expr AS ?v)...)``,
+  ``ASK``, ``CONSTRUCT { template } WHERE``.
+- Triples blocks with ``;`` predicate and ``,`` object lists.
+- Property paths in the predicate position: ``^`` inverse, ``/``
+  sequence, ``|`` alternative, ``+`` ``*`` ``?`` closures,
+  ``!(p1|^p2|...)`` negated property sets, parentheses.
+- ``FILTER`` (expression or ``[NOT] EXISTS {...}``), ``OPTIONAL``,
+  ``MINUS``, ``BIND (expr AS ?v)``, ``VALUES``, and ``{...} UNION
+  {...}`` as the entire group body.
+- Solution modifiers: ``GROUP BY`` + aggregates (COUNT / SUM / MIN /
+  MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING``, ``ORDER BY [ASC|
+  DESC]``, ``LIMIT`` / ``OFFSET``.
+
+Documented deviations (each raises or is noted, never silent):
+
+- Solution columns carry the lexical form only, so term-introspection
+  builtins (``LANG``, ``DATATYPE``, ``isIRI``, ...) and language-tagged
+  or typed literal constants in patterns raise — filter on the
+  ``obj_lang`` / ``obj_datatype`` columns with the DataFrame API
+  instead.
+- ``GROUP_CONCAT`` concatenates in sorted value order (SPARQL leaves
+  the order undefined; sorted is the only deterministic distributed
+  choice) and ``SAMPLE`` returns the minimum.
+- Comparing a bare variable against a numeric literal casts the
+  variable to DOUBLE (SPARQL's numeric-comparison semantics over this
+  engine's lexical columns).
+- With ``DISTINCT``, ``ORDER BY`` keys must be projected variables
+  (ordering applies after de-duplication).
+- Nested OPTIONAL/UNION inside OPTIONAL / MINUS / EXISTS groups and
+  sub-SELECTs are not supported (compose at the DataFrame level).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfa_streaming_parser_js_spark.operators import paths as P
+from rdfa_streaming_parser_js_spark.operators.bgp import (
+    bgp_construct, bgp_match, bgp_union)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(ValueError):
+    """Raised on text the supported SPARQL subset cannot parse."""
+
+
+# --------------------------------------------------------------------
+# tokenizer
+# --------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+    | (?P<VAR>\?[A-Za-z_]\w*)
+    | (?P<STRING>"(?:[^"\\\n]|\\.)*")
+    | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+    | (?P<NUMBER>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<BNODE>_:\w+)
+    | (?P<PNAME>(?:[A-Za-z_][\w.-]*)?:[A-Za-z0-9_](?:[\w.-]*[\w-])?)
+    | (?P<COLON>(?:[A-Za-z_][\w.-]*)?:)
+    | (?P<NAME>[A-Za-z_]\w*)
+    | (?P<DHAT>\^\^)
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,|/^*+?!=<>-])
+    """,
+    re.X,
+)
+
+
+@dataclass(frozen=True)
+class _Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            raise SparqlSyntaxError(
+                f"unrecognized input at offset {i}: {text[i:i + 20]!r}")
+        if m.lastgroup != "WS":
+            toks.append(_Tok(m.lastgroup, m.group(), i))
+        i = m.end()
+    toks.append(_Tok("EOF", "", len(text)))
+    return toks
+
+
+# --------------------------------------------------------------------
+# parsed-query model
+# --------------------------------------------------------------------
+
+@dataclass
+class Group:
+    """One ``{...}`` group graph pattern, flattened to bgp_match args."""
+    patterns: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)
+    minus: list = field(default_factory=list)
+    values: list = field(default_factory=list)
+    binds: list = field(default_factory=list)
+    exists: list = field(default_factory=list)
+    not_exists: list = field(default_factory=list)
+    union: list = field(default_factory=list)  # list[Group] if UNION
+
+
+@dataclass
+class SelectItem:
+    var: str                # output column name
+    sql: str | None = None  # None = plain variable
+    is_agg: bool = False
+
+
+@dataclass
+class ParsedQuery:
+    form: str                      # "select" | "ask" | "construct"
+    where: Group
+    select: list[SelectItem] | None = None   # None = SELECT *
+    distinct: bool = False
+    group_by: list[str] = field(default_factory=list)
+    having: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+    template: list | None = None   # CONSTRUCT triples
+
+
+# --------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
+
+# scalar builtins → Spark SQL (callable renders the arg list)
+_SCALAR_FNS = {
+    "str": lambda a: f"CAST({a[0]} AS STRING)",
+    "strlen": lambda a: f"length({a[0]})",
+    "ucase": lambda a: f"upper({a[0]})",
+    "lcase": lambda a: f"lower({a[0]})",
+    "contains": lambda a: f"contains({a[0]}, {a[1]})",
+    "strstarts": lambda a: f"startswith({a[0]}, {a[1]})",
+    "strends": lambda a: f"endswith({a[0]}, {a[1]})",
+    "substr": lambda a: f"substring({', '.join(a)})",
+    "concat": lambda a: f"concat({', '.join(a)})",
+    "replace": lambda a: f"regexp_replace({', '.join(a)})",
+    "regex": lambda a: f"({a[0]} RLIKE {a[1]})",
+    "bound": lambda a: f"({a[0]} IS NOT NULL)",
+    "coalesce": lambda a: f"coalesce({', '.join(a)})",
+    "if": lambda a: f"if({', '.join(a)})",
+    "abs": lambda a: f"abs({a[0]})",
+    "ceil": lambda a: f"ceil({a[0]})",
+    "floor": lambda a: f"floor({a[0]})",
+    "round": lambda a: f"round({a[0]})",
+}
+
+_UNSUPPORTED_FNS = frozenset({
+    "lang", "datatype", "isiri", "isuri", "isblank", "isliteral",
+    "isnumeric", "iri", "uri", "bnode", "strdt", "strlang", "langmatches",
+})
+
+_NUM_RE = re.compile(r"^\d+(\.\d*)?([eE][+-]?\d+)?$")
+_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+
+    # -- token helpers ------------------------------------------------
+    def peek(self, ahead: int = 0) -> _Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "NAME" and t.text.lower() in words
+
+    def take_kw(self, *words: str) -> bool:
+        if self.at_kw(*words):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str) -> None:
+        if not self.take_kw(word):
+            self.fail(f"expected {word.upper()}")
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.text in ops
+
+    def take_op(self, *ops: str) -> bool:
+        if self.at_op(*ops):
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.take_op(op):
+            self.fail(f"expected {op!r}")
+
+    def fail(self, msg: str) -> None:
+        t = self.peek()
+        raise SparqlSyntaxError(
+            f"{msg} at offset {t.pos} (near {t.text!r})")
+
+    # -- prologue + terms ---------------------------------------------
+    def parse_prologue(self) -> None:
+        while True:
+            if self.take_kw("prefix"):
+                t = self.next()
+                if t.kind not in ("PNAME", "COLON"):
+                    self.fail("expected prefix name")
+                name = t.text[:t.text.index(":")]
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    self.fail("expected IRI after PREFIX")
+                self.prefixes[name] = iri.text[1:-1]
+            elif self.take_kw("base"):
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    self.fail("expected IRI after BASE")
+                self.base = iri.text[1:-1]
+            else:
+                return
+
+    def expand_iri(self, t: _Tok) -> str:
+        if t.kind == "IRIREF":
+            iri = t.text[1:-1]
+            if self.base and "://" not in iri and not iri.startswith(
+                    ("urn:", "mailto:")):
+                return self.base + iri
+            return iri
+        if t.kind in ("PNAME", "COLON"):
+            pfx, _, local = t.text.partition(":")
+            if pfx not in self.prefixes:
+                raise SparqlSyntaxError(f"undeclared prefix {pfx!r}:")
+            return self.prefixes[pfx] + local
+        raise SparqlSyntaxError(f"not an IRI token: {t.text!r}")
+
+    def parse_term(self) -> str:
+        """A subject/object term → the engine's string form."""
+        t = self.next()
+        if t.kind == "VAR":
+            return t.text
+        if t.kind in ("IRIREF", "PNAME", "COLON"):
+            return self.expand_iri(t)
+        if t.kind == "NAME" and t.text == "a":
+            return RDF_TYPE
+        if t.kind == "BNODE":
+            return t.text
+        if t.kind == "NUMBER":
+            return t.text
+        if t.kind == "STRING":
+            lex = _unquote(t.text)
+            nxt = self.peek()
+            if nxt.kind == "LANGTAG" or nxt.kind == "DHAT":
+                raise SparqlSyntaxError(
+                    "language-tagged / typed literal constants in "
+                    "patterns are not supported — solution columns "
+                    "carry the lexical form only; constrain obj_lang / "
+                    "obj_datatype via the DataFrame API instead "
+                    f"(offset {t.pos})")
+            return lex
+        self.fail("expected a term")
+
+    # -- property paths -----------------------------------------------
+    def parse_path(self):
+        """Path → a plain predicate IRI string (single forward link) or
+        a paths.PathExpr (anything richer)."""
+        expr = self._path_alt()
+        if isinstance(expr, P.Link):
+            return expr.pred
+        return expr
+
+    def _path_alt(self):
+        parts = [self._path_seq()]
+        while self.take_op("|"):
+            parts.append(self._path_seq())
+        return P.alt(*parts)
+
+    def _path_seq(self):
+        parts = [self._path_elt_or_inv()]
+        while self.take_op("/"):
+            parts.append(self._path_elt_or_inv())
+        return P.seq(*parts)
+
+    def _path_elt_or_inv(self):
+        if self.take_op("^"):
+            return P.inv(self._path_elt())
+        return self._path_elt()
+
+    def _path_elt(self):
+        prim = self._path_primary()
+        if self.take_op("+"):
+            return P.plus(prim)
+        if self.take_op("*"):
+            return P.star(prim)
+        if self.take_op("?"):
+            return P.opt(prim)
+        return prim
+
+    def _path_primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            inner = self._path_alt()
+            self.expect_op(")")
+            return inner
+        if t.kind == "OP" and t.text == "!":
+            self.next()
+            return self._path_negated_set()
+        if t.kind == "NAME" and t.text == "a":
+            self.next()
+            return P.link(RDF_TYPE)
+        if t.kind in ("IRIREF", "PNAME", "COLON"):
+            return P.link(self.expand_iri(self.next()))
+        self.fail("expected a path element")
+
+    def _path_negated_set(self):
+        """``!(p1|^p2|...)`` or ``!p`` — forward and inverse members
+        split per SPARQL 1.1 §9.1 (NPS evaluates them separately)."""
+        fwd, bwd = [], []
+
+        def one():
+            if self.take_op("^"):
+                lst = bwd
+            else:
+                lst = fwd
+            t = self.next()
+            if t.kind == "NAME" and t.text == "a":
+                lst.append(RDF_TYPE)
+            else:
+                lst.append(self.expand_iri(t))
+
+        if self.take_op("("):
+            one()
+            while self.take_op("|"):
+                one()
+            self.expect_op(")")
+        else:
+            one()
+        parts = []
+        if fwd:
+            parts.append(P.nps(*fwd))
+        if bwd:
+            parts.append(P.inv(P.nps(*bwd)))
+        return P.alt(*parts)
+
+    # -- group graph pattern ------------------------------------------
+    def parse_group(self, top: bool = True) -> Group:
+        self.expect_op("{")
+        g = Group()
+        if self.at_op("{"):  # {A} UNION {B} [UNION {C}...]
+            if not top:
+                self.fail("nested group blocks are not supported here")
+            g.union.append(self.parse_group(top=False))
+            while self.take_kw("union"):
+                g.union.append(self.parse_group(top=False))
+            if not self.at_op("}"):
+                self.fail("UNION must be the entire group body — "
+                          "join further patterns at the DataFrame "
+                          "level")
+            self.next()
+            return g
+        while not self.at_op("}"):
+            if self.take_kw("filter"):
+                self._parse_filter(g, top)
+            elif self.take_kw("optional"):
+                if not top:
+                    self.fail("nested OPTIONAL is not supported")
+                sub = self.parse_group(top=False)
+                g.optionals.append(
+                    (sub.patterns, sub.filters or None))
+            elif self.take_kw("minus"):
+                if not top:
+                    self.fail("nested MINUS is not supported")
+                sub = self.parse_group(top=False)
+                g.minus.append((sub.patterns, sub.filters or None))
+            elif self.take_kw("bind"):
+                self.expect_op("(")
+                sql = self.parse_expr()
+                self.expect_kw("as")
+                v = self.next()
+                if v.kind != "VAR":
+                    self.fail("expected variable after AS")
+                self.expect_op(")")
+                g.binds.append((v.text[1:], sql))
+            elif self.take_kw("values"):
+                g.values.extend(self._parse_values())
+            else:
+                self._parse_triples_block(g)
+            self.take_op(".")
+        self.expect_op("}")
+        if g.union and (g.patterns or g.filters):
+            self.fail("UNION must be the entire group body")
+        return g
+
+    def _parse_filter(self, g: Group, top: bool) -> None:
+        negate = False
+        if self.take_kw("not"):
+            self.expect_kw("exists")
+            negate = True
+        elif self.take_kw("exists"):
+            pass
+        else:
+            g.filters.append(self.parse_expr_or_call())
+            return
+        if not top:
+            self.fail("EXISTS inside a nested group is not supported")
+        sub = self.parse_group(top=False)
+        dest = g.not_exists if negate else g.exists
+        dest.append((sub.patterns, sub.filters or None))
+
+    def _parse_triples_block(self, g: Group) -> None:
+        subj = self.parse_term()
+        while True:
+            pred = self.parse_path()
+            obj = self.parse_term()
+            g.patterns.append((subj, pred, obj))
+            while self.take_op(","):
+                g.patterns.append((subj, pred, self.parse_term()))
+            if not self.take_op(";"):
+                return
+            if self.at_op(".", "}"):  # trailing ; before . or }
+                return
+
+    def _parse_values(self) -> list[dict]:
+        def value():
+            if self.take_kw("undef"):
+                return None
+            return self.parse_term()
+
+        if self.peek().kind == "VAR":  # VALUES ?v { v1 v2 }
+            var = self.next().text[1:]
+            self.expect_op("{")
+            rows = []
+            while not self.at_op("}"):
+                rows.append({var: value()})
+            self.expect_op("}")
+            return rows
+        self.expect_op("(")
+        names = []
+        while self.peek().kind == "VAR":
+            names.append(self.next().text[1:])
+        self.expect_op(")")
+        self.expect_op("{")
+        rows = []
+        while self.take_op("("):
+            vals = [value() for _ in names]
+            self.expect_op(")")
+            rows.append(dict(zip(names, vals)))
+        self.expect_op("}")
+        return rows
+
+    # -- expressions → Spark SQL --------------------------------------
+    def parse_expr_or_call(self) -> str:
+        """FILTER body: a bracketted expression or a bare builtin
+        call (both legal per the SPARQL grammar)."""
+        if self.at_op("("):
+            return self.parse_expr()
+        return self._primary()[0]
+
+    def parse_expr(self) -> str:
+        return self._or_expr()[0]
+
+    def _or_expr(self):
+        sql, kind = self._and_expr()
+        while self.take_op("||"):
+            rhs, _ = self._and_expr()
+            sql, kind = f"({sql} OR {rhs})", "other"
+        return sql, kind
+
+    def _and_expr(self):
+        sql, kind = self._rel_expr()
+        while self.take_op("&&"):
+            rhs, _ = self._rel_expr()
+            sql, kind = f"({sql} AND {rhs})", "other"
+        return sql, kind
+
+    _REL_OPS = {"=": "=", "!=": "<>", "<": "<", ">": ">",
+                "<=": "<=", ">=": ">="}
+
+    def _rel_expr(self):
+        sql, kind = self._add_expr()
+        t = self.peek()
+        if t.kind == "OP" and t.text in self._REL_OPS:
+            self.next()
+            rhs, rkind = self._add_expr()
+            lhs = sql
+            # SPARQL numeric comparison over lexical columns: cast the
+            # bare-variable side when the other side is a number.
+            if rkind == "num" and kind == "var":
+                lhs = f"CAST({lhs} AS DOUBLE)"
+            elif kind == "num" and rkind == "var":
+                rhs = f"CAST({rhs} AS DOUBLE)"
+            return f"({lhs} {self._REL_OPS[t.text]} {rhs})", "other"
+        if self.take_kw("in"):
+            self.expect_op("(")
+            items = [self._add_expr()[0]]
+            while self.take_op(","):
+                items.append(self._add_expr()[0])
+            self.expect_op(")")
+            return f"({sql} IN ({', '.join(items)}))", "other"
+        return sql, kind
+
+    def _add_expr(self):
+        sql, kind = self._mul_expr()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            rhs, _ = self._mul_expr()
+            sql, kind = f"({sql} {op} {rhs})", "other"
+        return sql, kind
+
+    def _mul_expr(self):
+        sql, kind = self._unary()
+        while self.at_op("*", "/"):
+            op = self.next().text
+            rhs, _ = self._unary()
+            sql, kind = f"({sql} {op} {rhs})", "other"
+        return sql, kind
+
+    def _unary(self):
+        if self.take_op("!"):
+            sql, _ = self._unary()
+            return f"(NOT {sql})", "other"
+        if self.take_op("-"):
+            sql, _ = self._unary()
+            return f"(- {sql})", "other"
+        if self.take_op("+"):
+            return self._unary()
+        return self._primary()
+
+    def _primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            sql, _ = self._or_expr()
+            self.expect_op(")")
+            return f"({sql})", "other"
+        if t.kind == "VAR":
+            self.next()
+            return t.text[1:], "var"
+        if t.kind == "NUMBER":
+            self.next()
+            return t.text, "num"
+        if t.kind == "STRING":
+            self.next()
+            if self.peek().kind in ("LANGTAG", "DHAT"):
+                raise SparqlSyntaxError(
+                    "tagged literals in expressions are not supported "
+                    f"(offset {t.pos})")
+            return _sql_str(_unquote(t.text)), "str"
+        if t.kind == "IRIREF" or t.kind == "PNAME":
+            self.next()
+            return _sql_str(self.expand_iri(t)), "str"
+        if t.kind == "NAME":
+            word = t.text.lower()
+            if word in ("true", "false"):
+                self.next()
+                return word.upper(), "other"
+            if word in _UNSUPPORTED_FNS:
+                raise SparqlSyntaxError(
+                    f"{t.text.upper()}() needs term metadata that "
+                    "solution columns do not carry — operate on the "
+                    "obj_kind / obj_lang / obj_datatype columns via "
+                    f"the DataFrame API instead (offset {t.pos})")
+            if word in _AGG_FNS:
+                raise SparqlSyntaxError(
+                    f"aggregate {t.text.upper()}() is only allowed in "
+                    f"SELECT expressions (offset {t.pos})")
+            if word in _SCALAR_FNS:
+                self.next()
+                self.expect_op("(")
+                args = []
+                if not self.at_op(")"):
+                    args.append(self.parse_expr())
+                    while self.take_op(","):
+                        args.append(self.parse_expr())
+                self.expect_op(")")
+                return _SCALAR_FNS[word](args), "other"
+            self.fail(f"unsupported function or keyword {t.text!r}")
+        self.fail("expected an expression")
+
+    # -- SELECT items + aggregates ------------------------------------
+    def parse_select_item(self) -> SelectItem:
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return SelectItem(var=t.text[1:])
+        self.expect_op("(")
+        sql, is_agg = self._agg_or_expr()
+        self.expect_kw("as")
+        v = self.next()
+        if v.kind != "VAR":
+            self.fail("expected variable after AS")
+        self.expect_op(")")
+        return SelectItem(var=v.text[1:], sql=sql, is_agg=is_agg)
+
+    def _agg_or_expr(self) -> tuple[str, bool]:
+        t = self.peek()
+        if t.kind == "NAME" and t.text.lower() in _AGG_FNS:
+            fn = self.next().text.lower()
+            self.expect_op("(")
+            distinct = self.take_kw("distinct")
+            if fn == "count" and self.take_op("*"):
+                if distinct:
+                    raise SparqlSyntaxError(
+                        "COUNT(DISTINCT *) is not supported — project "
+                        "the variables and COUNT(DISTINCT ?v) instead")
+                self.expect_op(")")
+                return "count(1)", True
+            arg = self.parse_expr()
+            sep = " "
+            if fn == "group_concat" and self.take_op(";"):
+                self.expect_kw("separator")
+                self.expect_op("=")
+                s = self.next()
+                if s.kind != "STRING":
+                    self.fail("expected string SEPARATOR value")
+                sep = _unquote(s.text)
+            self.expect_op(")")
+            d = "DISTINCT " if distinct else ""
+            if fn == "group_concat":
+                inner = (f"collect_set({arg})" if distinct
+                         else f"collect_list({arg})")
+                return (f"array_join(array_sort({inner}), "
+                        f"{_sql_str(sep)})"), True
+            if fn == "sample":
+                return f"min({d}{arg})", True
+            return f"{fn}({d}{arg})", True
+        return self.parse_expr(), False
+
+
+def _unquote(raw: str) -> str:
+    """Decode a SPARQL string literal body (ECHAR escapes)."""
+    body = raw[1:-1]
+    return (body.replace("\\\\", "\x00")
+                .replace("\\t", "\t").replace("\\n", "\n")
+                .replace("\\r", "\r").replace('\\"', '"')
+                .replace("\\'", "'").replace("\x00", "\\"))
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# --------------------------------------------------------------------
+# top-level parse
+# --------------------------------------------------------------------
+
+def parse_sparql(text: str) -> ParsedQuery:
+    """Parse SPARQL text into a :class:`ParsedQuery` (no Spark work)."""
+    p = _Parser(text)
+    p.parse_prologue()
+    if p.take_kw("select"):
+        q = ParsedQuery(form="select", where=Group())
+        if p.take_kw("distinct") or p.take_kw("reduced"):
+            q.distinct = True
+        if p.take_op("*"):
+            q.select = None
+        else:
+            items = []
+            while p.peek().kind == "VAR" or p.at_op("("):
+                items.append(p.parse_select_item())
+            if not items:
+                p.fail("SELECT needs at least one item or *")
+            q.select = items
+        p.expect_kw("where")
+        q.where = p.parse_group()
+        _parse_modifiers(p, q)
+    elif p.take_kw("ask"):
+        q = ParsedQuery(form="ask", where=Group())
+        p.take_kw("where")
+        q.where = p.parse_group()
+    elif p.take_kw("construct"):
+        q = ParsedQuery(form="construct", where=Group())
+        tmpl = Group()
+        p.expect_op("{")
+        while not p.at_op("}"):
+            p._parse_triples_block(tmpl)
+            p.take_op(".")
+        p.expect_op("}")
+        for s, pr, o in tmpl.patterns:
+            if not isinstance(pr, str):
+                raise SparqlSyntaxError(
+                    "property paths are not allowed in a CONSTRUCT "
+                    "template")
+        q.template = tmpl.patterns
+        p.expect_kw("where")
+        q.where = p.parse_group()
+        _parse_modifiers(p, q)
+    else:
+        p.fail("expected SELECT, ASK or CONSTRUCT")
+    if p.peek().kind != "EOF":
+        p.fail("trailing input after query")
+    return q
+
+
+def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
+    if p.take_kw("group"):
+        p.expect_kw("by")
+        while p.peek().kind == "VAR":
+            q.group_by.append(p.next().text[1:])
+        if not q.group_by:
+            p.fail("GROUP BY needs at least one variable")
+    if p.take_kw("having"):
+        q.having.append(p.parse_expr_or_call())
+    if p.take_kw("order"):
+        p.expect_kw("by")
+        while True:
+            if p.take_kw("asc"):
+                p.expect_op("(")
+                q.order_by.append((p.parse_expr(), True))
+                p.expect_op(")")
+            elif p.take_kw("desc"):
+                p.expect_op("(")
+                q.order_by.append((p.parse_expr(), False))
+                p.expect_op(")")
+            elif p.peek().kind == "VAR":
+                q.order_by.append((p.next().text[1:], True))
+            else:
+                break
+        if not q.order_by:
+            p.fail("ORDER BY needs at least one key")
+    # LIMIT/OFFSET accepted in either order, per the SPARQL grammar
+    for _ in range(2):
+        if p.take_kw("limit"):
+            t = p.next()
+            if t.kind != "NUMBER":
+                p.fail("expected LIMIT count")
+            q.limit = int(t.text)
+        elif p.take_kw("offset"):
+            t = p.next()
+            if t.kind != "NUMBER":
+                p.fail("expected OFFSET count")
+            q.offset = int(t.text)
+
+
+# --------------------------------------------------------------------
+# execution
+# --------------------------------------------------------------------
+
+def _compile_where(triples: DataFrame, g: Group) -> DataFrame:
+    if g.union:
+        return bgp_union(
+            *[_compile_where(triples, b) for b in g.union])
+    return bgp_match(
+        triples, g.patterns,
+        filters=g.filters or None,
+        optionals=g.optionals or None,
+        minus=g.minus or None,
+        values=g.values or None,
+        binds=g.binds or None,
+        exists=g.exists or None,
+        not_exists=g.not_exists or None)
+
+
+def sparql_query(triples: DataFrame, text: str) -> DataFrame:
+    """Parse and execute SPARQL ``text`` against the ``triples`` table
+    (the engine's extraction schema: subj/pred/obj_value...).  Returns
+    the solution DataFrame: one column per projected variable, one
+    boolean ``ask`` column for ASK, triples-shaped rows for CONSTRUCT.
+    """
+    q = parse_sparql(text)
+    sol = _compile_where(triples, q.where)
+
+    if q.form == "ask":
+        return (sol.limit(1)
+                .agg((F.count(F.lit(1)) > 0).alias("ask")))
+
+    if q.form == "construct":
+        out = bgp_construct(sol, q.template)
+        return _slice(out, q)
+
+    # SELECT — aggregate path vs plain projection
+    items = q.select
+    agg_mode = bool(q.group_by) or bool(
+        items and any(it.is_agg for it in items))
+    if agg_mode:
+        if items is None:
+            raise SparqlSyntaxError(
+                "SELECT * cannot be combined with GROUP BY/aggregates")
+        aggs = [F.expr(it.sql).alias(it.var)
+                for it in items if it.is_agg]
+        keys = [it.var for it in items if not it.is_agg]
+        for k in keys:
+            if k not in q.group_by:
+                raise SparqlSyntaxError(
+                    f"non-aggregated SELECT variable ?{k} must appear "
+                    "in GROUP BY")
+        if not aggs:
+            raise SparqlSyntaxError(
+                "GROUP BY without any aggregate in SELECT")
+        sol = (sol.groupBy(*q.group_by).agg(*aggs)
+               if q.group_by else sol.agg(*aggs))
+        for expr in q.having:
+            sol = sol.filter(F.expr(expr))
+        sol = sol.select(*[it.var for it in items])
+    else:
+        for it in items or []:
+            if it.sql is not None:
+                if it.var in sol.columns:
+                    raise SparqlSyntaxError(
+                        f"(expr AS ?{it.var}) would rebind an "
+                        "in-scope variable")
+                sol = sol.withColumn(it.var, F.expr(it.sql))
+        if q.having:
+            raise SparqlSyntaxError("HAVING requires GROUP BY")
+        if not q.distinct and q.order_by:
+            # order on the full solution (keys may be unprojected —
+            # SPARQL sorts before projection)...
+            sol = _order(sol, q.order_by)
+        if items is not None:
+            sol = sol.select(*[it.var for it in items])
+
+    if q.distinct:
+        sol = sol.dropDuplicates()
+        # ...but after DISTINCT / aggregation the earlier sort is
+        # shuffled away, so ordering applies to projected columns.
+        if q.order_by:
+            sol = _order(sol, q.order_by)
+    elif agg_mode and q.order_by:
+        sol = _order(sol, q.order_by)
+    return _slice(sol, q)
+
+
+def _order(sol: DataFrame, keys: list[tuple[str, bool]]) -> DataFrame:
+    cols = [F.expr(sql).asc() if asc else F.expr(sql).desc()
+            for sql, asc in keys]
+    return sol.orderBy(*cols)
+
+
+def _slice(sol: DataFrame, q: ParsedQuery) -> DataFrame:
+    if q.offset:
+        sol = sol.offset(q.offset)
+    if q.limit is not None:
+        sol = sol.limit(q.limit)
+    return sol

@@ -1,0 +1,295 @@
+"""SPARQL text front-end (operators/sparql.py): parser unit tests plus
+end-to-end execution over a small in-memory graph, cross-checked where
+useful against hand-built bgp_match plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfa_streaming_parser_js_spark.operators import paths as P
+from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+from rdfa_streaming_parser_js_spark.operators.sparql import (
+    SparqlSyntaxError, parse_sparql, sparql_query)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+S = "http://schema.org/"
+
+PFX = "PREFIX schema: <http://schema.org/>\n"
+
+COLS = ["subj", "pred", "obj_value"]
+
+
+def _kg(spark):
+    return spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"),
+        ("d1", f"{S}name", "alpha"),
+        ("d1", f"{S}isPartOf", "srcA"),
+        ("d1", f"{S}wordCount", "120"),
+        ("d2", RDF_TYPE, f"{S}Article"),
+        ("d2", f"{S}name", "beta"),
+        ("d2", f"{S}isPartOf", "srcA"),
+        ("d2", f"{S}wordCount", "80"),
+        ("d2", f"{S}inLanguage", "en"),
+        ("d3", RDF_TYPE, f"{S}Person"),
+        ("d3", f"{S}name", "carol"),
+        ("srcA", f"{S}name", "Source A"),
+        ("a1", f"{S}partOf", "a2"),
+        ("a2", f"{S}partOf", "a3"),
+    ], COLS)
+
+
+# --------------------------------------------------------------------
+# parser-level (no Spark)
+# --------------------------------------------------------------------
+
+def test_parse_prefixes_and_a_keyword():
+    q = parse_sparql(
+        PFX + "SELECT ?x WHERE { ?x a schema:Article . }")
+    assert q.where.patterns == [("?x", RDF_TYPE, f"{S}Article")]
+    assert [i.var for i in q.select] == ["x"]
+
+
+def test_parse_semicolon_and_comma_lists():
+    q = parse_sparql(PFX + """SELECT * WHERE {
+        ?x a schema:Article ;
+           schema:name ?n , ?m .
+    }""")
+    assert q.where.patterns == [
+        ("?x", RDF_TYPE, f"{S}Article"),
+        ("?x", f"{S}name", "?n"),
+        ("?x", f"{S}name", "?m"),
+    ]
+    assert q.select is None
+
+
+def test_parse_path_precedence_alt_over_seq():
+    # a/b|c parses as (a/b)|c per SPARQL §9.1
+    q = parse_sparql(
+        PFX + "SELECT * WHERE { ?x schema:a/schema:b|schema:c ?y }")
+    (_, path, _), = q.where.patterns
+    assert path == P.alt(P.seq(P.link(f"{S}a"), P.link(f"{S}b")),
+                         P.link(f"{S}c"))
+
+
+def test_parse_inverse_binds_to_element_not_sequence():
+    q = parse_sparql(
+        PFX + "SELECT * WHERE { ?x ^schema:a/schema:b ?y }")
+    (_, path, _), = q.where.patterns
+    assert path == P.seq(P.inv(P.link(f"{S}a")), P.link(f"{S}b"))
+
+
+def test_parse_path_modifiers_and_nps():
+    q = parse_sparql(PFX + """SELECT * WHERE {
+        ?x schema:p+/!(schema:q|^schema:r)?/(schema:s)* ?y }""")
+    (_, path, _), = q.where.patterns
+    assert path == P.seq(
+        P.plus(P.link(f"{S}p")),
+        P.opt(P.alt(P.nps(f"{S}q"), P.inv(P.nps(f"{S}r")))),
+        P.star(P.link(f"{S}s")))
+
+
+def test_parse_single_link_path_stays_plain_string():
+    q = parse_sparql(PFX + "SELECT * WHERE { ?x schema:name ?n }")
+    assert q.where.patterns == [("?x", f"{S}name", "?n")]
+
+
+def test_parse_filter_translation():
+    q = parse_sparql(PFX + """SELECT ?x WHERE {
+        ?x schema:wordCount ?wc .
+        FILTER(?wc > 100 && STRSTARTS(?x, "d") || !BOUND(?wc))
+    }""")
+    (f,) = q.where.filters
+    # outermost parens = the FILTER's bracketted expression itself
+    assert f == ("((((CAST(wc AS DOUBLE) > 100) AND startswith(x, 'd'))"
+                 " OR (NOT (wc IS NOT NULL))))")
+
+
+def test_parse_modifiers():
+    q = parse_sparql(PFX + """SELECT DISTINCT ?x WHERE {
+        ?x schema:name ?n } ORDER BY DESC(?n) ?x LIMIT 5 OFFSET 2""")
+    assert q.distinct and q.limit == 5 and q.offset == 2
+    assert q.order_by == [("n", False), ("x", True)]
+
+
+def test_parse_aggregates():
+    q = parse_sparql(PFX + """
+        SELECT ?s (COUNT(*) AS ?n)
+               (GROUP_CONCAT(?m; SEPARATOR=",") AS ?names)
+        WHERE { ?d schema:isPartOf ?s ; schema:name ?m }
+        GROUP BY ?s HAVING(?n > 1)""")
+    n, names = q.select[1], q.select[2]
+    assert n.is_agg and n.sql == "count(1)"
+    assert names.sql == (
+        "array_join(array_sort(collect_list(m)), ',')")
+    # the bare-var-vs-number cast heuristic applies in HAVING too
+    # (harmless on the already-numeric aggregate column)
+    assert q.group_by == ["s"]
+    assert q.having == ["((CAST(n AS DOUBLE) > 1))"]
+
+
+def test_parse_rejects_term_introspection_builtins():
+    with pytest.raises(SparqlSyntaxError, match="obj_lang"):
+        parse_sparql(PFX + """SELECT ?x WHERE {
+            ?x schema:name ?n . FILTER(LANG(?n) = "en") }""")
+
+
+def test_parse_rejects_tagged_literal_patterns():
+    with pytest.raises(SparqlSyntaxError, match="lexical form"):
+        parse_sparql(
+            PFX + 'SELECT ?x WHERE { ?x schema:name "alpha"@en }')
+
+
+def test_parse_rejects_mixed_union_group():
+    with pytest.raises(SparqlSyntaxError, match="entire group"):
+        parse_sparql(PFX + """SELECT * WHERE {
+            { ?x schema:name ?n } UNION { ?x schema:alt ?n }
+            ?x a schema:Article .
+        }""")
+
+
+def test_parse_rejects_undeclared_prefix():
+    with pytest.raises(SparqlSyntaxError, match="undeclared"):
+        parse_sparql("SELECT ?x WHERE { ?x foo:bar ?y }")
+
+
+# --------------------------------------------------------------------
+# execution
+# --------------------------------------------------------------------
+
+def test_exec_select_filter_order_limit(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x ?n WHERE {
+            ?x a schema:Article ; schema:name ?n ;
+               schema:wordCount ?wc .
+            FILTER(?wc >= 100)
+        } ORDER BY ?x LIMIT 10""")
+    assert [(r.x, r.n) for r in got.collect()] == [("d1", "alpha")]
+
+
+def test_exec_matches_handbuilt_bgp(spark):
+    kg = _kg(spark)
+    text = PFX + """SELECT ?x ?n WHERE {
+        ?x a schema:Article ; schema:name ?n }"""
+    want = bgp_match(kg, [
+        ("?x", RDF_TYPE, f"{S}Article"),
+        ("?x", f"{S}name", "?n"),
+    ], select=["x", "n"])
+    got = sparql_query(kg, text)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+
+def test_exec_optional_and_bound(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x ?l WHERE {
+            ?x a schema:Article .
+            OPTIONAL { ?x schema:inLanguage ?l }
+        }""")
+    assert {(r.x, r.l) for r in got.collect()} == {
+        ("d1", None), ("d2", "en")}
+
+
+def test_exec_union(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x WHERE {
+            { ?x a schema:Article } UNION { ?x a schema:Person }
+        }""")
+    assert sorted(r.x for r in got.collect()) == ["d1", "d2", "d3"]
+
+
+def test_exec_minus_and_values(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x ?n WHERE {
+            ?x schema:name ?n .
+            VALUES ?x { "d1" "d2" "d3" }
+            MINUS { ?x schema:inLanguage "en" }
+        }""")
+    assert {(r.x, r.n) for r in got.collect()} == {
+        ("d1", "alpha"), ("d3", "carol")}
+
+
+def test_exec_not_exists_global_probe(spark):
+    # the probe matches, so NOT EXISTS empties the solution set
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x WHERE {
+            ?x a schema:Person .
+            FILTER NOT EXISTS { "d1" schema:name "alpha" }
+        }""")
+    assert got.count() == 0
+
+
+def test_exec_bind(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x ?u WHERE {
+            ?x a schema:Person ; schema:name ?n .
+            BIND(UCASE(?n) AS ?u)
+        }""")
+    assert [(r.x, r.u) for r in got.collect()] == [("d3", "CAROL")]
+
+
+def test_exec_path_closure_and_opt(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?y WHERE { "a1" schema:partOf+ ?y }""")
+    assert sorted(r.y for r in got.collect()) == ["a2", "a3"]
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?y WHERE { "a1" schema:partOf?/schema:partOf ?y }""")
+    assert sorted(r.y for r in got.collect()) == ["a2", "a3"]
+
+
+def test_exec_inverse_path(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?d WHERE { "srcA" ^schema:isPartOf ?d }""")
+    assert sorted(r.d for r in got.collect()) == ["d1", "d2"]
+
+
+def test_exec_aggregate_group_concat(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?s (COUNT(*) AS ?n)
+               (GROUP_CONCAT(?m; SEPARATOR="|") AS ?names)
+        WHERE { ?d schema:isPartOf ?s ; schema:name ?m }
+        GROUP BY ?s ORDER BY ?s""")
+    assert [tuple(r) for r in got.collect()] == [
+        ("srcA", 2, "alpha|beta")]
+
+
+def test_exec_global_aggregate(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT (COUNT(DISTINCT ?x) AS ?n)
+        WHERE { ?x schema:name ?m }""")
+    assert got.collect()[0].n == 4
+
+
+def test_exec_ask_both_ways(spark):
+    kg = _kg(spark)
+    yes = sparql_query(kg, PFX + "ASK { ?x a schema:Person }")
+    no = sparql_query(
+        kg, PFX + "ASK { ?x a schema:VideoObject }")
+    assert yes.collect()[0].ask is True
+    assert no.collect()[0].ask is False
+
+
+def test_exec_construct(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        CONSTRUCT { ?s schema:label ?n }
+        WHERE { ?s a schema:Article ; schema:name ?n }""")
+    rows = {(r.subj, r.pred, r.obj_value) for r in got.collect()}
+    assert rows == {("d1", f"{S}label", "alpha"),
+                    ("d2", f"{S}label", "beta")}
+
+
+def test_exec_distinct_with_order(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT DISTINCT ?s WHERE { ?d schema:isPartOf ?s }
+        ORDER BY ?s""")
+    assert [r.s for r in got.collect()] == ["srcA"]
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT DISTINCT ?s WHERE { ?d schema:partOf|schema:isPartOf ?s }
+        ORDER BY DESC(?s)""")
+    assert [r.s for r in got.collect()] == ["srcA", "a3", "a2"]
+
+
+def test_exec_select_expr_projection(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x (STRLEN(?n) AS ?len) WHERE {
+            ?x a schema:Person ; schema:name ?n }""")
+    assert [(r.x, r.len) for r in got.collect()] == [("d3", 5)]
