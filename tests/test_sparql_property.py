@@ -1,0 +1,88 @@
+"""Property tests for the SPARQL text front-end: random path ASTs
+serialize to SPARQL 1.1 path syntax and parse back to the identical
+AST (round-trip = the grammar's precedence and tokenization are right
+for every shape, not just the hand-picked cases)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rdfa_streaming_parser_js_spark.operators import paths as P
+from rdfa_streaming_parser_js_spark.operators.sparql import parse_sparql
+
+IRIS = [f"http://example.org/p{i}" for i in range(4)]
+
+
+def _leaf():
+    return st.one_of(
+        st.sampled_from(IRIS).map(P.link),
+        st.lists(st.sampled_from(IRIS), min_size=1, max_size=3,
+                 unique=True).map(lambda ps: P.nps(*ps)),
+    )
+
+
+def _extend(children):
+    return st.one_of(
+        children.map(P.inv),
+        children.map(P.plus),
+        children.map(P.star),
+        children.map(P.opt),
+        st.lists(children, min_size=2, max_size=3).map(
+            lambda ps: P.Seq(tuple(ps))),
+        st.lists(children, min_size=2, max_size=3).map(
+            lambda ps: P.Alt(tuple(ps))),
+    )
+
+
+path_exprs = st.recursive(_leaf(), _extend, max_leaves=8)
+
+
+def _render(p) -> str:
+    """Serialize a PathExpr to SPARQL path syntax (fully parenthesized
+    so the parse must reproduce the exact construction)."""
+    if isinstance(p, P.Link):
+        return f"<{p.pred}>"
+    if isinstance(p, P.Nps):
+        return "!(" + "|".join(f"<{x}>" for x in p.preds) + ")"
+    if isinstance(p, P.Inv):
+        return f"^({_render(p.inner)})"
+    if isinstance(p, P.Plus):
+        return f"({_render(p.inner)})+"
+    if isinstance(p, P.Star):
+        return f"({_render(p.inner)})*"
+    if isinstance(p, P.Opt):
+        return f"({_render(p.inner)})?"
+    if isinstance(p, P.Seq):
+        return "(" + "/".join(f"({_render(x)})" for x in p.parts) + ")"
+    if isinstance(p, P.Alt):
+        return "(" + "|".join(f"({_render(x)})" for x in p.parts) + ")"
+    raise AssertionError(p)
+
+
+@settings(max_examples=300, deadline=None)
+@given(path_exprs)
+def test_path_roundtrip(p):
+    text = f"SELECT * WHERE {{ ?s {_render(p)} ?o }}"
+    q = parse_sparql(text)
+    (_, parsed, _), = q.where.patterns
+    if isinstance(p, P.Link):
+        # a bare link compiles to the plain-predicate fast path
+        assert parsed == p.pred
+    else:
+        assert parsed == p
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 99), st.integers(0, 99), st.booleans(),
+       st.sampled_from(["?a", "?b"]), st.booleans())
+def test_modifier_roundtrip(limit, offset, distinct, key, asc):
+    text = (
+        "SELECT {d}?a ?b WHERE {{ ?a <http://example.org/p0> ?b }} "
+        "ORDER BY {o} LIMIT {l} OFFSET {f}"
+    ).format(d="DISTINCT " if distinct else "",
+             o=key if asc else f"DESC({key})", l=limit, f=offset)
+    q = parse_sparql(text)
+    assert q.limit == limit and q.offset == offset
+    assert q.distinct is distinct
+    assert q.order_by == [(key[1:], asc)]
