@@ -31,8 +31,10 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   sequence, ``|`` alternative, ``+`` ``*`` ``?`` closures,
   ``!(p1|^p2|...)`` negated property sets, parentheses.
 - ``FILTER`` (expression or ``[NOT] EXISTS {...}``), ``OPTIONAL``,
-  ``MINUS``, ``BIND (expr AS ?v)``, ``VALUES``, and ``{...} UNION
-  {...}`` as the entire group body.
+  ``MINUS``, ``BIND (expr AS ?v)``, ``VALUES``, ``{...} UNION
+  {...}`` as the entire group body, and mid-group ``{ SELECT ... }``
+  sub-queries (§18.2) joined into the group on their shared
+  variables.
 - Solution modifiers: ``GROUP BY`` + aggregates (COUNT / SUM / MIN /
   MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING``, ``ORDER BY [ASC|
   DESC]``, ``LIMIT`` / ``OFFSET``.
@@ -52,8 +54,9 @@ Documented deviations (each raises or is noted, never silent):
   engine's lexical columns).
 - With ``DISTINCT``, ``ORDER BY`` keys must be projected variables
   (ordering applies after de-duplication).
-- Nested OPTIONAL/UNION inside OPTIONAL / MINUS / EXISTS groups and
-  sub-SELECTs are not supported (compose at the DataFrame level).
+- Nested OPTIONAL/UNION inside OPTIONAL / MINUS / EXISTS groups are
+  not supported, and a group containing a sub-SELECT cannot also
+  contain OPTIONAL/MINUS/EXISTS (compose at the DataFrame level).
 """
 
 from __future__ import annotations
@@ -135,6 +138,7 @@ class Group:
     exists: list = field(default_factory=list)
     not_exists: list = field(default_factory=list)
     union: list = field(default_factory=list)  # list[Group] if UNION
+    subselects: list = field(default_factory=list)  # list[ParsedQuery]
 
 
 @dataclass
@@ -391,7 +395,10 @@ class _Parser:
     def parse_group(self, top: bool = True) -> Group:
         self.expect_op("{")
         g = Group()
-        if self.at_op("{"):  # {A} UNION {B} [UNION {C}...]
+        if self.at_op("{") and not (
+                self.peek(1).kind == "NAME"
+                and self.peek(1).text.lower() == "select"):
+            # {A} UNION {B} [UNION {C}...]
             if not top:
                 self.fail("nested group blocks are not supported here")
             g.union.append(self.parse_group(top=False))
@@ -404,7 +411,20 @@ class _Parser:
             self.next()
             return g
         while not self.at_op("}"):
-            if self.take_kw("filter"):
+            if self.at_op("{"):
+                # mid-group braced block: a sub-SELECT (§18.2)
+                if not top:
+                    self.fail("sub-SELECT inside a nested group is "
+                              "not supported")
+                self.next()
+                if not self.at_kw("select"):
+                    self.fail("expected SELECT (only sub-SELECT blocks "
+                              "may appear mid-group; UNION must be the "
+                              "entire group body)")
+                self.next()
+                g.subselects.append(self._parse_select_body())
+                self.expect_op("}")
+            elif self.take_kw("filter"):
                 self._parse_filter(g, top)
             elif self.take_kw("optional"):
                 if not top:
@@ -434,6 +454,11 @@ class _Parser:
         self.expect_op("}")
         if g.union and (g.patterns or g.filters):
             self.fail("UNION must be the entire group body")
+        if g.subselects and (g.optionals or g.minus or g.exists
+                             or g.not_exists):
+            self.fail("a group with a sub-SELECT cannot also contain "
+                      "OPTIONAL/MINUS/EXISTS — compose at the "
+                      "DataFrame level")
         return g
 
     def _parse_filter(self, g: Group, top: bool) -> None:
@@ -671,6 +696,26 @@ class _Parser:
             return f"{fn}({d}{arg})", True
         return self.parse_expr(), False
 
+    def _parse_select_body(self) -> ParsedQuery:
+        """Everything after the SELECT keyword (shared by the top-level
+        form and mid-group sub-SELECTs, §18.2)."""
+        q = ParsedQuery(form="select", where=Group())
+        if self.take_kw("distinct") or self.take_kw("reduced"):
+            q.distinct = True
+        if self.take_op("*"):
+            q.select = None
+        else:
+            items = []
+            while self.peek().kind == "VAR" or self.at_op("("):
+                items.append(self.parse_select_item())
+            if not items:
+                self.fail("SELECT needs at least one item or *")
+            q.select = items
+        self.expect_kw("where")
+        q.where = self.parse_group()
+        _parse_modifiers(self, q)
+        return q
+
 
 def _unquote(raw: str) -> str:
     """Decode a SPARQL string literal body (ECHAR escapes)."""
@@ -694,21 +739,7 @@ def parse_sparql(text: str) -> ParsedQuery:
     p = _Parser(text)
     p.parse_prologue()
     if p.take_kw("select"):
-        q = ParsedQuery(form="select", where=Group())
-        if p.take_kw("distinct") or p.take_kw("reduced"):
-            q.distinct = True
-        if p.take_op("*"):
-            q.select = None
-        else:
-            items = []
-            while p.peek().kind == "VAR" or p.at_op("("):
-                items.append(p.parse_select_item())
-            if not items:
-                p.fail("SELECT needs at least one item or *")
-            q.select = items
-        p.expect_kw("where")
-        q.where = p.parse_group()
-        _parse_modifiers(p, q)
+        q = p._parse_select_body()
     elif p.take_kw("ask"):
         q = ParsedQuery(form="ask", where=Group())
         p.take_kw("where")
@@ -785,15 +816,38 @@ def _compile_where(triples: DataFrame, g: Group) -> DataFrame:
     if g.union:
         return bgp_union(
             *[_compile_where(triples, b) for b in g.union])
-    return bgp_match(
-        triples, g.patterns,
-        filters=g.filters or None,
-        optionals=g.optionals or None,
-        minus=g.minus or None,
-        values=g.values or None,
-        binds=g.binds or None,
-        exists=g.exists or None,
-        not_exists=g.not_exists or None)
+    subs = [_execute_select(triples, sq) for sq in g.subselects]
+    if g.patterns:
+        sol = bgp_match(
+            triples, g.patterns,
+            # with sub-SELECTs present, group filters may reference the
+            # subquery's variables, so they apply to the joined
+            # relation below (SPARQL filters scope to the whole group;
+            # Catalyst still pushes var-local conjuncts to the scans)
+            filters=None if subs else (g.filters or None),
+            optionals=g.optionals or None,
+            minus=g.minus or None,
+            values=g.values or None,
+            binds=g.binds or None,
+            exists=g.exists or None,
+            not_exists=g.not_exists or None)
+    elif subs:
+        if g.values or g.binds:
+            raise SparqlSyntaxError(
+                "VALUES/BIND in a group whose only relation is a "
+                "sub-SELECT is not supported — add a triple pattern "
+                "or compose at the DataFrame level")
+        sol = subs.pop(0)
+    else:
+        raise SparqlSyntaxError("empty group pattern")
+    for s in subs:
+        shared = [c for c in s.columns if c in sol.columns]
+        sol = (sol.join(s, on=shared, how="inner") if shared
+               else sol.crossJoin(s))
+    if g.subselects and g.filters:
+        for expr in g.filters:
+            sol = sol.filter(F.expr(expr))
+    return sol
 
 
 def sparql_query(triples: DataFrame, text: str) -> DataFrame:
@@ -803,17 +857,21 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
     boolean ``ask`` column for ASK, triples-shaped rows for CONSTRUCT.
     """
     q = parse_sparql(text)
+    if q.form == "select":
+        return _execute_select(triples, q)
     sol = _compile_where(triples, q.where)
-
     if q.form == "ask":
         return (sol.limit(1)
                 .agg((F.count(F.lit(1)) > 0).alias("ask")))
+    out = bgp_construct(sol, q.template)
+    return _slice(out, q)
 
-    if q.form == "construct":
-        out = bgp_construct(sol, q.template)
-        return _slice(out, q)
 
-    # SELECT — aggregate path vs plain projection
+def _execute_select(triples: DataFrame, q: ParsedQuery) -> DataFrame:
+    """The SELECT pipeline (shared by top-level queries and §18.2
+    sub-SELECTs): aggregate path vs plain projection, then DISTINCT /
+    ORDER / LIMIT / OFFSET in SPARQL's slice order."""
+    sol = _compile_where(triples, q.where)
     items = q.select
     agg_mode = bool(q.group_by) or bool(
         items and any(it.is_agg for it in items))

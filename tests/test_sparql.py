@@ -288,6 +288,34 @@ def test_exec_distinct_with_order(spark):
     assert [r.s for r in got.collect()] == ["srcA", "a3", "a2"]
 
 
+def test_exec_subselect_joined_on_shared_var(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?src ?name ?n WHERE {
+            ?src schema:name ?name .
+            { SELECT ?src (COUNT(?d) AS ?n)
+              WHERE { ?d schema:isPartOf ?src } GROUP BY ?src }
+            FILTER(?n >= 2)
+        } ORDER BY ?src""")
+    assert [tuple(r) for r in got.collect()] == [("srcA", "Source A", 2)]
+
+
+def test_exec_subselect_as_only_relation(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?s ?n WHERE {
+            { SELECT ?s (COUNT(*) AS ?n)
+              WHERE { ?d schema:isPartOf ?s } GROUP BY ?s }
+        }""")
+    assert [tuple(r) for r in got.collect()] == [("srcA", 2)]
+
+
+def test_parse_rejects_subselect_with_optional():
+    with pytest.raises(SparqlSyntaxError, match="sub-SELECT"):
+        parse_sparql(PFX + """SELECT ?s WHERE {
+            { SELECT ?s WHERE { ?d schema:isPartOf ?s } }
+            OPTIONAL { ?s schema:name ?n }
+        }""")
+
+
 def test_exec_select_expr_projection(spark):
     got = sparql_query(_kg(spark), PFX + """
         SELECT ?x (STRLEN(?n) AS ?len) WHERE {
