@@ -395,8 +395,18 @@ def describe(triples: DataFrame, seeds: DataFrame,
     frontier checkpoints stay persisted because the returned lazy union
     broadcasts them — they are bnode-id lists, not graph-sized.  On the
     error path everything this call persisted is released.
+
+    Minimal three-column graphs (``subj``/``pred``/``obj_value`` only,
+    no ``obj_kind``) carry no term-kind information, so bnodes cannot
+    be identified; the CBD degrades to the plain subject slice of the
+    seeds (zero expansion rounds).
     """
     from rdfa_streaming_parser_js_spark.operators.storage import release
+
+    if "obj_kind" not in triples.columns:
+        seeds_bc = F.broadcast(seeds.select("node").distinct())
+        return (triples.join(seeds_bc, triples.subj == F.col("node"))
+                .drop("node"))
 
     seeds_ck = seeds.select("node").distinct().localCheckpoint(eager=True)
     seen = seeds_ck

@@ -25,7 +25,9 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
 
 - ``PREFIX`` / ``BASE`` prologue; ``a`` for rdf:type.
 - ``SELECT [DISTINCT|REDUCED] (?v... | * | (expr AS ?v)...)``,
-  ``ASK``, ``CONSTRUCT { template } WHERE``.
+  ``ASK``, ``CONSTRUCT { template } WHERE``, and ``DESCRIBE`` (IRIs
+  and/or variables bound by an optional WHERE clause; Concise Bounded
+  Description via :func:`operators.bgp.describe`).
 - Triples blocks with ``;`` predicate and ``,`` object lists.
 - Property paths in the predicate position: ``^`` inverse, ``/``
   sequence, ``|`` alternative, ``+`` ``*`` ``?`` closures,
@@ -69,7 +71,7 @@ from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators import paths as P
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    bgp_construct, bgp_match, bgp_union)
+    bgp_construct, bgp_match, bgp_union, describe)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -160,6 +162,7 @@ class ParsedQuery:
     limit: int | None = None
     offset: int | None = None
     template: list | None = None   # CONSTRUCT triples
+    describe_targets: list = field(default_factory=list)  # IRIs/?vars
 
 
 # --------------------------------------------------------------------
@@ -744,6 +747,25 @@ def parse_sparql(text: str) -> ParsedQuery:
         q = ParsedQuery(form="ask", where=Group())
         p.take_kw("where")
         q.where = p.parse_group()
+    elif p.take_kw("describe"):
+        q = ParsedQuery(form="describe", where=Group())
+        while True:
+            t = p.peek()
+            if t.kind == "VAR":
+                q.describe_targets.append(p.next().text)
+            elif t.kind in ("IRIREF", "PNAME", "COLON"):
+                q.describe_targets.append(p.expand_iri(p.next()))
+            else:
+                break
+        if not q.describe_targets:
+            p.fail("DESCRIBE needs at least one IRI or variable")
+        if p.take_kw("where") or p.at_op("{"):
+            q.where = p.parse_group()
+        if any(v.startswith("?") for v in q.describe_targets) \
+                and not q.where.patterns and not q.where.union \
+                and not q.where.subselects:
+            p.fail("DESCRIBE with a variable needs a WHERE clause "
+                   "binding it")
     elif p.take_kw("construct"):
         q = ParsedQuery(form="construct", where=Group())
         tmpl = Group()
@@ -859,6 +881,22 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
     q = parse_sparql(text)
     if q.form == "select":
         return _execute_select(triples, q)
+    if q.form == "describe":
+        spark = triples.sparkSession
+        iris = [v for v in q.describe_targets
+                if not v.startswith("?")]
+        seeds = (spark.createDataFrame([(i,) for i in iris],
+                                       "node string")
+                 if iris else None)
+        var_names = [v[1:] for v in q.describe_targets
+                     if v.startswith("?")]
+        if var_names:
+            sol = _compile_where(triples, q.where)
+            for v in var_names:
+                s = sol.select(F.col(v).alias("node")).distinct()
+                seeds = s if seeds is None else (
+                    seeds.unionByName(s).distinct())
+        return describe(triples, seeds)
     sol = _compile_where(triples, q.where)
     if q.form == "ask":
         return (sol.limit(1)

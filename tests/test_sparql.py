@@ -321,3 +321,22 @@ def test_exec_select_expr_projection(spark):
         SELECT ?x (STRLEN(?n) AS ?len) WHERE {
             ?x a schema:Person ; schema:name ?n }""")
     assert [(r.x, r.len) for r in got.collect()] == [("d3", 5)]
+
+
+def test_exec_describe_iri(spark):
+    got = sparql_query(_kg(spark), "DESCRIBE <d3>")
+    assert {(r.subj, r.pred, r.obj_value) for r in got.collect()} == {
+        ("d3", RDF_TYPE, f"{S}Person"),
+        ("d3", f"{S}name", "carol")}
+
+
+def test_exec_describe_var_with_where(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        DESCRIBE ?x WHERE { ?x a schema:Person }""")
+    assert {(r.subj, r.obj_value) for r in got.collect()} == {
+        ("d3", f"{S}Person"), ("d3", "carol")}
+
+
+def test_parse_describe_var_without_where_rejected():
+    with pytest.raises(SparqlSyntaxError, match="WHERE"):
+        parse_sparql("DESCRIBE ?x")
