@@ -1127,6 +1127,35 @@ def q_kg_sparql_select(spark, sf_dir):
     return sparql_query(t, SPARQL_SELECT_TEXT)
 
 
+SPARQL_LANG_DT_TEXT = """
+    PREFIX schema: <http://schema.org/>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?doc ?name ?wc WHERE {
+        ?doc a schema:Article ;
+             schema:name ?name ;
+             schema:wordCount ?wc ;
+             schema:isPartOf ?src .
+        FILTER(LANGMATCHES(LANG(?name), "en"))
+        FILTER(DATATYPE(?wc) = xsd:integer)
+        FILTER(isIRI(?src) && isLiteral(?name) && !isBlank(?doc))
+    } ORDER BY ?doc
+"""
+
+
+def q_kg_sparql_lang_datatype(spark, sf_dir):
+    """SPARQL term-introspection builtins end-to-end from query text:
+    ``LANG``/``LANGMATCHES`` (BCP47 '-'-boundary prefix match),
+    ``DATATYPE`` (typed-literal IRI), and the three kind probes, all
+    compiled onto ``bgp_match(meta_vars=...)`` companion columns — the
+    exact language/datatype slicing a multilingual web-KG consumer
+    runs.  Each filter lands on its own pattern's scan (single-variable
+    conjuncts push to the pushed-filter predicate slice)."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    t = _triples_cut(spark, sf_dir)
+    return sparql_query(t, SPARQL_LANG_DT_TEXT)
+
+
 def q_kg_values_lang_label(spark, sf_dir):
     """SPARQL VALUES (inline data, §10.2): join a three-row multiset —
     ``(?lang ?label) { ('en' 'English') ('es' 'Spanish') ('de' UNDEF) }``
@@ -1522,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_oracles.py) and by pytest."""
     return {
         # -- never driver-verified: round-3 late additions + round-4 new
+        "kg_sparql_lang_datatype": q_kg_sparql_lang_datatype,
         "nquads_roundtrip": q_nquads_roundtrip,
         "kg_property_coverage": q_kg_property_coverage,
         "kg_asof_snapshot": q_kg_asof_snapshot,
@@ -1554,7 +1584,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "kg_snapshot_delta": q_kg_snapshot_delta,
         "kg_recrawl_merge": q_kg_recrawl_merge,
-        "kg_bgp_article_info": q_kg_bgp_article_info,
         "kg_bgp_same_source": q_kg_bgp_same_source,
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
         "kg_entity_table": q_kg_entity_table,
@@ -1642,6 +1671,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        # retired mid-round-4 to gate the term-introspection builtins
+        # (driver-green r03; BGP evidence stays in-window via
+        # kg_bgp_same_source / kg_bgp_optional_filter / kg_sparql_select)
+        "kg_bgp_article_info": q_kg_bgp_article_info,
     }
 
 
@@ -1957,6 +1990,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc, name, wc, lang
             FROM req LEFT JOIN opt USING (doc)
             ORDER BY doc LIMIT 100
+        """,
+        # LANGMATCHES = case-insensitive exact or '-'-boundary prefix;
+        # DATATYPE of a typed literal = its datatype IRI; the kind
+        # probes mirror obj_kind / subj_kind directly.
+        "kg_sparql_lang_datatype": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            ty AS (SELECT subj FROM exp
+                   WHERE pred = '{RDF_TYPE}'
+                     AND obj_value = '{SCHEMA_ORG}Article'
+                     AND subj_kind = 'iri'),
+            n AS (SELECT subj, obj_value AS name FROM exp
+                  WHERE pred = '{SCHEMA_ORG}name'
+                    AND obj_kind = 'literal'
+                    AND (lower(obj_lang) = 'en'
+                         OR starts_with(lower(obj_lang), 'en-'))),
+            w AS (SELECT subj, obj_value AS wc FROM exp
+                  WHERE pred = '{SCHEMA_ORG}wordCount'
+                    AND obj_kind = 'literal'
+                    AND obj_datatype = '{XSD}integer'),
+            s AS (SELECT DISTINCT subj FROM exp
+                  WHERE pred = '{SCHEMA_ORG}isPartOf'
+                    AND obj_kind = 'iri')
+            SELECT ty.subj AS doc, n.name AS name, w.wc AS wc
+            FROM ty JOIN n USING (subj) JOIN w USING (subj)
+                    JOIN s USING (subj)
+            ORDER BY doc
         """,
         "kg_bgp_same_source": f"""
             WITH exp AS ({expected_triples_sql()}),

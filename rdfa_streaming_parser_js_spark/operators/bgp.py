@@ -42,14 +42,58 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+#: companion-column suffixes attached for ``meta_vars`` bindings
+META_SUFFIXES = ("__kind", "__lang", "__dt")
+
+
+def _meta_exprs(triples: DataFrame, var: str, col: str) -> list:
+    """Companion term-metadata expressions for a variable first bound
+    from position column ``col``: ``{var}__kind`` (iri/bnode/literal),
+    ``{var}__lang`` (BCP47 tag or NULL), ``{var}__dt`` (datatype IRI or
+    NULL — NULL means the SPARQL default: xsd:string, or rdf:langString
+    when a language tag is present)."""
+    cols = set(triples.columns)
+    if col == "obj_value":
+        for need in ("obj_kind", "obj_lang", "obj_datatype"):
+            if need not in cols:
+                raise ValueError(
+                    f"term metadata requested for ?{var} bound in object "
+                    f"position, but the triple table has no {need!r} "
+                    "column — metadata builtins need the full term "
+                    "schema (subj, pred, obj_value, obj_kind, "
+                    "obj_datatype, obj_lang)")
+        return [F.col("obj_kind").alias(f"{var}__kind"),
+                F.col("obj_lang").alias(f"{var}__lang"),
+                F.col("obj_datatype").alias(f"{var}__dt")]
+    if col == "subj":
+        kind = (F.col("subj_kind") if "subj_kind" in cols
+                else F.when(F.col("subj").startswith("_:"),
+                            F.lit("bnode")).otherwise(F.lit("iri")))
+        return [kind.alias(f"{var}__kind"),
+                F.lit(None).cast("string").alias(f"{var}__lang"),
+                F.lit(None).cast("string").alias(f"{var}__dt")]
+    if col == "pred":
+        return [F.lit("iri").alias(f"{var}__kind"),
+                F.lit(None).cast("string").alias(f"{var}__lang"),
+                F.lit(None).cast("string").alias(f"{var}__dt")]
+    raise ValueError(
+        f"term metadata requested for ?{var}, but the variable binds a "
+        "property-path endpoint — the path engine computes bare node "
+        "pairs without term metadata; bind the variable in a plain "
+        "triple pattern instead")
+
+
 def _compile_group(triples: DataFrame, patterns: list[Pattern],
                    filters: list[str] | None,
-                   constant_only_ok: bool = False) -> DataFrame:
+                   constant_only_ok: bool = False,
+                   meta_vars: "frozenset[str] | set[str]" = frozenset()
+                   ) -> DataFrame:
     from rdfa_streaming_parser_js_spark.operators.paths import (
         PathExpr, inv, path_pairs)
 
     solution: DataFrame | None = None
     gates: list[DataFrame] = []  # fully-constant patterns
+    meta_done: set[str] = set()  # meta vars already given companions
     for s, p, o in patterns:
         if isinstance(p, PathExpr):
             # property-path pattern: endpoints bind against the
@@ -93,8 +137,16 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
             # the probe a pushed-filter scan that stops at first match.
             gates.append(part.limit(1).select(F.lit(1).alias("_gate")))
             continue
+        meta_cols: list = []
+        for v, c in bound.items():
+            # path endpoints ("a"/"b") carry no term metadata; a later
+            # plain-pattern binding of the same variable supplies it
+            if v in meta_vars and v not in meta_done and c not in ("a",
+                                                                   "b"):
+                meta_cols.extend(_meta_exprs(triples, v, c))
+                meta_done.add(v)
         part = part.select(
-            *[F.col(c).alias(v) for v, c in bound.items()])
+            *[F.col(c).alias(v) for v, c in bound.items()], *meta_cols)
         if solution is None:
             solution = part
         else:
@@ -119,6 +171,9 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
             "bgp_ask/an aggregate over a variable pattern instead")
     for gate in gates:
         solution = solution.crossJoin(F.broadcast(gate)).drop("_gate")
+    for v in meta_vars:
+        if v in solution.columns and v not in meta_done:
+            _meta_exprs(triples, v, "a")  # raises: bound by paths only
     for expr in filters or ():
         solution = solution.filter(F.expr(expr))
     return solution
@@ -168,8 +223,8 @@ def _join_values(solution: DataFrame,
 
 
 def _apply_exists(triples: DataFrame, solution: DataFrame,
-                  groups: "list[OptionalGroup]", negate: bool
-                  ) -> DataFrame:
+                  groups: "list[OptionalGroup]", negate: bool,
+                  meta_vars: "frozenset[str]" = frozenset()) -> DataFrame:
     """FILTER [NOT] EXISTS: each group keeps (or removes) the solutions
     some group solution is compatible with on the shared variables —
     a semi (anti) join, so multiplicities never change.  A group sharing
@@ -178,9 +233,13 @@ def _apply_exists(triples: DataFrame, solution: DataFrame,
     empties the solution iff it does (the SPARQL §8.3.3 case where
     NOT EXISTS and MINUS genuinely differ)."""
     for pats, flts in groups:
-        group = _compile_group(triples, pats, flts, constant_only_ok=True)
+        group = _compile_group(
+            triples, pats, flts, constant_only_ok=True,
+            meta_vars=frozenset(v for v in meta_vars
+                                if v not in solution.columns))
         shared = [v for v in group.columns
-                  if v != "_gate" and v in solution.columns]
+                  if v != "_gate" and v in solution.columns
+                  and not v.endswith(META_SUFFIXES)]
         if shared:
             solution = solution.join(group.select(*shared), on=shared,
                                      how="left_anti" if negate
@@ -204,7 +263,8 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
               values: "list[dict[str, str | None]] | None" = None,
               binds: "list[tuple[str, str]] | None" = None,
               exists: "list[OptionalGroup] | None" = None,
-              not_exists: "list[OptionalGroup] | None" = None
+              not_exists: "list[OptionalGroup] | None" = None,
+              meta_vars: "frozenset[str] | set[str]" = frozenset()
               ) -> DataFrame:
     """Compile a basic graph pattern into a DataFrame join plan.
 
@@ -278,10 +338,27 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     case where NOT EXISTS and MINUS differ).  Correlation through an
     unbound OPTIONAL variable (NULL) never matches — correlate on
     required variables for exact SPARQL substitution semantics.
+
+    ``meta_vars``: variable names whose bindings should carry RDF term
+    metadata as companion columns ``{var}__kind`` (iri/bnode/literal),
+    ``{var}__lang``, ``{var}__dt`` (NULL datatype = the SPARQL default
+    — xsd:string, or rdf:langString with a language tag), taken from
+    the position the variable FIRST binds in.  This is what SPARQL's
+    term-introspection builtins (``LANG``, ``DATATYPE``, ``isIRI``,
+    ``isBlank``, ``isLiteral``, ``isNumeric``) compile onto — filters
+    and binds may reference the companion columns directly.  Requires
+    the full term schema for object-position bindings; a variable bound
+    only by property-path endpoints carries no metadata and raises.
+    Companion columns ride along in the output — project with
+    ``select`` to drop them.  Variable compatibility (joins, OPTIONAL,
+    MINUS, EXISTS) stays on the lexical value alone, the engine-wide
+    identity documented above; companion columns never join.
     """
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
-    solution = _compile_group(triples, patterns, filters)
+    meta_vars = frozenset(meta_vars)
+    solution = _compile_group(triples, patterns, filters,
+                              meta_vars=meta_vars)
     if values:
         solution = _join_values(solution, values)
     for var, expr in binds or ():
@@ -291,24 +368,33 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
                 "in scope (SPARQL grammar note 12 forbids this)")
         solution = solution.withColumn(var, F.expr(expr))
     for opt_patterns, opt_filters in optionals or ():
-        group = _compile_group(triples, opt_patterns, opt_filters)
-        shared = [v for v in group.columns if v in solution.columns]
+        group = _compile_group(
+            triples, opt_patterns, opt_filters,
+            meta_vars=frozenset(v for v in meta_vars
+                                if v not in solution.columns))
+        shared = [v for v in group.columns if v in solution.columns
+                  and not v.endswith(META_SUFFIXES)]
         if not shared:
             raise ValueError(
                 "OPTIONAL group shares no variable with the required "
                 f"group: {opt_patterns}")
         solution = solution.join(group, on=shared, how="left")
     for m_patterns, m_filters in minus or ():
-        group = _compile_group(triples, m_patterns, m_filters)
-        shared = [v for v in group.columns if v in solution.columns]
+        group = _compile_group(
+            triples, m_patterns, m_filters,
+            meta_vars=frozenset(v for v in meta_vars
+                                if v not in solution.columns))
+        shared = [v for v in group.columns if v in solution.columns
+                  and not v.endswith(META_SUFFIXES)]
         if shared:  # disjoint-domain MINUS is a no-op (SPARQL §8.3.3)
             solution = solution.join(group.select(*shared),
                                      on=shared, how="left_anti")
     if exists:
-        solution = _apply_exists(triples, solution, exists, negate=False)
+        solution = _apply_exists(triples, solution, exists, negate=False,
+                                 meta_vars=meta_vars)
     if not_exists:
         solution = _apply_exists(triples, solution, not_exists,
-                                 negate=True)
+                                 negate=True, meta_vars=meta_vars)
     return solution.select(*select) if select else solution
 
 

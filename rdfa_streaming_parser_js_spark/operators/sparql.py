@@ -41,13 +41,22 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING``, ``ORDER BY [ASC|
   DESC]``, ``LIMIT`` / ``OFFSET``.
 
+- Term-introspection builtins — ``LANG``, ``DATATYPE``, ``isIRI`` /
+  ``isURI``, ``isBlank``, ``isLiteral``, ``isNumeric`` (a variable
+  argument), plus ``LANGMATCHES`` — compiled onto term-metadata
+  companion columns (``bgp_match(meta_vars=...)``); requires the full
+  term schema (``obj_kind`` / ``obj_lang`` / ``obj_datatype``) when the
+  variable binds in object position.
+
 Documented deviations (each raises or is noted, never silent):
 
-- Solution columns carry the lexical form only, so term-introspection
-  builtins (``LANG``, ``DATATYPE``, ``isIRI``, ...) and language-tagged
-  or typed literal constants in patterns raise — filter on the
-  ``obj_lang`` / ``obj_datatype`` columns with the DataFrame API
-  instead.
+- Term-introspection builtins take a plain variable (not a nested
+  expression), the variable must be bound by a plain triple pattern in
+  scope (property-path endpoints carry no metadata), and term
+  constructors (``IRI``, ``BNODE``, ``STRDT``, ``STRLANG``) plus
+  language-tagged or typed literal constants in patterns raise —
+  construct terms / filter on the ``obj_lang`` / ``obj_datatype``
+  columns with the DataFrame API instead.
 - ``GROUP_CONCAT`` concatenates in sorted value order (SPARQL leaves
   the order undefined; sorted is the only deterministic distributed
   choice) and ``SAMPLE`` returns the minimum.
@@ -71,7 +80,7 @@ from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators import paths as P
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    bgp_construct, bgp_match, bgp_union, describe)
+    META_SUFFIXES, bgp_construct, bgp_match, bgp_union, describe)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -163,6 +172,7 @@ class ParsedQuery:
     offset: int | None = None
     template: list | None = None   # CONSTRUCT triples
     describe_targets: list = field(default_factory=list)  # IRIs/?vars
+    meta_vars: frozenset = frozenset()  # vars needing term metadata
 
 
 # --------------------------------------------------------------------
@@ -191,12 +201,47 @@ _SCALAR_FNS = {
     "ceil": lambda a: f"ceil({a[0]})",
     "floor": lambda a: f"floor({a[0]})",
     "round": lambda a: f"round({a[0]})",
+    # SPARQL §17.4.3.20: '*' matches any non-empty tag, otherwise
+    # case-insensitive exact or '-'-boundary prefix match.  A NULL
+    # language (LANG of a non-literal = type error) stays NULL, so the
+    # enclosing FILTER drops the row, per SPARQL error semantics.
+    "langmatches": lambda a: (
+        f"(CASE WHEN {a[1]} = '*' THEN coalesce({a[0]}, '') <> '' "
+        f"ELSE lower({a[0]}) = lower({a[1]}) OR "
+        f"startswith(lower({a[0]}), concat(lower({a[1]}), '-')) END)"),
 }
 
-_UNSUPPORTED_FNS = frozenset({
-    "lang", "datatype", "isiri", "isuri", "isblank", "isliteral",
-    "isnumeric", "iri", "uri", "bnode", "strdt", "strlang", "langmatches",
-})
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+#: the XSD numeric type tree (SPARQL §17.4.2.4 operand types)
+_XSD_NUMERIC = tuple(
+    _XSD + t for t in (
+        "integer", "decimal", "float", "double", "nonPositiveInteger",
+        "negativeInteger", "long", "int", "short", "byte",
+        "nonNegativeInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte", "positiveInteger"))
+
+# term-introspection builtins: each takes a plain ?var and compiles
+# onto the companion metadata columns bgp_match(meta_vars=...) binds
+# ({v}__kind / {v}__lang / {v}__dt).  A type error (e.g. LANG of an
+# IRI) yields NULL, which FILTER treats as false — SPARQL §17.2.
+_TERM_FNS = {
+    "lang": lambda v: (f"(CASE WHEN {v}__kind = 'literal' "
+                       f"THEN coalesce({v}__lang, '') END)"),
+    "datatype": lambda v: (
+        f"(CASE WHEN {v}__kind = 'literal' THEN coalesce({v}__dt, "
+        f"CASE WHEN {v}__lang IS NOT NULL THEN '{_RDF_LANGSTRING}' "
+        f"ELSE '{_XSD}string' END) END)"),
+    "isiri": lambda v: f"({v}__kind = 'iri')",
+    "isuri": lambda v: f"({v}__kind = 'iri')",
+    "isblank": lambda v: f"({v}__kind = 'bnode')",
+    "isliteral": lambda v: f"({v}__kind = 'literal')",
+    "isnumeric": lambda v: (
+        f"({v}__kind = 'literal' AND coalesce({v}__dt, '') IN ("
+        + ", ".join(f"'{d}'" for d in _XSD_NUMERIC) + "))"),
+}
+
+_UNSUPPORTED_FNS = frozenset({"iri", "uri", "bnode", "strdt", "strlang"})
 
 _NUM_RE = re.compile(r"^\d+(\.\d*)?([eE][+-]?\d+)?$")
 _IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
@@ -208,6 +253,10 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
+        # variables referenced by term-introspection builtins anywhere
+        # in the query (over-approximation across groups is harmless:
+        # companion columns are only minted where the variable binds)
+        self.meta_vars: set[str] = set()
 
     # -- token helpers ------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -627,12 +676,24 @@ class _Parser:
             if word in ("true", "false"):
                 self.next()
                 return word.upper(), "other"
+            if word in _TERM_FNS:
+                self.next()
+                self.expect_op("(")
+                a = self.peek()
+                if a.kind != "VAR":
+                    self.fail(
+                        f"{t.text.upper()}() takes a plain variable in "
+                        "this engine (nested expressions carry no term "
+                        "metadata)")
+                self.next()
+                self.expect_op(")")
+                self.meta_vars.add(a.text[1:])
+                return _TERM_FNS[word](a.text[1:]), "other"
             if word in _UNSUPPORTED_FNS:
                 raise SparqlSyntaxError(
-                    f"{t.text.upper()}() needs term metadata that "
-                    "solution columns do not carry — operate on the "
-                    "obj_kind / obj_lang / obj_datatype columns via "
-                    f"the DataFrame API instead (offset {t.pos})")
+                    f"term constructor {t.text.upper()}() is not "
+                    "supported — construct terms with the DataFrame "
+                    f"API / bgp_construct instead (offset {t.pos})")
             if word in _AGG_FNS:
                 raise SparqlSyntaxError(
                     f"aggregate {t.text.upper()}() is only allowed in "
@@ -787,7 +848,21 @@ def parse_sparql(text: str) -> ParsedQuery:
         p.fail("expected SELECT, ASK or CONSTRUCT")
     if p.peek().kind != "EOF":
         p.fail("trailing input after query")
+    _stamp_meta(q, frozenset(p.meta_vars))
     return q
+
+
+def _stamp_meta(q: ParsedQuery, mv: frozenset) -> None:
+    """Record the term-metadata variable set on the query and every
+    nested sub-SELECT (the set is parser-global; a variable only gains
+    companion columns in groups that actually bind it)."""
+    q.meta_vars = mv
+    stack = [q.where]
+    while stack:
+        g = stack.pop()
+        stack.extend(g.union)
+        for sq in g.subselects:
+            _stamp_meta(sq, mv)
 
 
 def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
@@ -834,14 +909,16 @@ def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
 # execution
 # --------------------------------------------------------------------
 
-def _compile_where(triples: DataFrame, g: Group) -> DataFrame:
+def _compile_where(triples: DataFrame, g: Group,
+                   meta_vars: frozenset = frozenset()) -> DataFrame:
     if g.union:
         return bgp_union(
-            *[_compile_where(triples, b) for b in g.union])
+            *[_compile_where(triples, b, meta_vars) for b in g.union])
     subs = [_execute_select(triples, sq) for sq in g.subselects]
     if g.patterns:
         sol = bgp_match(
             triples, g.patterns,
+            meta_vars=meta_vars,
             # with sub-SELECTs present, group filters may reference the
             # subquery's variables, so they apply to the joined
             # relation below (SPARQL filters scope to the whole group;
@@ -891,13 +968,13 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
         var_names = [v[1:] for v in q.describe_targets
                      if v.startswith("?")]
         if var_names:
-            sol = _compile_where(triples, q.where)
+            sol = _compile_where(triples, q.where, q.meta_vars)
             for v in var_names:
                 s = sol.select(F.col(v).alias("node")).distinct()
                 seeds = s if seeds is None else (
                     seeds.unionByName(s).distinct())
         return describe(triples, seeds)
-    sol = _compile_where(triples, q.where)
+    sol = _compile_where(triples, q.where, q.meta_vars)
     if q.form == "ask":
         return (sol.limit(1)
                 .agg((F.count(F.lit(1)) > 0).alias("ask")))
@@ -909,7 +986,7 @@ def _execute_select(triples: DataFrame, q: ParsedQuery) -> DataFrame:
     """The SELECT pipeline (shared by top-level queries and §18.2
     sub-SELECTs): aggregate path vs plain projection, then DISTINCT /
     ORDER / LIMIT / OFFSET in SPARQL's slice order."""
-    sol = _compile_where(triples, q.where)
+    sol = _compile_where(triples, q.where, q.meta_vars)
     items = q.select
     agg_mode = bool(q.group_by) or bool(
         items and any(it.is_agg for it in items))
@@ -949,6 +1026,12 @@ def _execute_select(triples: DataFrame, q: ParsedQuery) -> DataFrame:
             sol = _order(sol, q.order_by)
         if items is not None:
             sol = sol.select(*[it.var for it in items])
+        elif q.meta_vars:
+            # SELECT *: companion metadata columns are engine plumbing,
+            # not solution variables — drop after ordering (ORDER BY
+            # expressions may reference them)
+            sol = sol.drop(*[v + sfx for v in q.meta_vars
+                             for sfx in META_SUFFIXES])
 
     if q.distinct:
         sol = sol.dropDuplicates()

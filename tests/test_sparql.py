@@ -127,10 +127,10 @@ def test_parse_aggregates():
     assert q.having == ["((CAST(n AS DOUBLE) > 1))"]
 
 
-def test_parse_rejects_term_introspection_builtins():
-    with pytest.raises(SparqlSyntaxError, match="obj_lang"):
+def test_parse_rejects_term_constructors():
+    with pytest.raises(SparqlSyntaxError, match="constructor"):
         parse_sparql(PFX + """SELECT ?x WHERE {
-            ?x schema:name ?n . FILTER(LANG(?n) = "en") }""")
+            ?x schema:name ?n . FILTER(BNODE(?n) = ?n) }""")
 
 
 def test_parse_rejects_tagged_literal_patterns():
@@ -340,3 +340,139 @@ def test_exec_describe_var_with_where(spark):
 def test_parse_describe_var_without_where_rejected():
     with pytest.raises(SparqlSyntaxError, match="WHERE"):
         parse_sparql("DESCRIBE ?x")
+
+
+# --------------------------------------------------------------------
+# term-introspection builtins (LANG/DATATYPE/isIRI/... over meta_vars)
+# --------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+MCOLS = ["subj", "pred", "obj_value", "obj_kind", "obj_datatype",
+         "obj_lang"]
+
+
+def _kgm(spark):
+    """Full-term-schema graph: language tags, typed literals, a bnode."""
+    return spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d1", f"{S}name", "alpha", "literal", None, "en"),
+        ("d1", f"{S}wordCount", "120", "literal", f"{XSD}integer", None),
+        ("d2", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d2", f"{S}name", "beta", "literal", None, "en-GB"),
+        ("d2", f"{S}author", "_:b1", "bnode", None, None),
+        ("d3", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d3", f"{S}name", "gamma", "literal", None, None),
+        ("_:b1", f"{S}name", "carol", "literal", None, "de"),
+    ], MCOLS)
+
+
+def test_exec_lang_exact_filter(spark):
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article ; schema:name ?n .
+                          FILTER(LANG(?n) = "en") }""")
+    assert [r.x for r in got.collect()] == ["d1"]
+
+
+def test_exec_langmatches_prefix(spark):
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article ; schema:name ?n .
+                          FILTER(LANGMATCHES(LANG(?n), "en")) }
+        ORDER BY ?x""")
+    assert [r.x for r in got.collect()] == ["d1", "d2"]
+
+
+def test_exec_langmatches_star_excludes_plain(spark):
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article ; schema:name ?n .
+                          FILTER(LANGMATCHES(LANG(?n), "*")) }
+        ORDER BY ?x""")
+    assert [r.x for r in got.collect()] == ["d1", "d2"]
+
+
+def test_exec_datatype_defaults_and_typed(spark):
+    got = sparql_query(_kgm(spark), PFX + f"""
+        SELECT ?x WHERE {{ ?x schema:wordCount ?w .
+            FILTER(DATATYPE(?w) = "{XSD}integer") }}""")
+    assert [r.x for r in got.collect()] == ["d1"]
+    got = sparql_query(_kgm(spark), PFX + f"""
+        SELECT ?x WHERE {{ ?x a schema:Article ; schema:name ?n .
+            FILTER(DATATYPE(?n) = "{XSD}string") }}""")
+    assert [r.x for r in got.collect()] == ["d3"]
+    got = sparql_query(_kgm(spark), PFX + f"""
+        SELECT ?x WHERE {{ ?x a schema:Article ; schema:name ?n .
+            FILTER(DATATYPE(?n) = "{RDF_LS}") }} ORDER BY ?x""")
+    assert [r.x for r in got.collect()] == ["d1", "d2"]
+
+
+def test_exec_is_kind_probes(spark):
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x schema:author ?a . FILTER(isBlank(?a)) }""")
+    assert [r.x for r in got.collect()] == ["d2"]
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?o WHERE { ?x a ?o . FILTER(isIRI(?o)) } ORDER BY ?x""")
+    assert [r.x for r in got.collect()] == ["d1", "d2", "d3"]
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x schema:wordCount ?w .
+                          FILTER(isNumeric(?w)) }""")
+    assert [r.x for r in got.collect()] == ["d1"]
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x schema:author ?a .
+                          FILTER(isLiteral(?a)) }""")
+    assert got.count() == 0
+
+
+def test_exec_bind_lang_and_select_star_no_leak(spark):
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?l WHERE { ?x a schema:Article ; schema:name ?n .
+            BIND(LANG(?n) AS ?l) } ORDER BY ?x""")
+    assert [(r.x, r.l) for r in got.collect()] == [
+        ("d1", "en"), ("d2", "en-GB"), ("d3", "")]
+    star = sparql_query(_kgm(spark), PFX + """
+        SELECT * WHERE { ?x a schema:Article ; schema:name ?n .
+            FILTER(LANGMATCHES(LANG(?n), "en")) }""")
+    assert sorted(star.columns) == ["n", "x"]
+
+
+def test_exec_lang_of_subject_var_is_error_null(spark):
+    # LANG of an IRI-kind term is a SPARQL type error -> filter false
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article .
+                          FILTER(LANG(?x) = "") }""")
+    assert got.count() == 0
+
+
+def test_parse_term_fn_requires_plain_var():
+    with pytest.raises(SparqlSyntaxError, match="plain variable"):
+        parse_sparql('SELECT ?x WHERE { ?x <p> ?o . '
+                     'FILTER(LANG(STR(?o)) = "en") }')
+
+
+def test_parse_term_constructor_rejected():
+    with pytest.raises(SparqlSyntaxError, match="constructor"):
+        parse_sparql('SELECT ?x WHERE { ?x <p> ?o . '
+                     'FILTER(STRDT(?o, "x") = "y") }')
+
+
+def test_exec_meta_on_path_endpoint_raises(spark):
+    with pytest.raises(Exception, match="path"):
+        sparql_query(_kgm(spark), PFX + """
+            SELECT ?x WHERE { ?x schema:author+ ?a .
+                              FILTER(isBlank(?a)) }""").collect()
+
+
+def test_exec_meta_needs_full_schema(spark):
+    with pytest.raises(Exception, match="obj_kind"):
+        sparql_query(_kg(spark), PFX + """
+            SELECT ?x WHERE { ?x schema:name ?n .
+                              FILTER(isLiteral(?n)) }""").collect()
+
+
+def test_exec_lang_filter_inside_optional(spark):
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?n WHERE { ?x a schema:Article .
+            OPTIONAL { ?x schema:name ?n .
+                       FILTER(LANGMATCHES(LANG(?n), "en")) } }
+        ORDER BY ?x""")
+    assert [(r.x, r.n) for r in got.collect()] == [
+        ("d1", "alpha"), ("d2", "beta"), ("d3", None)]
