@@ -228,8 +228,14 @@ def test_opt_never_materializes_closure(spark):
     assert calls == []
 
 
-def _n_persisted(spark):
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persisted_ids(spark):
+    """Ids of currently persisted RDDs.  Tests diff these sets rather
+    than comparing global counts: RDDs persisted by EARLIER tests in the
+    shared session can be unpersisted mid-test by the ContextCleaner
+    when their Python frames are garbage-collected, so absolute counts
+    are racy under a full-suite run (order-dependent flake)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return frozenset(int(k) for k in jmap.keySet().toArray())
 
 
 def test_transitive_closure_releases_intermediates(spark):
@@ -239,12 +245,12 @@ def test_transitive_closure_releases_intermediates(spark):
     result (VERDICT r03 'What's wrong #3')."""
     import rdfa_streaming_parser_js_spark.operators.paths as paths_mod
     spark.catalog.clearCache()
-    before = _n_persisted(spark)
+    before = _persisted_ids(spark)
     peak = {"n": 0}
     orig_release = paths_mod.release
 
     def spying_release(df):
-        peak["n"] = max(peak["n"], _n_persisted(spark))
+        peak["n"] = max(peak["n"], len(_persisted_ids(spark) - before))
         orig_release(df)
 
     paths_mod.release = spying_release
@@ -258,23 +264,23 @@ def test_transitive_closure_releases_intermediates(spark):
     assert n_pairs == 10 * 11 // 2
     # while looping: base + last ckpt total + ≤3 frontier deltas +
     # the in-flight new total — never proportional to round count
-    assert peak["n"] - before <= 8
+    assert peak["n"] <= 8
     # after return: only the checkpointed result frame remains
-    assert _n_persisted(spark) - before == 1
+    assert len(_persisted_ids(spark) - before) == 1
     paths_mod.release(total)
-    assert _n_persisted(spark) == before
+    assert len(_persisted_ids(spark) - before) == 0
 
 
 def test_transitive_closure_releases_on_error_path(spark):
     """The non-convergence RuntimeError must not leak base/frontier
     caches either (ADVICE r03)."""
     spark.catalog.clearCache()
-    before = _n_persisted(spark)
+    before = _persisted_ids(spark)
     edges = spark.createDataFrame(
         [(f"n{i}", f"n{i+1}") for i in range(6)], ["a", "b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         transitive_closure(edges, max_rounds=2)
-    assert _n_persisted(spark) == before
+    assert len(_persisted_ids(spark) - before) == 0
 
 
 def test_bgp_constant_subject_seeds_opt_path(spark):

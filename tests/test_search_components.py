@@ -114,21 +114,26 @@ def test_tfidf_top_terms(spark):
     assert max(per_doc.values()) <= 2
 
 
-def _n_persisted(spark):
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persisted_ids(spark):
+    """Ids of currently persisted RDDs.  Diffing id sets (not global
+    counts) keeps these tests order-independent: earlier tests' leftover
+    RDDs can be unpersisted mid-test by the ContextCleaner."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return frozenset(int(k) for k in jmap.keySet().toArray())
 
 
 def _run_with_release_spy(spark, fn):
     """Run fn() while spying on components.release; return (result,
-    peak persisted count observed at release points, baseline count)."""
+    peak count of NEWLY persisted RDDs observed at release points,
+    the set of RDD ids persisted by fn that remain afterwards)."""
     import rdfa_streaming_parser_js_spark.operators.components as cc_mod
     spark.catalog.clearCache()
-    before = _n_persisted(spark)
+    before = _persisted_ids(spark)
     peak = {"n": 0}
     orig_release = cc_mod.release
 
     def spying_release(df):
-        peak["n"] = max(peak["n"], _n_persisted(spark))
+        peak["n"] = max(peak["n"], len(_persisted_ids(spark) - before))
         orig_release(df)
 
     cc_mod.release = spying_release
@@ -136,7 +141,7 @@ def _run_with_release_spy(spark, fn):
         result = fn()
     finally:
         cc_mod.release = orig_release
-    return result, peak["n"], before
+    return result, peak["n"], _persisted_ids(spark) - before
 
 
 def test_label_prop_releases_intermediates(spark):
@@ -145,27 +150,27 @@ def test_label_prop_releases_intermediates(spark):
     generations — never proportional to round count — and leaves at
     most the result + one checkpointed ancestor behind."""
     pairs = _cc_pairs(spark, [(i, i + 1) for i in range(12)])
-    labels, peak, before = _run_with_release_spy(
+    labels, peak, left_behind = _run_with_release_spy(
         spark, lambda: connected_components(pairs))
     assert _labels(labels) == {i: 0 for i in range(13)}
     # while looping: sym + initial labels + ≤3 in-window generations +
     # the in-flight new generation (12 rounds would leak ~14 without
     # the release discipline)
-    assert peak - before <= 7
+    assert peak <= 7
     # after return: the result generation, plus at most one checkpointed
     # ancestor its lineage may still need on block eviction
-    assert _n_persisted(spark) - before <= 2
+    assert len(left_behind) <= 2
 
 
 def test_star_releases_intermediates(spark):
     """Same discipline for the alternating large/small-star loop."""
     pairs = _cc_pairs(spark, [(i, i + 1) for i in range(40)])
-    labels, peak, before = _run_with_release_spy(
+    labels, peak, left_behind = _run_with_release_spy(
         spark, lambda: connected_components_star(pairs))
     assert _labels(labels) == {i: 0 for i in range(41)}
     # raw input checkpoint + nodes + ≤3 in-window edge generations +
     # the in-flight new generation
-    assert peak - before <= 7
+    assert peak <= 7
     # after return: raw + final edge set (+ ≤1 checkpointed ancestor);
     # nodes is unpersisted on exit
-    assert _n_persisted(spark) - before <= 3
+    assert len(left_behind) <= 3
