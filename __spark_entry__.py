@@ -46,6 +46,7 @@ from rdfa_streaming_parser_js_spark.operators.extract import (
 from rdfa_streaming_parser_js_spark.operators.similarity import (
     cosine_topk, ivf_topk)
 from rdfa_streaming_parser_js_spark.sources.pages import (
+    PAGE_URL_PREFIX,
     RDF_NS as _RDF_NS,
     RDF_TYPE, SCHEMA_ORG, XSD, expected_triples_sql, pages_from_documents,
     synthetic_page_sql as _synthetic_page_sql,
@@ -1156,6 +1157,51 @@ def q_kg_sparql_lang_datatype(spark, sf_dir):
     return sparql_query(t, SPARQL_LANG_DT_TEXT)
 
 
+def _quads_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction as a QUADS table: each page's url is its named
+    graph — the same dataset shape the N-Quads sink serializes.  Reuses
+    the per-query extraction checkpoint."""
+    return _triples_cut(spark, sf_dir).withColumnRenamed("url", "graph")
+
+
+SPARQL_GRAPH_PROVENANCE_TEXT = """
+    PREFIX schema: <http://schema.org/>
+    SELECT ?src (COUNT(DISTINCT ?g) AS ?n_graphs) (COUNT(?doc) AS ?n_docs)
+    WHERE {
+        GRAPH ?g { ?doc a schema:Article ; schema:isPartOf ?src . }
+    } GROUP BY ?src
+"""
+
+
+def q_kg_graph_provenance(spark, sf_dir):
+    """Named graphs (SPARQL §13) end-to-end from query text: ``GRAPH
+    ?g`` scopes both patterns to one page's graph (the graph term is a
+    4th equi-join position in the compiled plan) and the aggregate
+    counts per-source provenance fan-out — how many distinct graphs
+    (pages) assert each source, the classic which-pages-said-this
+    provenance question a web-KG consumer asks of crawl output."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    return sparql_query(_quads_cut(spark, sf_dir),
+                        SPARQL_GRAPH_PROVENANCE_TEXT)
+
+
+def q_kg_graph_page_slice(spark, sf_dir):
+    """Constant named graph + VARIABLE PREDICATE from query text:
+    ``GRAPH <page-url> { ?s ?p ?o }`` dereferences one page's named
+    graph — the constant lands as a pushed scan filter on the graph
+    column (bucket-prunable on a graph-partitioned quad table), and the
+    unconstrained predicate/object positions bind as plain columns."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    text = f"""
+        SELECT ?p ?o WHERE {{
+            GRAPH <{PAGE_URL_PREFIX}0> {{ ?s ?p ?o }}
+        }}
+    """
+    return sparql_query(_quads_cut(spark, sf_dir), text)
+
+
 def q_kg_values_lang_label(spark, sf_dir):
     """SPARQL VALUES (inline data, §10.2): join a three-row multiset —
     ``(?lang ?label) { ('en' 'English') ('es' 'Spanish') ('de' UNDEF) }``
@@ -1551,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_oracles.py) and by pytest."""
     return {
         # -- never driver-verified: round-3 late additions + round-4 new
+        "kg_graph_provenance": q_kg_graph_provenance,
+        "kg_graph_page_slice": q_kg_graph_page_slice,
         "kg_sparql_lang_datatype": q_kg_sparql_lang_datatype,
         "nquads_roundtrip": q_nquads_roundtrip,
         "kg_property_coverage": q_kg_property_coverage,
@@ -1600,9 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- extraction kernel + KG core ------------------------------
         "rdfa_extract": q_rdfa_extract,
         "rdfa_extract_rich": q_rdfa_extract_rich,
-        "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_text_invariant": q_rdfa_text_invariant,
-        "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         # -- relational core ------------------------------------------
         # -- training-data pipeline -----------------------------------
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1617,6 +1663,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys and their surviving in-window evidence are tabled in
     SURVEY.md §2.4."""
     return {
+        "rdfa_page_stats": q_rdfa_page_stats,
+        "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "multimodal_decode_meta": q_multimodal_decode_meta,
@@ -1994,6 +2042,24 @@ def oracle_sql() -> dict[str, str]:
         # LANGMATCHES = case-insensitive exact or '-'-boundary prefix;
         # DATATYPE of a typed literal = its datatype IRI; the kind
         # probes mirror obj_kind / subj_kind directly.
+        "kg_graph_provenance": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            a AS (SELECT url, subj FROM exp
+                  WHERE pred = '{RDF_TYPE}'
+                    AND obj_value = '{SCHEMA_ORG}Article'),
+            s AS (SELECT url, subj, obj_value AS src FROM exp
+                  WHERE pred = '{SCHEMA_ORG}isPartOf')
+            SELECT s.src AS src,
+                   count(DISTINCT s.url) AS n_graphs,
+                   count(*) AS n_docs
+            FROM a JOIN s ON a.url = s.url AND a.subj = s.subj
+            GROUP BY s.src
+        """,
+        "kg_graph_page_slice": f"""
+            WITH exp AS ({expected_triples_sql()})
+            SELECT pred AS p, obj_value AS o FROM exp
+            WHERE url = '{PAGE_URL_PREFIX}0'
+        """,
         "kg_sparql_lang_datatype": f"""
             WITH exp AS ({expected_triples_sql()}),
             ty AS (SELECT subj FROM exp

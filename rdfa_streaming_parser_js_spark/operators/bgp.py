@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
+# a named-graph-scoped pattern: (subject, predicate, object, graph) —
+# the 4th term matches the quad table's ``graph`` column (SPARQL §13)
+QuadPattern = tuple[str, str, str, str]
 # an OPTIONAL group: (patterns, group-local filter expressions or None)
 OptionalGroup = tuple[list[Pattern], "list[str] | None"]
 
@@ -76,6 +79,14 @@ def _meta_exprs(triples: DataFrame, var: str, col: str) -> list:
         return [F.lit("iri").alias(f"{var}__kind"),
                 F.lit(None).cast("string").alias(f"{var}__lang"),
                 F.lit(None).cast("string").alias(f"{var}__dt")]
+    if col == "graph":
+        # graph names are IRIs (page urls); an N-Quads-sourced table
+        # may label graphs with bnodes and says so via graph_kind
+        kind = (F.col("graph_kind") if "graph_kind" in cols
+                else F.lit("iri"))
+        return [kind.alias(f"{var}__kind"),
+                F.lit(None).cast("string").alias(f"{var}__lang"),
+                F.lit(None).cast("string").alias(f"{var}__dt")]
     raise ValueError(
         f"term metadata requested for ?{var}, but the variable binds a "
         "property-path endpoint — the path engine computes bare node "
@@ -94,31 +105,55 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
     solution: DataFrame | None = None
     gates: list[DataFrame] = []  # fully-constant patterns
     meta_done: set[str] = set()  # meta vars already given companions
-    for s, p, o in patterns:
+    for pat in patterns:
+        if len(pat) == 4:  # graph-scoped quad pattern (SPARQL §13)
+            s, p, o, g = pat
+            if "graph" not in triples.columns:
+                raise ValueError(
+                    "graph-scoped pattern over a table with no 'graph' "
+                    "column — query a quads table (e.g. extraction with "
+                    "url aliased to graph, or parse_nquads_lines output)")
+        else:
+            (s, p, o), g = pat, None
         if isinstance(p, PathExpr):
             # property-path pattern: endpoints bind against the
             # (a, b) pairs the path engine computes.  A constant
             # endpoint seeds the evaluation (frontier BFS from the
             # bound term) instead of materializing the graph-wide
             # closure — object-bound paths run inverted and flip.
+            src = triples
+            if g is not None:
+                if _is_var(g):
+                    raise ValueError(
+                        "a property-path pattern inside GRAPH ?var is "
+                        "not supported — the path engine pools edges "
+                        "before closing, so per-graph closures need one "
+                        "evaluation per graph; filter to a constant "
+                        "graph or compose per-graph at the DataFrame "
+                        "level")
+                # constant graph: pre-filter the edge table — the whole
+                # path (closure included) evaluates within that graph
+                src = triples.filter(F.col("graph") == g)
             spark = triples.sparkSession
             if not _is_var(s):
                 part = path_pairs(
-                    triples, p,
+                    src, p,
                     seeds=spark.createDataFrame([(s,)], "a string"))
             elif not _is_var(o):
                 part = (path_pairs(
-                            triples, inv(p),
+                            src, inv(p),
                             seeds=spark.createDataFrame([(o,)],
                                                         "a string"))
                         .select(F.col("b").alias("a"),
                                 F.col("a").alias("b")))
             else:
-                part = path_pairs(triples, p)
+                part = path_pairs(src, p)
             terms = ((s, "a"), (o, "b"))
         else:
             part = triples
             terms = ((s, "subj"), (p, "pred"), (o, "obj_value"))
+            if g is not None:
+                terms += ((g, "graph"),)
         bound: dict[str, str] = {}  # var name -> source column
         for term, col in terms:
             if _is_var(term):
@@ -288,6 +323,17 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     (SPARQL property path): the pattern then matches the path's
     endpoint pairs, e.g. ``("?list", seq(star(link(RDF_REST)),
     link(RDF_FIRST)), "?member")``.
+
+    **Named graphs (SPARQL §13)**: a 4-tuple pattern ``(s, p, o, g)``
+    scopes the match to a graph — the 4th term binds or filters the
+    quad table's ``graph`` column exactly like any other position (a
+    constant graph is a pushed scan filter; a shared ``?g`` across
+    patterns is an equi-join, i.e. ``GRAPH ?g { ... }``).  3-tuple
+    patterns over a quads table match across ALL graphs (the pragmatic
+    union-default-graph dataset) with the table's own multiplicity —
+    pre-dedup on the term columns for RDF-merge set semantics.  A
+    property-path pattern accepts a CONSTANT graph term (the closure
+    evaluates within that graph); a variable one raises.
 
     ``filters``: SPARQL FILTER — SQL boolean expressions over the
     variable columns (e.g. ``"CAST(wc AS BIGINT) > 50"``), applied to

@@ -28,7 +28,9 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   ``ASK``, ``CONSTRUCT { template } WHERE``, and ``DESCRIBE`` (IRIs
   and/or variables bound by an optional WHERE clause; Concise Bounded
   Description via :func:`operators.bgp.describe`).
-- Triples blocks with ``;`` predicate and ``,`` object lists.
+- Triples blocks with ``;`` predicate and ``,`` object lists; the
+  predicate position takes an IRI, a ``?variable``, or a property
+  path.
 - Property paths in the predicate position: ``^`` inverse, ``/``
   sequence, ``|`` alternative, ``+`` ``*`` ``?`` closures,
   ``!(p1|^p2|...)`` negated property sets, parentheses.
@@ -37,6 +39,15 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   {...}`` as the entire group body, and mid-group ``{ SELECT ... }``
   sub-queries (§18.2) joined into the group on their shared
   variables.
+- ``GRAPH ?g {...}`` / ``GRAPH <iri> {...}`` (§13) over a QUADS table
+  (a ``graph`` column, e.g. extraction output with ``url`` aliased to
+  ``graph``): the graph term becomes a 4th match position on each
+  contained pattern — a constant graph is a pushed scan filter, a
+  shared ``?g`` an equi-join.  Patterns outside GRAPH match across all
+  graphs (union default graph) with the table's own multiplicity.
+  GRAPH blocks hold triple patterns and plain FILTERs; property paths
+  under a VARIABLE graph raise (per-graph closures need one evaluation
+  per graph).
 - Solution modifiers: ``GROUP BY`` + aggregates (COUNT / SUM / MIN /
   MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING``, ``ORDER BY [ASC|
   DESC]``, ``LIMIT`` / ``OFFSET``.
@@ -362,8 +373,12 @@ class _Parser:
 
     # -- property paths -----------------------------------------------
     def parse_path(self):
-        """Path → a plain predicate IRI string (single forward link) or
-        a paths.PathExpr (anything richer)."""
+        """Path → a plain predicate IRI string (single forward link), a
+        ``?var`` (variable predicate — the SPARQL path grammar has no
+        variables, so no modifier may follow), or a paths.PathExpr
+        (anything richer)."""
+        if self.peek().kind == "VAR":
+            return self.next().text
         expr = self._path_alt()
         if isinstance(expr, P.Link):
             return expr.pred
@@ -489,6 +504,30 @@ class _Parser:
                     self.fail("nested MINUS is not supported")
                 sub = self.parse_group(top=False)
                 g.minus.append((sub.patterns, sub.filters or None))
+            elif self.take_kw("graph"):
+                t = self.peek()
+                if t.kind == "VAR":
+                    gterm = self.next().text
+                elif t.kind in ("IRIREF", "PNAME", "COLON"):
+                    gterm = self.expand_iri(self.next())
+                else:
+                    self.fail("expected a variable or IRI after GRAPH")
+                sub = self.parse_group(top=False)
+                if (sub.optionals or sub.minus or sub.values or sub.binds
+                        or sub.exists or sub.not_exists or sub.union
+                        or sub.subselects):
+                    self.fail(
+                        "GRAPH blocks support triple patterns and plain "
+                        "FILTER only — compose richer graph-scoped "
+                        "groups at the DataFrame level")
+                if not sub.patterns:
+                    self.fail("GRAPH block contains no triple pattern")
+                # stamp the graph term onto each contained pattern; the
+                # compiler treats it as a 4th match position (a FILTER
+                # inside GRAPH scopes to the enclosing group, per
+                # SPARQL's group-level filter semantics)
+                g.patterns.extend(pat + (gterm,) for pat in sub.patterns)
+                g.filters.extend(sub.filters)
             elif self.take_kw("bind"):
                 self.expect_op("(")
                 sql = self.parse_expr()

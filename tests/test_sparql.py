@@ -476,3 +476,160 @@ def test_exec_lang_filter_inside_optional(spark):
         ORDER BY ?x""")
     assert [(r.x, r.n) for r in got.collect()] == [
         ("d1", "alpha"), ("d2", "beta"), ("d3", None)]
+
+
+# --------------------------------------------------------------------
+# named graphs (SPARQL §13) over a quads table
+# --------------------------------------------------------------------
+
+QCOLS = ["graph", "subj", "pred", "obj_value"]
+
+
+def _quads(spark):
+    return spark.createDataFrame([
+        ("g1", "d1", RDF_TYPE, f"{S}Article"),
+        ("g1", "d1", f"{S}name", "alpha"),
+        ("g1", "d1", f"{S}isPartOf", "srcA"),
+        ("g2", "d2", RDF_TYPE, f"{S}Article"),
+        ("g2", "d2", f"{S}name", "beta"),
+        ("g2", "d2", f"{S}isPartOf", "srcA"),
+        ("g2", "d9", f"{S}isPartOf", "srcB"),
+        ("g3", "d3", RDF_TYPE, f"{S}Person"),
+        ("g3", "d3", f"{S}name", "carol"),
+        # a within-g3-only chain for graph-scoped path tests
+        ("g3", "a1", f"{S}partOf", "a2"),
+        ("g3", "a2", f"{S}partOf", "a3"),
+        ("g1", "a3", f"{S}partOf", "a4"),
+    ], QCOLS)
+
+
+def test_parse_graph_var_stamps_patterns():
+    q = parse_sparql(PFX + """SELECT * WHERE {
+        GRAPH ?g { ?x a schema:Article ; schema:name ?n . } }""")
+    assert q.where.patterns == [
+        ("?x", RDF_TYPE, f"{S}Article", "?g"),
+        ("?x", f"{S}name", "?n", "?g"),
+    ]
+
+
+def test_parse_graph_constant_iri():
+    q = parse_sparql(PFX + """SELECT * WHERE {
+        GRAPH <http://g.example/one> { ?s ?p ?o } }""")
+    assert q.where.patterns == [
+        ("?s", "?p", "?o", "http://g.example/one")]
+
+
+def test_parse_graph_rejects_rich_body():
+    with pytest.raises(SparqlSyntaxError, match="GRAPH blocks"):
+        parse_sparql(PFX + """SELECT * WHERE {
+            GRAPH ?g { ?x a schema:Article .
+                       BIND(UCASE(?x) AS ?ux) } }""")
+
+
+def test_exec_graph_var_binds_and_joins_within_graph(spark):
+    # ?g scopes BOTH patterns to the same graph: d9's isPartOf in g2
+    # has no Article typing in g2 for d9, so only d1/d2 qualify
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?x ?src WHERE {
+            GRAPH ?g { ?x a schema:Article ; schema:isPartOf ?src . } }
+        ORDER BY ?g""")
+    assert [(r.g, r.x, r.src) for r in got.collect()] == [
+        ("g1", "d1", "srcA"), ("g2", "d2", "srcA")]
+
+
+def test_exec_graph_constant_slice(spark):
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?p ?o WHERE { GRAPH <g1> { <d1> ?p ?o } } ORDER BY ?p""")
+    assert [(r.p, r.o) for r in got.collect()] == [
+        (f"{S}isPartOf", "srcA"),
+        (f"{S}name", "alpha"),
+        (RDF_TYPE, f"{S}Article")]
+
+
+def test_exec_default_graph_pattern_spans_graphs(spark):
+    # outside GRAPH: union default graph — matches in g1 AND g2
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?x WHERE { ?x schema:isPartOf <srcA> } ORDER BY ?x""")
+    assert [r.x for r in got.collect()] == ["d1", "d2"]
+
+
+def test_exec_graph_provenance_aggregate(spark):
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?src (COUNT(DISTINCT ?g) AS ?n_graphs) WHERE {
+            GRAPH ?g { ?x schema:isPartOf ?src } }
+        GROUP BY ?src ORDER BY ?src""")
+    assert [(r.src, r.n_graphs) for r in got.collect()] == [
+        ("srcA", 2), ("srcB", 1)]
+
+
+def test_exec_mixed_default_and_named_pattern(spark):
+    # join a default-graph binding against a graph-scoped one
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?x ?n WHERE {
+            ?x schema:name ?n .
+            GRAPH ?g { ?x a schema:Article . }
+        } ORDER BY ?x""")
+    assert [(r.g, r.x, r.n) for r in got.collect()] == [
+        ("g1", "d1", "alpha"), ("g2", "d2", "beta")]
+
+
+def test_exec_graph_inside_optional(spark):
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?x ?g WHERE {
+            ?x a schema:Article .
+            OPTIONAL { GRAPH ?g { ?x schema:name "alpha" } }
+        } ORDER BY ?x""")
+    assert [(r.x, r.g) for r in got.collect()] == [
+        ("d1", "g1"), ("d2", None)]
+
+
+def test_exec_graph_scoped_constant_path(spark):
+    # closure confined to g3: a1 reaches a2/a3 but NOT a4 (g1 edge)
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?y WHERE { GRAPH <g3> { <a1> schema:partOf+ ?y } }
+        ORDER BY ?y""")
+    assert [r.y for r in got.collect()] == ["a2", "a3"]
+    # unscoped: the union default graph DOES chain into a4
+    got2 = sparql_query(_quads(spark), PFX + """
+        SELECT ?y WHERE { <a1> schema:partOf+ ?y } ORDER BY ?y""")
+    assert [r.y for r in got2.collect()] == ["a2", "a3", "a4"]
+
+
+def test_exec_graph_var_path_raises(spark):
+    with pytest.raises(ValueError, match="GRAPH .var"):
+        sparql_query(_quads(spark), PFX + """
+            SELECT ?g ?y WHERE {
+                GRAPH ?g { <a1> schema:partOf+ ?y } }""").collect()
+
+
+def test_exec_graph_over_triples_table_raises(spark):
+    with pytest.raises(ValueError, match="no 'graph' column"):
+        sparql_query(_kg(spark), PFX + """
+            SELECT ?g ?x WHERE { GRAPH ?g { ?x a schema:Article } }
+            """).collect()
+
+
+def test_exec_graph_term_metadata_is_iri(spark):
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g WHERE { GRAPH ?g { ?x a schema:Person }
+                          FILTER(isIRI(?g)) }""")
+    assert [r.g for r in got.collect()] == ["g3"]
+
+
+def test_exec_variable_predicate(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?p ?o WHERE { <d3> ?p ?o } ORDER BY ?p""")
+    assert [(r.p, r.o) for r in got.collect()] == [
+        (f"{S}name", "carol"), (RDF_TYPE, f"{S}Person")]
+
+
+def test_parse_variable_predicate_rejects_modifier():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT * WHERE { ?s ?p+ ?o }")
+
+
+def test_exec_filter_inside_graph_scopes_to_group(spark):
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?x WHERE {
+            GRAPH ?g { ?x a schema:Article . FILTER(?x != "d1") } }""")
+    assert [(r.g, r.x) for r in got.collect()] == [("g2", "d2")]
