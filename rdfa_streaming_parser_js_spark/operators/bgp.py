@@ -403,7 +403,13 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
     meta_vars = frozenset(meta_vars)
-    solution = _compile_group(triples, patterns, filters,
+    # group FILTERs apply to the WHOLE group solution (SPARQL §8.3) —
+    # after VALUES/BIND/OPTIONAL/MINUS below — so expressions may
+    # reference optionally-bound variables (the OPTIONAL + !BOUND
+    # negation idiom) and VALUES/BIND columns.  Catalyst still pushes
+    # each conjunct down the join tree as far as its null semantics
+    # allow, so a required-var filter lands on its pattern's scan.
+    solution = _compile_group(triples, patterns, None,
                               meta_vars=meta_vars)
     if values:
         solution = _join_values(solution, values)
@@ -435,6 +441,8 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
         if shared:  # disjoint-domain MINUS is a no-op (SPARQL §8.3.3)
             solution = solution.join(group.select(*shared),
                                      on=shared, how="left_anti")
+    for expr in filters or ():
+        solution = solution.filter(F.expr(expr))
     if exists:
         solution = _apply_exists(triples, solution, exists, negate=False,
                                  meta_vars=meta_vars)
@@ -445,7 +453,9 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
 
 
 def bgp_construct(solutions: DataFrame, template: list[Pattern],
-                  literal_vars: frozenset[str] | set[str] = frozenset()
+                  literal_vars: frozenset[str] | set[str] = frozenset(),
+                  use_meta: bool = False,
+                  literal_consts: "dict[str, tuple] | None" = None
                   ) -> DataFrame:
     """SPARQL CONSTRUCT: instantiate a triple template once per
     solution row, producing a new triples-shaped DataFrame.
@@ -466,18 +476,50 @@ def bgp_construct(solutions: DataFrame, template: list[Pattern],
     explicitly).  One projection + union per template pattern — no
     shuffle; dedup to graph-set semantics downstream like every other
     producer.
+
+    ``use_meta``: when the solutions carry term-metadata companion
+    columns (``bgp_match(meta_vars=...)``), a template variable with a
+    ``{var}__kind`` column emits the SOURCE term's kind — and in object
+    position its datatype and language too — instead of the shape
+    heuristic.  This is what makes INSERT-style graph rewrites
+    faithful: a copied literal stays the same literal.
+
+    ``literal_consts``: CONSTANT template terms the caller knows are
+    literals, mapped lexical form → ``(datatype, lang)`` — the SPARQL
+    text front-end collects these while parsing a template, since the
+    engine's string patterns can't distinguish the literal ``"0"``
+    from a relative IRI ``0``.  Matching constants emit
+    ``obj_kind='literal'`` with the given datatype/language.
     """
     if not template:
         raise ValueError("bgp_construct requires at least one pattern")
+    cols = set(solutions.columns)
+    literal_consts = literal_consts or {}
 
     def term(t):
         return F.col(t[1:]) if _is_var(t) else F.lit(t)
 
+    def has_meta(t):
+        return use_meta and _is_var(t) and f"{t[1:]}__kind" in cols
+
+    def is_lit_const(t):
+        return not _is_var(t) and t in literal_consts
+
     def kind(t, value):
-        if _is_var(t) and t[1:] in literal_vars:
+        if has_meta(t):
+            return F.col(f"{t[1:]}__kind")
+        if is_lit_const(t) or (_is_var(t) and t[1:] in literal_vars):
             return F.lit("literal")
         return (F.when(value.startswith("_:"), F.lit("bnode"))
                 .otherwise("iri"))
+
+    def obj_meta(t, suffix):
+        if has_meta(t):
+            return F.col(f"{t[1:]}{suffix}")
+        if is_lit_const(t):
+            dt, lang = literal_consts[t]
+            return F.lit(dt if suffix == "__dt" else lang).cast("string")
+        return F.lit(None).cast("string")
 
     out: DataFrame | None = None
     for s, p, o in template:
@@ -489,8 +531,8 @@ def bgp_construct(solutions: DataFrame, template: list[Pattern],
                         pv.alias("pred"),
                         ov.alias("obj_value"),
                         kind(o, ov).alias("obj_kind"),
-                        F.lit(None).cast("string").alias("obj_datatype"),
-                        F.lit(None).cast("string").alias("obj_lang")))
+                        obj_meta(o, "__dt").alias("obj_datatype"),
+                        obj_meta(o, "__lang").alias("obj_lang")))
         out = part if out is None else out.unionByName(part)
     return out
 

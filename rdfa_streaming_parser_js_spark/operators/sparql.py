@@ -52,6 +52,12 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING``, ``ORDER BY [ASC|
   DESC]``, ``LIMIT`` / ``OFFSET``.
 
+- SPARQL 1.1 Update, one operation per call (:func:`sparql_update` —
+  returns the NEW graph, nothing mutates): ``INSERT DATA`` / ``DELETE
+  DATA`` (ground triples; the one place typed/tagged literal constants
+  are accepted), ``DELETE WHERE``, and ``DELETE {} INSERT {} WHERE {}``
+  — compiled onto :mod:`operators.update` (lexical-identity deletes,
+  metadata-preserving inserts, set-semantics result).
 - Term-introspection builtins — ``LANG``, ``DATATYPE``, ``isIRI`` /
   ``isURI``, ``isBlank``, ``isLiteral``, ``isNumeric`` (a variable
   argument), plus ``LANGMATCHES`` — compiled onto term-metadata
@@ -184,6 +190,7 @@ class ParsedQuery:
     template: list | None = None   # CONSTRUCT triples
     describe_targets: list = field(default_factory=list)  # IRIs/?vars
     meta_vars: frozenset = frozenset()  # vars needing term metadata
+    template_literals: dict = field(default_factory=dict)  # lex→(dt,lang)
 
 
 # --------------------------------------------------------------------
@@ -268,6 +275,13 @@ class _Parser:
         # in the query (over-approximation across groups is harmless:
         # companion columns are only minted where the variable binds)
         self.meta_vars: set[str] = set()
+        # literal constants seen in CONSTRUCT / update templates while
+        # ``in_template`` is set: lexical form → (datatype, lang).  The
+        # engine's patterns carry bare strings, so without this a
+        # template constant like "0" would fall to bgp_construct's
+        # shape heuristic and be emitted as an IRI.
+        self.in_template = False
+        self.template_literals: dict[str, tuple] = {}
 
     # -- token helpers ------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -357,9 +371,16 @@ class _Parser:
         if t.kind == "BNODE":
             return t.text
         if t.kind == "NUMBER":
+            if self.in_template:
+                dt = (f"{_XSD}double" if "e" in t.text.lower()
+                      else f"{_XSD}decimal" if "." in t.text
+                      else f"{_XSD}integer")
+                self.template_literals[t.text] = (dt, None)
             return t.text
         if t.kind == "STRING":
             lex = _unquote(t.text)
+            if self.in_template:
+                self.template_literals[lex] = (None, None)
             nxt = self.peek()
             if nxt.kind == "LANGTAG" or nxt.kind == "DHAT":
                 raise SparqlSyntaxError(
@@ -834,6 +855,168 @@ def _sql_str(s: str) -> str:
 
 
 # --------------------------------------------------------------------
+# SPARQL 1.1 Update (single operation; compiled onto operators/update)
+# --------------------------------------------------------------------
+
+@dataclass
+class ParsedUpdate:
+    form: str                      # insert_data | delete_data | modify
+    data: list = field(default_factory=list)   # ground triples
+    delete: list | None = None     # template patterns
+    insert: list | None = None
+    where: Group | None = None
+    template_literals: dict = field(default_factory=dict)  # lex→(dt,lang)
+
+
+def _parse_data_term(p: _Parser, position: str):
+    """A ground term in an INSERT/DELETE DATA block.  Objects return an
+    explicit ``(value, kind, datatype, lang)`` tuple — the one place
+    the front-end supports typed/tagged literal constants, since no
+    solution column is involved."""
+    t = p.next()
+    if t.kind in ("IRIREF", "PNAME", "COLON"):
+        return (p.expand_iri(t), "iri", None, None)
+    if t.kind == "BNODE":
+        if position == "pred":
+            p.fail("a predicate must be an IRI")
+        return (t.text, "bnode", None, None)
+    if position != "obj":
+        if t.kind == "NAME" and t.text == "a" and position == "pred":
+            return (RDF_TYPE, "iri", None, None)
+        p.fail(f"ground {position} must be an IRI"
+               + ("" if position == "pred" else " or blank node"))
+    if t.kind == "NUMBER":
+        dt = (f"{_XSD}double" if "e" in t.text.lower()
+              else f"{_XSD}decimal" if "." in t.text
+              else f"{_XSD}integer")
+        return (t.text, "literal", dt, None)
+    if t.kind == "STRING":
+        lex = _unquote(t.text)
+        nxt = p.peek()
+        if nxt.kind == "LANGTAG":
+            p.next()
+            return (lex, "literal", None, nxt.text[1:].lower())
+        if nxt.kind == "DHAT":
+            p.next()
+            dt_tok = p.next()
+            if dt_tok.kind not in ("IRIREF", "PNAME", "COLON"):
+                p.fail("expected a datatype IRI after ^^")
+            return (lex, "literal", p.expand_iri(dt_tok), None)
+        return (lex, "literal", None, None)
+    p.fail("expected a ground RDF term")
+
+
+def _parse_data_block(p: _Parser) -> list:
+    """``{ ground triples }`` → ``[(s, p, (ov, okind, odt, olang))]``
+    rows for operators.update.insert_data/delete_data."""
+    p.expect_op("{")
+    out = []
+    while not p.at_op("}"):
+        s = _parse_data_term(p, "subj")[0]
+        while True:
+            pr = _parse_data_term(p, "pred")[0]
+            out.append((s, pr, _parse_data_term(p, "obj")))
+            while p.take_op(","):
+                out.append((s, pr, _parse_data_term(p, "obj")))
+            if not p.take_op(";"):
+                break
+            if p.at_op(".", "}"):
+                break
+        p.take_op(".")
+    p.expect_op("}")
+    if not out:
+        p.fail("empty DATA block")
+    return out
+
+
+def _parse_template(p: _Parser) -> list:
+    """``{ triples }`` template for DELETE/INSERT: plain patterns only
+    (variables allowed anywhere incl. the predicate; property paths and
+    GRAPH raise, as in CONSTRUCT templates)."""
+    tmpl = Group()
+    p.expect_op("{")
+    p.in_template = True
+    try:
+        while not p.at_op("}"):
+            p._parse_triples_block(tmpl)
+            p.take_op(".")
+    finally:
+        p.in_template = False
+    p.expect_op("}")
+    for _, pr, _o in tmpl.patterns:
+        if not isinstance(pr, str):
+            raise SparqlSyntaxError(
+                "property paths are not allowed in an update template")
+    if not tmpl.patterns:
+        p.fail("empty update template")
+    return tmpl.patterns
+
+
+def parse_update(text: str) -> ParsedUpdate:
+    """Parse one SPARQL 1.1 Update operation: ``INSERT DATA``,
+    ``DELETE DATA``, ``DELETE WHERE``, or ``DELETE {} INSERT {} WHERE
+    {}`` (either template optional).  One operation per call — chain
+    calls for ``;``-sequences."""
+    p = _Parser(text)
+    p.parse_prologue()
+    if p.take_kw("insert"):
+        if p.take_kw("data"):
+            u = ParsedUpdate("insert_data", data=_parse_data_block(p))
+        else:
+            tmpl = _parse_template(p)
+            p.expect_kw("where")
+            u = ParsedUpdate("modify", insert=tmpl,
+                             where=p.parse_group())
+    elif p.take_kw("delete"):
+        if p.take_kw("data"):
+            u = ParsedUpdate("delete_data", data=_parse_data_block(p))
+        elif p.take_kw("where"):
+            tmpl = _parse_template(p)
+            w = Group()
+            w.patterns = list(tmpl)
+            u = ParsedUpdate("modify", delete=tmpl, where=w)
+        else:
+            tmpl = _parse_template(p)
+            ins = _parse_template(p) if p.take_kw("insert") else None
+            p.expect_kw("where")
+            u = ParsedUpdate("modify", delete=tmpl, insert=ins,
+                             where=p.parse_group())
+    else:
+        p.fail("expected INSERT or DELETE")
+    if p.peek().kind != "EOF":
+        p.fail("trailing input after update (one operation per call)")
+    u.template_literals = dict(p.template_literals)
+    return u
+
+
+def sparql_update(graph: DataFrame, text: str) -> DataFrame:
+    """Parse and apply one SPARQL Update operation against the graph
+    (full term schema required for template forms); returns the NEW
+    graph DataFrame — nothing mutates in place (see operators/update
+    for semantics: lexical-identity DELETE, metadata-preserving
+    INSERT, set-semantics result)."""
+    from rdfa_streaming_parser_js_spark.operators import update as U
+
+    u = parse_update(text)
+    if u.form == "insert_data":
+        return U.insert_data(graph, u.data)
+    if u.form == "delete_data":
+        return U.delete_data(graph, u.data)
+    g = u.where
+    if g.union or g.subselects:
+        raise SparqlSyntaxError(
+            "UNION / sub-SELECT in an update WHERE is not supported — "
+            "compose at the DataFrame level with apply_update")
+    return U.apply_update(
+        graph, delete=u.delete, insert=u.insert,
+        literal_consts=u.template_literals or None,
+        where=g.patterns, filters=g.filters or None,
+        optionals=g.optionals or None, minus=g.minus or None,
+        values=g.values or None, binds=g.binds or None,
+        exists=g.exists or None, not_exists=g.not_exists or None)
+
+
+# --------------------------------------------------------------------
 # top-level parse
 # --------------------------------------------------------------------
 
@@ -870,9 +1053,13 @@ def parse_sparql(text: str) -> ParsedQuery:
         q = ParsedQuery(form="construct", where=Group())
         tmpl = Group()
         p.expect_op("{")
-        while not p.at_op("}"):
-            p._parse_triples_block(tmpl)
-            p.take_op(".")
+        p.in_template = True
+        try:
+            while not p.at_op("}"):
+                p._parse_triples_block(tmpl)
+                p.take_op(".")
+        finally:
+            p.in_template = False
         p.expect_op("}")
         for s, pr, o in tmpl.patterns:
             if not isinstance(pr, str):
@@ -888,6 +1075,7 @@ def parse_sparql(text: str) -> ParsedQuery:
     if p.peek().kind != "EOF":
         p.fail("trailing input after query")
     _stamp_meta(q, frozenset(p.meta_vars))
+    q.template_literals = dict(p.template_literals)
     return q
 
 
@@ -1017,7 +1205,8 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
     if q.form == "ask":
         return (sol.limit(1)
                 .agg((F.count(F.lit(1)) > 0).alias("ask")))
-    out = bgp_construct(sol, q.template)
+    out = bgp_construct(sol, q.template,
+                        literal_consts=q.template_literals or None)
     return _slice(out, q)
 
 

@@ -1,0 +1,156 @@
+"""SPARQL-Update-style graph maintenance: DELETE/INSERT ... WHERE as a
+pure DataFrame transformation.
+
+The reference parser only PRODUCES quads (/root/reference/lib/
+RdfaParser.ts:803-811); maintaining the downstream store — predicate
+migrations, retractions, enrichment — is left to its consumer.  This
+module closes that loop Spark-first: an update is compiled onto the
+existing BGP algebra (``bgp_match`` for WHERE, ``bgp_construct`` for
+the templates) and returns the NEW graph as a DataFrame — the caller
+replaces the graph table with it (or hands it to the recrawl-merge /
+snapshot-delta operators).  Nothing mutates in place: Spark DataFrames
+are immutable, so an update is a plan, not a side effect — which is
+exactly what makes it retry-safe and auditable at scale (the
+"transaction" is the atomic table swap in the catalog layer).
+
+Semantics (graph-SET, the engine-wide convention):
+
+- The input graph is treated as a set of triples; the result is
+  returned de-duplicated on the seven term columns.
+- DELETE matches on the engine-wide LEXICAL term identity
+  ``(subj, pred, obj_value)`` — the same identity every join in
+  ``bgp_match`` uses — via one anti-join (Catalyst broadcasts the
+  matched-delete side when it is small, the common case).
+- INSERT instantiates its template once per WHERE solution with
+  ``bgp_construct(use_meta=True)``: template variables carry the
+  SOURCE term's kind/datatype/language (companion metadata columns),
+  so a copied literal stays the same literal.
+
+Scale: one scan of the graph for the WHERE solutions (each pattern a
+pushed-filter slice), one anti-join for DELETE, a union for INSERT,
+one distinct — no iteration, no driver-side state.  The anti-join and
+the final distinct are the only shuffles, both on the triple key the
+bucketed graph catalog (sources/catalog.py) is already laid out by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfa_streaming_parser_js_spark.operators.bgp import (
+    Pattern, bgp_construct, bgp_match)
+
+TERM_COLS = ("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+             "obj_datatype", "obj_lang")
+
+_LEX_KEY = ("subj", "pred", "obj_value")
+
+
+def _template_vars(template: "list[Pattern] | None") -> set[str]:
+    return {t[1:] for pat in template or () for t in pat
+            if isinstance(t, str) and t.startswith("?")}
+
+
+def apply_update(graph: DataFrame,
+                 delete: "list[Pattern] | None" = None,
+                 insert: "list[Pattern] | None" = None,
+                 where: "list[Pattern] | None" = None,
+                 filters: "list[str] | None" = None,
+                 literal_consts: "dict[str, tuple] | None" = None,
+                 **bgp_kwargs) -> DataFrame:
+    """``DELETE { delete } INSERT { insert } WHERE { where }`` → the
+    updated graph (SPARQL 1.1 Update §3.1.3 ``DELETE/INSERT``).
+
+    ``delete`` / ``insert`` are triple templates (either may be
+    omitted); ``where`` defaults to the ``delete`` template — the
+    ``DELETE WHERE`` shorthand (§3.1.3.2).  ``filters`` and any extra
+    ``bgp_kwargs`` (``optionals``, ``values``, ``binds``, ...) pass
+    through to :func:`bgp_match` for the WHERE evaluation.
+    ``literal_consts`` marks constant template terms that are literals
+    (lexical → ``(datatype, lang)``; see :func:`bgp_construct`).
+
+    The graph must carry the full seven term columns.  Deletion is by
+    lexical triple identity; insertion preserves source-term metadata
+    for template variables (see module docstring).  Ground (constant)
+    template triples delete/insert unconditionally — but at least one
+    of the groups must produce solutions, so a fully-ground update
+    with no WHERE should use :func:`insert_data` / :func:`delete_data`.
+    """
+    if delete is None and insert is None:
+        raise ValueError("apply_update needs a delete and/or insert "
+                         "template")
+    missing = [c for c in TERM_COLS if c not in graph.columns]
+    if missing:
+        raise ValueError(
+            f"graph is missing term columns {missing} — updates need "
+            "the full term schema to rebuild the graph")
+    if where is None:
+        if delete is None:
+            raise ValueError(
+                "INSERT without WHERE has no solutions to instantiate "
+                "the template with — use insert_data for ground triples")
+        where = delete  # DELETE WHERE shorthand
+    # metadata for inserted vars so copied terms stay themselves; the
+    # delete side needs none (lexical identity).  Only vars bound by a
+    # plain pattern qualify (path endpoints carry no metadata).
+    plain_bound = _template_vars(
+        [pat for pat in where if isinstance(pat[1], str)])
+    meta = _template_vars(insert) & plain_bound
+    solutions = bgp_match(graph, where, filters=filters,
+                          meta_vars=meta, **bgp_kwargs)
+    # the result is the 7-column term table (extra input columns like a
+    # provenance url would survive dropDuplicates nondeterministically)
+    out = graph.select(*TERM_COLS)
+    if delete:
+        doomed = (bgp_construct(solutions, delete)
+                  .select(*_LEX_KEY).dropDuplicates())
+        out = out.join(doomed, on=list(_LEX_KEY), how="left_anti")
+    if insert:
+        added = bgp_construct(solutions, insert, use_meta=True,
+                              literal_consts=literal_consts)
+        out = out.unionByName(added.select(*TERM_COLS))
+    return out.dropDuplicates(list(TERM_COLS))
+
+
+def _ground_rows(spark, triples):
+    """Ground triples → a term-schema DataFrame.  The object is either
+    a bare string (kind by shape: ``_:`` prefix = bnode, a ``:``
+    anywhere = IRI, else plain literal) or an explicit term tuple
+    ``(value, kind[, datatype[, lang]])``.  Subjects: ``_:`` = bnode,
+    else IRI."""
+    rows = []
+    for s, p, o in triples:
+        if isinstance(o, tuple):
+            ov, okind, odt, olang = (tuple(o) + (None, None))[:4]
+        else:
+            ov, odt, olang = o, None, None
+            okind = ("bnode" if o.startswith("_:")
+                     else "iri" if ":" in o else "literal")
+        rows.append((s, "bnode" if s.startswith("_:") else "iri",
+                     p, ov, okind, odt, olang))
+    return spark.createDataFrame(
+        rows, "subj string, subj_kind string, pred string, "
+              "obj_value string, obj_kind string, obj_datatype string, "
+              "obj_lang string")
+
+
+def insert_data(graph: DataFrame, triples) -> DataFrame:
+    """``INSERT DATA`` (§3.1.1): add ground triples to the graph.  See
+    :func:`_ground_rows` for the accepted object forms."""
+    if not triples:
+        raise ValueError("insert_data needs at least one triple")
+    added = _ground_rows(graph.sparkSession, triples)
+    return (graph.select(*TERM_COLS).unionByName(added)
+            .dropDuplicates(list(TERM_COLS)))
+
+
+def delete_data(graph: DataFrame, triples) -> DataFrame:
+    """``DELETE DATA`` (§3.1.2): remove ground triples by lexical
+    identity.  The tiny constant side broadcasts."""
+    if not triples:
+        raise ValueError("delete_data needs at least one triple")
+    doomed = (_ground_rows(graph.sparkSession, triples)
+              .select(*_LEX_KEY))
+    return graph.join(F.broadcast(doomed), on=list(_LEX_KEY),
+                      how="left_anti")

@@ -1,0 +1,182 @@
+"""SPARQL-Update-style graph maintenance (operators/update.py +
+sparql.sparql_update): DELETE/INSERT semantics over a small term-schema
+graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfa_streaming_parser_js_spark.operators.sparql import (
+    SparqlSyntaxError, parse_update, sparql_update)
+from rdfa_streaming_parser_js_spark.operators.update import (
+    TERM_COLS, apply_update, delete_data, insert_data)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+S = "http://schema.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+PFX = "PREFIX schema: <http://schema.org/>\n"
+
+SCHEMA = ("subj string, subj_kind string, pred string, obj_value string,"
+          " obj_kind string, obj_datatype string, obj_lang string")
+
+
+def _g(spark):
+    return spark.createDataFrame([
+        ("d1", "iri", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d1", "iri", f"{S}name", "alpha", "literal", None, "en"),
+        ("d1", "iri", f"{S}wordCount", "120", "literal",
+         f"{XSD}integer", None),
+        ("d2", "iri", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d2", "iri", f"{S}name", "beta", "literal", None, "de"),
+        ("d3", "iri", RDF_TYPE, f"{S}Person", "iri", None, None),
+        ("d3", "iri", f"{S}name", "carol", "literal", None, None),
+    ], SCHEMA)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select(*TERM_COLS).collect()))
+
+
+def test_delete_insert_predicate_migration_keeps_metadata(spark):
+    """Rename schema:name → schema:headline; the inserted literals must
+    keep their language tags (use_meta path)."""
+    out = apply_update(
+        _g(spark),
+        delete=[("?x", f"{S}name", "?n")],
+        insert=[("?x", f"{S}headline", "?n")],
+        where=[("?x", RDF_TYPE, f"{S}Article"),
+               ("?x", f"{S}name", "?n")])
+    rows = _rows(out)
+    assert ("d1", "iri", f"{S}headline", "alpha", "literal",
+            None, "en") in rows
+    assert ("d2", "iri", f"{S}headline", "beta", "literal",
+            None, "de") in rows
+    # d3 (Person) untouched; no Article keeps schema:name
+    assert ("d3", "iri", f"{S}name", "carol", "literal",
+            None, None) in rows
+    assert not any(r[2] == f"{S}name" and r[0] != "d3" for r in rows)
+    assert out.count() == 7  # 2 deleted, 2 inserted
+
+
+def test_delete_where_shorthand(spark):
+    out = apply_update(_g(spark),
+                       delete=[("?x", RDF_TYPE, f"{S}Person")])
+    assert out.count() == 6
+    assert not any(r[3] == f"{S}Person" for r in _rows(out))
+
+
+def test_delete_matches_lexical_identity_only_matched_rows(spark):
+    # delete with a filter: only wordCount > 100 rows vanish
+    out = apply_update(
+        _g(spark),
+        delete=[("?x", f"{S}wordCount", "?wc")],
+        where=[("?x", f"{S}wordCount", "?wc")],
+        filters=["CAST(wc AS BIGINT) > 100"])
+    assert out.count() == 6
+    assert not any(r[2] == f"{S}wordCount" for r in _rows(out))
+
+
+def test_insert_is_set_semantics(spark):
+    # inserting an already-present triple does not duplicate
+    out = apply_update(
+        _g(spark),
+        insert=[("?x", RDF_TYPE, f"{S}Article")],
+        where=[("?x", RDF_TYPE, f"{S}Article")])
+    assert out.count() == _g(spark).count()
+
+
+def test_insert_data_and_delete_data_roundtrip(spark):
+    g = _g(spark)
+    g2 = insert_data(g, [("d9", RDF_TYPE, f"{S}Dataset"),
+                         ("d9", f"{S}name", ("neu", "literal", None,
+                                             "de"))])
+    assert g2.count() == 9
+    g3 = delete_data(g2, [("d9", RDF_TYPE, f"{S}Dataset"),
+                          ("d9", f"{S}name", "neu")])
+    assert _rows(g3) == _rows(g)
+
+
+def test_apply_update_requires_full_schema(spark):
+    thin = _g(spark).select("subj", "pred", "obj_value")
+    with pytest.raises(ValueError, match="term columns"):
+        apply_update(thin, delete=[("?x", RDF_TYPE, "?t")])
+
+
+def test_apply_update_requires_some_template(spark):
+    with pytest.raises(ValueError, match="delete and/or insert"):
+        apply_update(_g(spark), where=[("?x", RDF_TYPE, "?t")])
+
+
+# ------------------------------------------------------------------
+# text front-end
+# ------------------------------------------------------------------
+
+def test_parse_update_forms():
+    u = parse_update(PFX + 'INSERT DATA { <d9> schema:name "x"@en ; '
+                           'a schema:Person . }')
+    assert u.form == "insert_data"
+    assert u.data == [("d9", f"{S}name", ("x", "literal", None, "en")),
+                      ("d9", RDF_TYPE, (f"{S}Person", "iri", None,
+                                        None))]
+    u = parse_update(PFX + "DELETE WHERE { ?x schema:name ?n }")
+    assert u.form == "modify" and u.delete == u.where.patterns
+    u = parse_update(PFX + """DELETE { ?x schema:name ?n }
+                              INSERT { ?x schema:headline ?n }
+                              WHERE { ?x schema:name ?n }""")
+    assert u.insert == [("?x", f"{S}headline", "?n")]
+
+
+def test_parse_update_typed_ground_literal():
+    u = parse_update(
+        PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+              'INSERT DATA { <d9> schema:wordCount "7"^^xsd:integer }')
+    assert u.data == [("d9", f"{S}wordCount",
+                       ("7", "literal", f"{XSD}integer", None))]
+    u = parse_update(PFX + "INSERT DATA { <d9> schema:rank 3.5 }")
+    assert u.data[0][2] == ("3.5", "literal", f"{XSD}decimal", None)
+
+
+def test_parse_update_rejects_path_template():
+    with pytest.raises(SparqlSyntaxError, match="not allowed"):
+        parse_update(PFX + "DELETE WHERE { ?x schema:a/schema:b ?y }")
+
+
+def test_parse_update_rejects_sequences():
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_update(PFX + "DELETE WHERE { ?x schema:name ?n } ; "
+                           "DELETE WHERE { ?x schema:alt ?n }")
+
+
+def test_exec_sparql_update_migration(spark):
+    out = sparql_update(_g(spark), PFX + """
+        DELETE { ?x schema:name ?n }
+        INSERT { ?x schema:headline ?n }
+        WHERE  { ?x a schema:Article ; schema:name ?n }""")
+    rows = _rows(out)
+    assert ("d1", "iri", f"{S}headline", "alpha", "literal",
+            None, "en") in rows
+    assert out.filter(f"pred = '{S}name'").count() == 1  # d3 only
+
+
+def test_exec_sparql_update_insert_data_typed(spark):
+    out = sparql_update(_g(spark), PFX + """
+        INSERT DATA { <d1> schema:keywords "kg" , "spark" . }""")
+    assert out.count() == 9
+    got = {tuple(r) for r in
+           out.filter(f"pred = '{S}keywords'").collect()}
+    assert got == {
+        ("d1", "iri", f"{S}keywords", "kg", "literal", None, None),
+        ("d1", "iri", f"{S}keywords", "spark", "literal", None, None)}
+
+
+def test_exec_sparql_update_with_optional_and_filter(spark):
+    # enrich Articles lacking a wordCount with a zero marker
+    out = sparql_update(_g(spark), PFX + """
+        INSERT { ?x schema:wordCount "0" }
+        WHERE  { ?x a schema:Article .
+                 OPTIONAL { ?x schema:wordCount ?wc }
+                 FILTER(!BOUND(?wc)) }""")
+    assert out.filter(f"pred = '{S}wordCount'").count() == 2
+    assert ("d2", "iri", f"{S}wordCount", "0", "literal", None,
+            None) in _rows(out)
