@@ -1157,6 +1157,36 @@ def q_kg_sparql_lang_datatype(spark, sf_dir):
     return sparql_query(t, SPARQL_LANG_DT_TEXT)
 
 
+SPARQL_UPDATE_TEXT = f"""
+    PREFIX schema: <{SCHEMA_ORG}>
+    DELETE {{ ?x schema:name ?n }}
+    INSERT {{ ?x schema:headline ?n . ?x schema:version 2 }}
+    WHERE  {{ ?x a schema:Article ; schema:name ?n }}
+"""
+
+
+def q_kg_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update end-to-end from source text (operators/
+    sparql.sparql_update → operators/update.apply_update): one
+    DELETE/INSERT/WHERE migrates schema:name → schema:headline with
+    language tags preserved (metadata-carrying insert) and enriches
+    each matched article with a typed-integer constant
+    (``schema:version 2`` → xsd:integer literal, the parse-time
+    literal-constant channel).  Deletion is by lexical triple identity
+    (one anti-join); result is the graph-set slice of the three
+    touched predicates.  The update is a pure plan over the canonical
+    graph — at scale the swap is the catalog-layer table replace."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    g = (_triples_cut(spark, sf_dir)
+         .select("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                 "obj_datatype", "obj_lang").distinct())
+    out = sparql_update(g, SPARQL_UPDATE_TEXT)
+    return out.filter(F.col("pred").isin(
+        f"{SCHEMA_ORG}name", f"{SCHEMA_ORG}headline",
+        f"{SCHEMA_ORG}version"))
+
+
 def _quads_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The extraction as a QUADS table: each page's url is its named
     graph — the same dataset shape the N-Quads sink serializes.  Reuses
@@ -1614,10 +1644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exists_filters": q_kg_exists_filters,
         "kg_bind_expr": q_kg_bind_expr,
         "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_update": q_kg_sparql_update,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
-        "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_cooccurrence": q_kg_cooccurrence,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1663,6 +1693,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys and their surviving in-window evidence are tabled in
     SURVEY.md §2.4."""
     return {
+        "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2038,6 +2069,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc, name, wc, lang
             FROM req LEFT JOIN opt USING (doc)
             ORDER BY doc LIMIT 100
+        """,
+        # SPARQL Update mirror: solutions = (Article, name) pairs;
+        # DELETE removes the matched name triples by lexical identity
+        # (subj, pred, obj_value); INSERT re-emits the name object under
+        # schema:headline with its source kind/datatype/lang, plus the
+        # typed-integer constant "2"^^xsd:integer; graph-set dedup; the
+        # gated result is the slice of the three touched predicates.
+        "kg_sparql_update": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            g AS (SELECT DISTINCT subj, subj_kind, pred, obj_value,
+                         obj_kind, obj_datatype, obj_lang FROM exp),
+            sol AS (SELECT t.subj AS x, n.obj_value AS n_val,
+                           n.obj_kind AS n_kind, n.obj_datatype AS n_dt,
+                           n.obj_lang AS n_lang
+                    FROM g t JOIN g n ON n.subj = t.subj
+                    WHERE t.pred = '{RDF_TYPE}'
+                      AND t.obj_value = '{SCHEMA_ORG}Article'
+                      AND n.pred = '{SCHEMA_ORG}name'),
+            kept AS (SELECT * FROM g WHERE NOT EXISTS (
+                       SELECT 1 FROM sol
+                       WHERE sol.x = g.subj
+                         AND g.pred = '{SCHEMA_ORG}name'
+                         AND g.obj_value = sol.n_val)),
+            updated AS (
+              SELECT * FROM kept
+              UNION
+              SELECT x, 'iri', '{SCHEMA_ORG}headline',
+                     n_val, n_kind, n_dt, n_lang FROM sol
+              UNION
+              SELECT x, 'iri', '{SCHEMA_ORG}version', '2', 'literal',
+                     'http://www.w3.org/2001/XMLSchema#integer',
+                     CAST(NULL AS VARCHAR) FROM sol)
+            SELECT * FROM updated
+            WHERE pred IN ('{SCHEMA_ORG}name', '{SCHEMA_ORG}headline',
+                           '{SCHEMA_ORG}version')
         """,
         # LANGMATCHES = case-insensitive exact or '-'-boundary prefix;
         # DATATYPE of a typed literal = its datatype IRI; the kind
