@@ -59,11 +59,21 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   — compiled onto :mod:`operators.update` (lexical-identity deletes,
   metadata-preserving inserts, set-semantics result).
 - Term-introspection builtins — ``LANG``, ``DATATYPE``, ``isIRI`` /
-  ``isURI``, ``isBlank``, ``isLiteral``, ``isNumeric`` (a variable
-  argument), plus ``LANGMATCHES`` — compiled onto term-metadata
-  companion columns (``bgp_match(meta_vars=...)``); requires the full
-  term schema (``obj_kind`` / ``obj_lang`` / ``obj_datatype``) when the
-  variable binds in object position.
+  ``isURI``, ``isBlank``, ``isLiteral``, ``isNumeric``, ``SAMETERM``
+  (variable arguments), plus ``LANGMATCHES`` — compiled onto
+  term-metadata companion columns (``bgp_match(meta_vars=...)``);
+  requires the full term schema (``obj_kind`` / ``obj_lang`` /
+  ``obj_datatype``) when the variable binds in object position.
+- Scalar builtins over the lexical form: the string family (``STR``,
+  ``STRLEN``, ``UCASE``/``LCASE``, ``CONTAINS``, ``STRSTARTS`` /
+  ``STRENDS``, ``STRBEFORE`` / ``STRAFTER``, ``SUBSTR``, ``CONCAT``,
+  ``REPLACE``, ``REGEX``, ``ENCODE_FOR_URI``), numerics (``ABS`` /
+  ``CEIL`` / ``FLOOR`` / ``ROUND``), hashes (``MD5`` / ``SHA1`` /
+  ``SHA256`` / ``SHA384`` / ``SHA512``), conditionals (``BOUND``,
+  ``COALESCE``, ``IF``, ``IN`` / ``NOT IN``), and the datetime
+  accessors (``YEAR`` … ``SECONDS``, ``TZ``) — the last computed
+  lexically on the xsd:dateTime string so components stay in the
+  literal's own timezone.
 
 Documented deviations (each raises or is noted, never silent):
 
@@ -219,6 +229,56 @@ _SCALAR_FNS = {
     "ceil": lambda a: f"ceil({a[0]})",
     "floor": lambda a: f"floor({a[0]})",
     "round": lambda a: f"round({a[0]})",
+    # §17.4.3.4/5: prefix/suffix around the FIRST occurrence; no match
+    # → ''.  instr('', any) and instr(x, '') both behave per spec
+    # (empty needle: STRBEFORE → '', STRAFTER → the whole string).
+    "strbefore": lambda a: (
+        f"(CASE WHEN instr({a[0]}, {a[1]}) > 0 THEN "
+        f"substring({a[0]}, 1, instr({a[0]}, {a[1]}) - 1) "
+        f"ELSE '' END)"),
+    "strafter": lambda a: (
+        f"(CASE WHEN instr({a[0]}, {a[1]}) > 0 THEN "
+        f"substring({a[0]}, instr({a[0]}, {a[1]}) + length({a[1]})) "
+        f"ELSE '' END)"),
+    # §17.4.2.8 ENCODE_FOR_URI: RFC 3986 unreserved set.  Spark's
+    # url_encode is form-encoding (space → '+', '*' kept, '~' → %7E);
+    # three fix-ups make it exact.
+    "encode_for_uri": lambda a: (
+        f"replace(replace(replace(url_encode({a[0]}), "
+        f"'+', '%20'), '*', '%2A'), '%7E', '~')"),
+    # §17.4.4.4–4.6 hash functions (lowercase hex, per spec examples)
+    "md5": lambda a: f"md5({a[0]})",
+    "sha1": lambda a: f"sha1({a[0]})",
+    "sha256": lambda a: f"sha2({a[0]}, 256)",
+    "sha384": lambda a: f"sha2({a[0]}, 384)",
+    "sha512": lambda a: f"sha2({a[0]}, 512)",
+    # §17.4.5 datetime accessors — computed LEXICALLY on the
+    # xsd:dateTime string, so each component is in the literal's OWN
+    # timezone (a CAST to TIMESTAMP would shift into the session zone)
+    # and a malformed value yields NULL (dropped by FILTER, per the
+    # type-error rule).  SECONDS returns the decimal seconds; TZ the
+    # 'Z' / '±HH:MM' designator or '' when absent (§17.4.5.8).
+    "year": lambda a: (
+        f"CAST(nullif(regexp_extract({a[0]}, "
+        f"'^(-?\\\\d{{4,}})-', 1), '') AS INT)"),
+    "month": lambda a: (
+        f"CAST(nullif(regexp_extract({a[0]}, "
+        f"'^-?\\\\d{{4,}}-(\\\\d{{2}})-', 1), '') AS INT)"),
+    "day": lambda a: (
+        f"CAST(nullif(regexp_extract({a[0]}, "
+        f"'^-?\\\\d{{4,}}-\\\\d{{2}}-(\\\\d{{2}})', 1), '') AS INT)"),
+    "hours": lambda a: (
+        f"CAST(nullif(regexp_extract({a[0]}, "
+        f"'T(\\\\d{{2}}):', 1), '') AS INT)"),
+    "minutes": lambda a: (
+        f"CAST(nullif(regexp_extract({a[0]}, "
+        f"'T\\\\d{{2}}:(\\\\d{{2}})', 1), '') AS INT)"),
+    "seconds": lambda a: (
+        f"CAST(nullif(regexp_extract({a[0]}, "
+        f"'T\\\\d{{2}}:\\\\d{{2}}:(\\\\d{{2}}(?:\\\\.\\\\d+)?)', 1), "
+        f"'') AS DOUBLE)"),
+    "tz": lambda a: (
+        f"regexp_extract({a[0]}, '(Z|[+-]\\\\d{{2}}:\\\\d{{2}})$', 1)"),
     # SPARQL §17.4.3.20: '*' matches any non-empty tag, otherwise
     # case-insensitive exact or '-'-boundary prefix match.  A NULL
     # language (LANG of a non-literal = type error) stays NULL, so the
@@ -672,13 +732,22 @@ class _Parser:
             elif kind == "num" and rkind == "var":
                 rhs = f"CAST({rhs} AS DOUBLE)"
             return f"({lhs} {self._REL_OPS[t.text]} {rhs})", "other"
+        negated = False
+        if (self.peek().kind == "NAME" and self.peek().text.lower() == "not"
+                and self.peek(1).kind == "NAME"
+                and self.peek(1).text.lower() == "in"):
+            self.next()
+            negated = True
         if self.take_kw("in"):
             self.expect_op("(")
             items = [self._add_expr()[0]]
             while self.take_op(","):
                 items.append(self._add_expr()[0])
             self.expect_op(")")
-            return f"({sql} IN ({', '.join(items)}))", "other"
+            op = "NOT IN" if negated else "IN"
+            return f"({sql} {op} ({', '.join(items)}))", "other"
+        if negated:
+            self.fail("expected IN after NOT")
         return sql, kind
 
     def _add_expr(self):
@@ -749,6 +818,29 @@ class _Parser:
                 self.expect_op(")")
                 self.meta_vars.add(a.text[1:])
                 return _TERM_FNS[word](a.text[1:]), "other"
+            if word == "sameterm":
+                # §17.4.1.8: RDF-term equality — lexical form AND
+                # kind/datatype/language, all null-safe, via the
+                # term-metadata companion columns of both variables.
+                self.next()
+                self.expect_op("(")
+                vs = []
+                for _ in range(2):
+                    a = self.next()
+                    if a.kind != "VAR":
+                        self.fail("SAMETERM() takes two plain variables "
+                                  "in this engine (nested expressions "
+                                  "carry no term metadata)")
+                    vs.append(a.text[1:])
+                    if len(vs) == 1:
+                        self.expect_op(",")
+                self.expect_op(")")
+                self.meta_vars.update(vs)
+                x, y = vs
+                return ("((" + f"{x} <=> {y}) AND "
+                        + " AND ".join(
+                            f"({x}{sfx} <=> {y}{sfx})"
+                            for sfx in META_SUFFIXES) + ")"), "other"
             if word in _UNSUPPORTED_FNS:
                 raise SparqlSyntaxError(
                     f"term constructor {t.text.upper()}() is not "

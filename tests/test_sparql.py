@@ -633,3 +633,120 @@ def test_exec_filter_inside_graph_scopes_to_group(spark):
         SELECT ?g ?x WHERE {
             GRAPH ?g { ?x a schema:Article . FILTER(?x != "d1") } }""")
     assert [(r.g, r.x) for r in got.collect()] == [("g2", "d2")]
+
+
+# --------------------------------------------------------------------
+# scalar builtins: string family, hashes, datetime accessors, NOT IN
+# --------------------------------------------------------------------
+
+def _kgd(spark):
+    """Graph with xsd:dateTime literals in three timezone forms."""
+    return spark.createDataFrame([
+        ("d1", f"{S}dateCreated", "2024-03-07T14:45:13.815-05:00"),
+        ("d2", f"{S}dateCreated", "2023-12-31T23:59:60Z"),
+        ("d3", f"{S}dateCreated", "0042-01-02T03:04:05"),
+        ("d4", f"{S}name", "not a date"),
+    ], COLS)
+
+
+def test_exec_strbefore_strafter(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x (STRBEFORE(?n, "a") AS ?pre)
+                  (STRAFTER(?n, "a") AS ?post)
+                  (STRAFTER(?n, "") AS ?whole)
+                  (STRBEFORE(?n, "zzz") AS ?none)
+        WHERE { ?x a schema:Article ; schema:name ?n } ORDER BY ?x""")
+    rows = [(r.x, r.pre, r.post, r.whole, r.none) for r in got.collect()]
+    assert rows == [("d1", "", "lpha", "alpha", ""),
+                    ("d2", "bet", "", "beta", "")]
+
+
+def test_exec_encode_for_uri(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT DISTINCT (ENCODE_FOR_URI("Los Angeles~*100%") AS ?e)
+        WHERE { ?x a schema:Article }""")
+    assert got.collect()[0].e == "Los%20Angeles~%2A100%25"
+
+
+def test_exec_hash_functions(spark):
+    import hashlib
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT (MD5(?n) AS ?h1) (SHA1(?n) AS ?h2) (SHA256(?n) AS ?h3)
+        WHERE { <d1> schema:name ?n }""").collect()[0]
+    assert got.h1 == hashlib.md5(b"alpha").hexdigest()
+    assert got.h2 == hashlib.sha1(b"alpha").hexdigest()
+    assert got.h3 == hashlib.sha256(b"alpha").hexdigest()
+
+
+def test_exec_datetime_accessors_lexical_timezone(spark):
+    got = sparql_query(_kgd(spark), PFX + """
+        SELECT ?x (YEAR(?d) AS ?y) (MONTH(?d) AS ?mo) (DAY(?d) AS ?dd)
+               (HOURS(?d) AS ?h) (MINUTES(?d) AS ?mi)
+               (SECONDS(?d) AS ?s) (TZ(?d) AS ?tz)
+        WHERE { ?x schema:dateCreated ?d } ORDER BY ?x""")
+    rows = [(r.x, r.y, r.mo, r.dd, r.h, r.mi, r.s, r.tz)
+            for r in got.collect()]
+    # components come from the LEXICAL form — the -05:00 literal keeps
+    # its own wall-clock hour, not the session timezone's
+    assert rows == [
+        ("d1", 2024, 3, 7, 14, 45, 13.815, "-05:00"),
+        ("d2", 2023, 12, 31, 23, 59, 60.0, "Z"),
+        ("d3", 42, 1, 2, 3, 4, 5.0, ""),
+    ]
+
+
+def test_exec_datetime_accessor_malformed_is_error_row_dropped(spark):
+    got = sparql_query(_kgd(spark), PFX + """
+        SELECT ?x WHERE { ?x schema:name ?d . FILTER(YEAR(?d) > 0) }""")
+    assert got.collect() == []
+
+
+def test_exec_not_in(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article ; schema:name ?n .
+                          FILTER(?n NOT IN ("beta", "carol")) }""")
+    assert [r.x for r in got.collect()] == ["d1"]
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article ; schema:name ?n .
+                          FILTER(?n IN ("beta", "carol")) }""")
+    assert [r.x for r in got.collect()] == ["d2"]
+
+
+def test_exec_sameterm_and_negation(spark):
+    # d1's two literals differ only beyond the lexical form? no —
+    # sameTerm(?a, ?b) over two name bindings of the SAME subject is
+    # true only when every term facet matches; "alpha"@en vs "alpha"
+    # (no tag) must NOT be sameTerm even though the values are equal.
+    g = spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d1", f"{S}name", "alpha", "literal", None, "en"),
+        ("d1", f"{S}alternateName", "alpha", "literal", None, None),
+        ("d2", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d2", f"{S}name", "beta", "literal", None, "en"),
+        ("d2", f"{S}alternateName", "beta", "literal", None, "en"),
+    ], "subj string, pred string, obj_value string, obj_kind string,"
+       " obj_datatype string, obj_lang string")
+    got = sparql_query(g, PFX + """
+        SELECT ?x WHERE { ?x a schema:Article ; schema:name ?n ;
+                             schema:alternateName ?m .
+                          FILTER(SAMETERM(?n, ?m)) } ORDER BY ?x""")
+    assert [r.x for r in got.collect()] == ["d2"]
+    got = sparql_query(g, PFX + """
+        SELECT ?x WHERE { ?x a schema:Article ; schema:name ?n ;
+                             schema:alternateName ?m .
+                          FILTER(!SAMETERM(?n, ?m)) }""")
+    assert [r.x for r in got.collect()] == ["d1"]
+
+
+def test_parse_sameterm_rejects_expression():
+    with pytest.raises(SparqlSyntaxError, match="plain variable"):
+        parse_sparql(PFX + """SELECT ?x WHERE {
+            ?x schema:name ?n . FILTER(SAMETERM(STR(?n), ?n)) }""")
+
+
+def test_parse_not_without_in_rejected():
+    # NOT is only consumed when IN follows, so a bare NOT fails at the
+    # enclosing expression boundary
+    with pytest.raises(SparqlSyntaxError, match="expected"):
+        parse_sparql(PFX + """SELECT ?x WHERE {
+            ?x schema:name ?n . FILTER(?n NOT "beta") }""")
