@@ -1187,6 +1187,33 @@ def q_kg_sparql_update(spark, sf_dir):
         f"{SCHEMA_ORG}version"))
 
 
+def q_kg_owl_entail(spark, sf_dir):
+    """OWL 2 RL property rules over the rich corpus: schema:author
+    owl:inverseOf schema:creatorOf (prp-inv — the author bnode gains a
+    creatorOf edge back to its article) and rdf:rest a
+    owl:TransitiveProperty (prp-trp), materialized by
+    operators/entailment.owl_entail (swap → semi-naive closure → swap,
+    exact for these rules).  Gated on the touched-predicates slice:
+    asserted author/rest edges, derived creatorOf inverses, composed
+    rest pairs (each list cell reaches every later cell and rdf:nil)."""
+    from rdfa_streaming_parser_js_spark.operators.entailment import (
+        OWL_INVERSE, OWL_TRANSITIVE, owl_entail)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        RDF_NS, rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir)
+                        ).localCheckpoint(eager=True)
+    ont = spark.createDataFrame([
+        (f"{SCHEMA_ORG}author", OWL_INVERSE, f"{SCHEMA_ORG}creatorOf"),
+        (f"{RDF_NS}rest", RDF_TYPE, OWL_TRANSITIVE),
+    ], "subj string, pred string, obj_value string")
+    out = owl_entail(
+        t.select("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                 "obj_datatype", "obj_lang").distinct(), ont)
+    return out.filter(F.col("pred").isin(
+        f"{SCHEMA_ORG}author", f"{SCHEMA_ORG}creatorOf",
+        f"{RDF_NS}rest"))
+
+
 def _quads_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The extraction as a QUADS table: each page's url is its named
     graph — the same dataset shape the N-Quads sink serializes.  Reuses
@@ -1645,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bind_expr": q_kg_bind_expr,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_update": q_kg_sparql_update,
+        "kg_owl_entail": q_kg_owl_entail,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1656,7 +1684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
-        "json_graph_nodes": q_json_graph_nodes,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
         "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -1694,6 +1721,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SURVEY.md §2.4."""
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
+        "json_graph_nodes": q_json_graph_nodes,  # retired round 4 (r03)
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2104,6 +2132,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM updated
             WHERE pred IN ('{SCHEMA_ORG}name', '{SCHEMA_ORG}headline',
                            '{SCHEMA_ORG}version')
+        """,
+        # OWL property rules on the rich corpus: creatorOf = inverse of
+        # every non-literal author edge; rdf:rest transitively closed
+        # (recursive CTE); composed pairs recover the slice's object
+        # metadata (single-kinded values, so per-column min == the
+        # engine's min-struct).  Graph-set distinct, touched preds only.
+        "kg_owl_entail": f"""
+            WITH RECURSIVE t AS (SELECT * FROM ({_rich_sql()})),
+            g AS (SELECT DISTINCT subj, subj_kind, pred, obj_value,
+                         obj_kind, obj_datatype, obj_lang FROM t),
+            rest(subj, subj_kind, obj_value) AS (
+                SELECT subj, subj_kind, obj_value FROM g
+                WHERE pred = '{_RDF_NS}rest'
+                UNION
+                SELECT r.subj, r.subj_kind, e.obj_value
+                FROM rest r JOIN g e
+                  ON e.subj = r.obj_value AND e.pred = '{_RDF_NS}rest'),
+            restmeta AS (SELECT obj_value, min(obj_kind) AS obj_kind,
+                                min(obj_datatype) AS obj_datatype,
+                                min(obj_lang) AS obj_lang
+                         FROM g WHERE pred = '{_RDF_NS}rest'
+                         GROUP BY obj_value),
+            restrows AS (
+                SELECT r.subj, r.subj_kind, '{_RDF_NS}rest' AS pred,
+                       r.obj_value, m.obj_kind, m.obj_datatype,
+                       m.obj_lang
+                FROM rest r JOIN restmeta m
+                  ON m.obj_value = r.obj_value),
+            inv AS (
+                SELECT obj_value AS subj, obj_kind AS subj_kind,
+                       '{SCHEMA_ORG}creatorOf' AS pred,
+                       subj AS obj_value, subj_kind AS obj_kind,
+                       CAST(NULL AS VARCHAR) AS obj_datatype,
+                       CAST(NULL AS VARCHAR) AS obj_lang
+                FROM g WHERE pred = '{SCHEMA_ORG}author'
+                  AND obj_kind <> 'literal')
+            SELECT DISTINCT * FROM (
+                SELECT * FROM g
+                WHERE pred IN ('{SCHEMA_ORG}author', '{_RDF_NS}rest')
+                UNION ALL SELECT * FROM restrows
+                UNION ALL SELECT * FROM inv)
         """,
         # LANGMATCHES = case-insensitive exact or '-'-boundary prefix;
         # DATATYPE of a typed literal = its datatype IRI; the kind

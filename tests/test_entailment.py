@@ -105,3 +105,109 @@ def test_ontology_never_iterated_per_instance_row(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------------------
+# OWL property rules (owl_entail)
+# --------------------------------------------------------------------
+
+from rdfa_streaming_parser_js_spark.operators.entailment import (  # noqa: E402
+    OWL_INVERSE, OWL_SYMMETRIC, OWL_TRANSITIVE, owl_entail)
+
+GSCHEMA = ("subj string, subj_kind string, pred string, obj_value "
+           "string, obj_kind string, obj_datatype string, obj_lang "
+           "string")
+
+
+def _g(spark, rows):
+    return spark.createDataFrame(rows, GSCHEMA)
+
+
+def _t(s, p, o, sk="iri", ok="iri", dt=None, lang=None):
+    return (s, sk, p, o, ok, dt, lang)
+
+
+def _owl_ont(spark, *rows):
+    return spark.createDataFrame(
+        [("o", s, "iri", p, o, "iri", None, None) for s, p, o in rows],
+        "url string, subj string, subj_kind string, pred string,"
+        " obj_value string, obj_kind string, obj_datatype string,"
+        " obj_lang string")
+
+
+def test_owl_inverse_both_directions(spark):
+    g = _g(spark, [_t("d1", f"{EX}isPartOf", "src"),
+                   _t("src2", f"{EX}hasPart", "d2")])
+    ont = _owl_ont(spark, (f"{EX}isPartOf", OWL_INVERSE, f"{EX}hasPart"))
+    got = _spo(owl_entail(g, ont))
+    assert ("src", f"{EX}hasPart", "d1") in got
+    assert ("d2", f"{EX}isPartOf", "src2") in got
+    assert len(got) == 4
+
+
+def test_owl_inverse_skips_literal_objects(spark):
+    g = _g(spark, [_t("d1", f"{EX}isPartOf", "plain", ok="literal")])
+    ont = _owl_ont(spark, (f"{EX}isPartOf", OWL_INVERSE, f"{EX}hasPart"))
+    assert _spo(owl_entail(g, ont)) == {("d1", f"{EX}isPartOf", "plain")}
+
+
+def test_owl_symmetric(spark):
+    g = _g(spark, [_t("a", f"{EX}knows", "b")])
+    ont = _owl_ont(spark, (f"{EX}knows", RDF_TYPE, OWL_SYMMETRIC))
+    got = _spo(owl_entail(g, ont))
+    assert got == {("a", f"{EX}knows", "b"), ("b", f"{EX}knows", "a")}
+
+
+def test_owl_transitive_chain_and_metadata(spark):
+    g = _g(spark, [
+        _t("a", f"{EX}within", "b", ok="bnode"),
+        _t("b", f"{EX}within", "c", sk="bnode"),
+        _t("c", f"{EX}within", "seven", ok="literal",
+           dt="http://www.w3.org/2001/XMLSchema#integer"),
+        _t("a", f"{EX}other", "z"),
+    ], )
+    ont = _owl_ont(spark, (f"{EX}within", RDF_TYPE, OWL_TRANSITIVE))
+    out = owl_entail(g, ont)
+    got = _spo(out)
+    assert ("a", f"{EX}within", "c") in got
+    assert ("a", f"{EX}within", "seven") in got  # composed to terminal
+    assert ("b", f"{EX}within", "seven") in got
+    assert ("a", f"{EX}other", "z") in got
+    assert len(got) == 7
+    # composed endpoints keep the slice's term metadata
+    row = {(r.subj, r.obj_value): (r.subj_kind, r.obj_kind,
+                                   r.obj_datatype)
+           for r in out.collect()}
+    assert row[("a", "b")] == ("iri", "bnode", None)
+    assert row[("a", "seven")] == (
+        "iri", "literal", "http://www.w3.org/2001/XMLSchema#integer")
+    assert row[("b", "seven")][0] == "bnode"
+
+
+def test_owl_inverse_of_transitive_is_closed(spark):
+    # P transitive, P inverseOf Q: Q must contain the inverse of P's
+    # CLOSURE (swap pass 2), and edges asserted on Q feed P's closure
+    # (swap pass 1 before closing)
+    g = _g(spark, [_t("a", f"{EX}anc", "b"),
+                   _t("c", f"{EX}desc", "b")])  # i.e. b anc c
+    ont = _owl_ont(spark,
+                   (f"{EX}anc", RDF_TYPE, OWL_TRANSITIVE),
+                   (f"{EX}anc", OWL_INVERSE, f"{EX}desc"))
+    got = _spo(owl_entail(g, ont))
+    assert ("a", f"{EX}anc", "c") in got       # via the inverted edge
+    assert ("c", f"{EX}desc", "a") in got      # inverse of the closure
+    assert ("b", f"{EX}anc", "c") in got
+    assert ("b", f"{EX}desc", "a") in got
+
+
+def test_owl_empty_ontology_is_identity_set(spark):
+    g = _g(spark, [_t("a", f"{EX}p", "b"), _t("a", f"{EX}p", "b")])
+    got = owl_entail(g, _owl_ont(spark))
+    assert got.count() == 1  # set semantics
+
+
+def test_owl_requires_full_schema(spark):
+    import pytest
+    thin = _g(spark, [_t("a", f"{EX}p", "b")]).select("subj", "pred")
+    with pytest.raises(ValueError, match="term schema"):
+        owl_entail(thin, _owl_ont(spark))
