@@ -678,6 +678,30 @@ def q_streaming_extract(spark, sf_dir):
                     "obj_kind", "obj_datatype", "obj_lang"))
 
 
+def q_kg_maintenance_stream(spark, sf_dir):
+    """Continuous KG maintenance gated end-to-end: the synthetic crawl
+    drains through run_kg_maintenance_stream (streaming/pipeline.py) in
+    3 bounded micro-batches — each extracted and replace-merged into
+    the crash-atomic staged-swap parquet graph table — then the
+    committed table is read back.  Every page is crawled once, so the
+    result must equal the batch extraction: the streaming, merge, and
+    atomic-sink legs are all content-invisible (replace semantics
+    themselves are gated separately by kg_recrawl_merge)."""
+    import tempfile
+
+    from rdfa_streaming_parser_js_spark.streaming.pipeline import (
+        run_kg_maintenance_stream)
+    workdir = tempfile.mkdtemp(prefix="kg_maint_")
+    pages_dir = _staged_pages_dir(spark, sf_dir, workdir)
+    q = run_kg_maintenance_stream(spark, pages_dir, f"{workdir}/graph",
+                                  f"{workdir}/ckpt",
+                                  max_files_per_trigger=2)
+    q.awaitTermination()
+    return (spark.read.parquet(f"{workdir}/graph")
+            .select("url", "subj", "subj_kind", "pred", "obj_value",
+                    "obj_kind", "obj_datatype", "obj_lang"))
+
+
 def q_streaming_windowed_counts(spark, sf_dir):
     """Watermarked tumbling-window triple counts over the stream,
     append mode: only windows finalized by the event-time watermark are
@@ -1673,12 +1697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_update": q_kg_sparql_update,
         "kg_owl_entail": q_kg_owl_entail,
+        "kg_maintenance_stream": q_kg_maintenance_stream,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_pagerank": q_kg_pagerank,
         "kg_cooccurrence": q_kg_cooccurrence,
-        "warc_roundtrip": q_warc_roundtrip,
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "warc_to_graph": q_warc_to_graph,
         "embedding_kmeans": q_embedding_kmeans,
@@ -1722,6 +1746,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
         "json_graph_nodes": q_json_graph_nodes,  # retired round 4 (r03)
+        "warc_roundtrip": q_warc_roundtrip,  # retired round 4 (r03)
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3128,6 +3153,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["tfidf_top_terms"] = _tfidf_sql()
     # the streaming path must produce exactly the batch extraction
     oracles["streaming_extract"] = oracles["rdfa_extract"]
+    # ... and so must the maintenance stream (extract + replace-merge +
+    # crash-atomic swap sink) when every page is crawled exactly once
+    oracles["kg_maintenance_stream"] = oracles["rdfa_extract"]
     # serialize → parse must be the identity on the extracted graph
     oracles["ntriples_roundtrip"] = oracles["rdfa_extract"]
     from rdfa_streaming_parser_js_spark.functions.jsonld import (

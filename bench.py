@@ -138,7 +138,7 @@ def main() -> None:
         "kg_path_zero_or_one", "kg_entity_table_multi",
         "graph_table_roundtrip", "kg_values_lang_label",
         "kg_exists_filters", "kg_bind_expr", "kg_sparql_select",
-        "kg_sparql_update", "kg_owl_entail",
+        "kg_sparql_update", "kg_owl_entail", "kg_maintenance_stream",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)
