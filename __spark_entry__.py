@@ -1224,8 +1224,8 @@ def q_kg_owl_entail(spark, sf_dir):
         OWL_INVERSE, OWL_TRANSITIVE, owl_entail)
     from rdfa_streaming_parser_js_spark.sources.pages import (
         RDF_NS, rich_pages_from_documents)
-    t = extract_triples(rich_pages_from_documents(spark, sf_dir)
-                        ).localCheckpoint(eager=True)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir),
+                        lang_col=None).localCheckpoint(eager=True)
     ont = spark.createDataFrame([
         (f"{SCHEMA_ORG}author", OWL_INVERSE, f"{SCHEMA_ORG}creatorOf"),
         (f"{RDF_NS}rest", RDF_TYPE, OWL_TRANSITIVE),
@@ -1236,6 +1236,39 @@ def q_kg_owl_entail(spark, sf_dir):
     return out.filter(F.col("pred").isin(
         f"{SCHEMA_ORG}author", f"{SCHEMA_ORG}creatorOf",
         f"{RDF_NS}rest"))
+
+
+def q_kg_ifp_resolution(spark, sf_dir):
+    """Inverse-functional-property entity matching end-to-end: every
+    page mints its own author bnode, but authors sharing the same
+    schema:name literal (one per source in the rich corpus) are the
+    same person — prp-ifp derives the sameAs star per identifier
+    (operators/resolution.ifp_same_as, never quadratic), the component
+    closure merges it with any asserted aliases, and the graph is
+    rewritten onto the min member.  Gated on the resolved authorship
+    slice: schema:author edges now point at one canonical bnode per
+    source, and the bnode-subject name rows dedup to one per source."""
+    from rdfa_streaming_parser_js_spark.operators.resolution import (
+        ifp_same_as, resolve_same_as)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    t = (extract_triples(rich_pages_from_documents(spark, sf_dir),
+                         lang_col=None)  # template carries no language
+         .select("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                 "obj_datatype", "obj_lang").distinct()
+         .localCheckpoint(eager=True))
+    persons = (t.filter((F.col("pred") == RDF_TYPE)
+                        & (F.col("obj_value") == f"{SCHEMA_ORG}Person"))
+               .select("subj").distinct())
+    person_names = t.join(persons, "subj").filter(
+        F.col("pred") == f"{SCHEMA_ORG}name")
+    edges = ifp_same_as(person_names, [f"{SCHEMA_ORG}name"])
+    resolved = resolve_same_as(t.unionByName(edges))
+    return (resolved.filter(
+        (F.col("pred") == f"{SCHEMA_ORG}author")
+        | ((F.col("pred") == f"{SCHEMA_ORG}name")
+           & (F.col("subj_kind") == "bnode")))
+        .distinct())
 
 
 def _quads_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1698,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": q_kg_sparql_update,
         "kg_owl_entail": q_kg_owl_entail,
         "kg_maintenance_stream": q_kg_maintenance_stream,
+        "kg_ifp_resolution": q_kg_ifp_resolution,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1706,7 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "warc_to_graph": q_warc_to_graph,
         "embedding_kmeans": q_embedding_kmeans,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
@@ -1747,6 +1780,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
         "json_graph_nodes": q_json_graph_nodes,  # retired round 4 (r03)
         "warc_roundtrip": q_warc_roundtrip,  # retired round 4 (r03)
+        "tfidf_top_terms": q_tfidf_top_terms,  # retired round 4 (r03)
         "rdfa_page_stats": q_rdfa_page_stats,
         "rdfa_pr_vs_expected": q_rdfa_pr_vs_expected,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2198,6 +2232,53 @@ def oracle_sql() -> dict[str, str]:
                 WHERE pred IN ('{SCHEMA_ORG}author', '{_RDF_NS}rest')
                 UNION ALL SELECT * FROM restrows
                 UNION ALL SELECT * FROM inv)
+        """,
+        # IFP entity matching: author bnodes sharing a schema:name
+        # literal (full identity: value+datatype+lang) map to the
+        # group's min member; author edges and bnode name rows rewrite
+        # onto the anchor, kind re-derived from the winner's shape.
+        "kg_ifp_resolution": f"""
+            WITH t AS (SELECT * FROM ({_rich_sql()})),
+            g AS (SELECT DISTINCT subj, subj_kind, pred, obj_value,
+                         obj_kind, obj_datatype, obj_lang FROM t),
+            persons AS (SELECT DISTINCT subj FROM g
+                        WHERE pred = '{RDF_TYPE}'
+                          AND obj_value = '{SCHEMA_ORG}Person'),
+            pname AS (SELECT g.subj AS node, g.obj_value AS v,
+                             coalesce(g.obj_datatype, '') AS dt,
+                             coalesce(g.obj_lang, '') AS lang
+                      FROM g JOIN persons p ON p.subj = g.subj
+                      WHERE g.pred = '{SCHEMA_ORG}name'
+                        AND g.obj_kind = 'literal'),
+            anchors AS (SELECT v, dt, lang, min(node) AS anchor
+                        FROM pname GROUP BY v, dt, lang),
+            map AS (SELECT DISTINCT n.node, a.anchor FROM pname n
+                    JOIN anchors a ON a.v = n.v AND a.dt = n.dt
+                                  AND a.lang = n.lang
+                    WHERE n.node <> a.anchor),
+            auth AS (SELECT g.subj, g.subj_kind, g.pred,
+                            coalesce(m.anchor, g.obj_value) AS obj_value,
+                            CASE WHEN m.anchor IS NULL THEN g.obj_kind
+                                 WHEN substr(m.anchor, 1, 2) = '_:'
+                                   THEN 'bnode' ELSE 'iri'
+                            END AS obj_kind,
+                            g.obj_datatype, g.obj_lang
+                     FROM g LEFT JOIN map m
+                       ON m.node = g.obj_value
+                      AND g.obj_kind <> 'literal'
+                     WHERE g.pred = '{SCHEMA_ORG}author'),
+            pn AS (SELECT coalesce(m.anchor, g.subj) AS subj,
+                          CASE WHEN m.anchor IS NULL THEN g.subj_kind
+                               WHEN substr(m.anchor, 1, 2) = '_:'
+                                 THEN 'bnode' ELSE 'iri'
+                          END AS subj_kind,
+                          g.pred, g.obj_value, g.obj_kind,
+                          g.obj_datatype, g.obj_lang
+                   FROM g LEFT JOIN map m ON m.node = g.subj
+                   WHERE g.pred = '{SCHEMA_ORG}name'
+                     AND g.subj_kind = 'bnode')
+            SELECT DISTINCT * FROM (
+                SELECT * FROM auth UNION ALL SELECT * FROM pn)
         """,
         # LANGMATCHES = case-insensitive exact or '-'-boundary prefix;
         # DATATYPE of a typed literal = its datatype IRI; the kind

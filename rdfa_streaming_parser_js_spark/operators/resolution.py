@@ -102,3 +102,63 @@ def resolve_same_as(triples: DataFrame,
                      .otherwise(F.col("obj_kind")))
          .drop("obj_canonical"))
     return t
+
+
+TERM_COLS = ("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+             "obj_datatype", "obj_lang")
+
+
+def ifp_same_as(triples: DataFrame, ifp_preds,
+                max_group: int | None = None) -> DataFrame:
+    """owl:InverseFunctionalProperty entity matching (OWL 2 RL
+    ``prp-ifp``): two nodes asserting the SAME literal for an
+    inverse-functional predicate (an identifier, an ISBN, an email)
+    denote the same entity.  Returns the derived ``owl:sameAs``
+    edges as triples-shaped rows — union them into the graph and hand
+    the result to :func:`resolve_same_as` / :func:`same_as_mapping`.
+
+    Never forms the quadratic within-group pairs: each
+    ``(pred, literal)`` group links every member to the group's
+    lexicographic-min node (a star — linear in the group size), which
+    the component algorithm then merges with any asserted sameAs
+    edges.  Grouping is on the FULL literal identity
+    (value + datatype + language), per OWL literal equality.
+
+    ``max_group`` guards against junk identifiers (an empty string or
+    a placeholder shared by millions of nodes would otherwise weld
+    unrelated entities into one): groups larger than the bound derive
+    nothing.  Pass the caller's notion of "implausibly popular".
+
+    Scale: one shuffle on the identifier key; the star output is the
+    only thing that leaves the group.  Feed it a pre-filtered slice
+    (the IFP predicates of one entity type) — the full graph never
+    participates.
+    """
+    ifp_preds = list(ifp_preds)
+    if not ifp_preds:
+        raise ValueError("ifp_same_as needs at least one IFP predicate")
+    nodes = (triples.filter(F.col("pred").isin(ifp_preds)
+                            & (F.col("obj_kind") == "literal"))
+             .select("pred",
+                     "obj_value",
+                     F.coalesce("obj_datatype", F.lit("")).alias("dt"),
+                     F.coalesce("obj_lang", F.lit("")).alias("lang"),
+                     F.col("subj").alias("node"),
+                     F.col("subj_kind").alias("node_kind"))
+             .distinct())
+    key = ["pred", "obj_value", "dt", "lang"]
+    anchors = (nodes.groupBy(*key)
+               .agg(F.min("node").alias("anchor"),
+                    F.count(F.lit(1)).alias("n")))
+    if max_group is not None:
+        anchors = anchors.filter(F.col("n") <= max_group)
+    return (nodes.join(anchors, key)
+            .filter(F.col("node") != F.col("anchor"))
+            .select(F.col("node").alias("subj"),
+                    F.col("node_kind").alias("subj_kind"),
+                    F.lit(OWL_SAMEAS).alias("pred"),
+                    F.col("anchor").alias("obj_value"),
+                    _kind_of(F.col("anchor")).alias("obj_kind"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"))
+            .distinct())
