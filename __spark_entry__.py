@@ -840,6 +840,28 @@ def q_ntriples_roundtrip(spark, sf_dir):
     return parse_ntriples_lines(ntriples_lines(_triples(spark, sf_dir)))
 
 
+TURTLE_PREFIXES = {
+    "schema": SCHEMA_ORG,
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "xsd": XSD,
+}
+
+
+def q_turtle_sink(spark, sf_dir):
+    """Turtle interchange sink: the deduplicated graph serialized to
+    prefix-compacted Turtle lines (functions/turtle.py — longest-
+    namespace compaction, ``a`` shorthand, shared ECHAR escaping; pure
+    codegen concat/CASE, zero shuffle beyond the graph-set distinct).
+    The DuckDB oracle is the term-for-term SQL mirror."""
+    from rdfa_streaming_parser_js_spark.functions.turtle import (
+        turtle_lines)
+    t = (_triples(spark, sf_dir)
+         .select("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                 "obj_datatype", "obj_lang")
+         .distinct())
+    return turtle_lines(t, TURTLE_PREFIXES)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms by tf·idf (single
     per-row product, no float sums — deterministic)."""
@@ -1732,11 +1754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_entail": q_kg_owl_entail,
         "kg_maintenance_stream": q_kg_maintenance_stream,
         "kg_ifp_resolution": q_kg_ifp_resolution,
+        "turtle_sink": q_turtle_sink,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_pagerank": q_kg_pagerank,
-        "kg_cooccurrence": q_kg_cooccurrence,
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "warc_to_graph": q_warc_to_graph,
         "embedding_kmeans": q_embedding_kmeans,
@@ -1778,6 +1800,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SURVEY.md §2.4."""
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
+        "kg_cooccurrence": q_kg_cooccurrence,  # retired round 4 (r03)
         "json_graph_nodes": q_json_graph_nodes,  # retired round 4 (r03)
         "warc_roundtrip": q_warc_roundtrip,  # retired round 4 (r03)
         "tfidf_top_terms": q_tfidf_top_terms,  # retired round 4 (r03)
@@ -3239,6 +3262,15 @@ def oracle_sql() -> dict[str, str]:
     oracles["kg_maintenance_stream"] = oracles["rdfa_extract"]
     # serialize → parse must be the identity on the extracted graph
     oracles["ntriples_roundtrip"] = oracles["rdfa_extract"]
+    # Turtle sink: the SQL mirror of functions/turtle.turtle_lines over
+    # the deduplicated expected graph (same compaction order, same ECHAR
+    # chain, same 'a' shorthand)
+    from rdfa_streaming_parser_js_spark.functions.turtle import (
+        turtle_lines_sql as _turtle_sql)
+    oracles["turtle_sink"] = _turtle_sql(
+        "SELECT DISTINCT subj, subj_kind, pred, obj_value, obj_kind,"
+        " obj_datatype, obj_lang"
+        f" FROM ({expected_triples_sql()})", TURTLE_PREFIXES)
     from rdfa_streaming_parser_js_spark.functions.jsonld import (
         json_graph_nodes_sql as _json_nodes_sql)
     oracles["json_graph_nodes"] = _json_nodes_sql(expected_triples_sql())

@@ -1,0 +1,131 @@
+"""Turtle serialization as native column expressions.
+
+The third text interchange sink (next to N-Triples and N-Quads,
+functions/ntriples.py / nquads.py): Turtle with prefix compaction —
+the format KG consumers actually read.  The reference emits RDFJS
+quads (/root/reference/lib/RdfaParser.ts:803-811); Turtle is the
+serialization its ecosystem's `rdf-serialize-turtle` pairing writes.
+
+Kept deterministic and whole-stage-codegen-clean like the other sinks:
+
+- One line per triple (valid Turtle — predicate grouping with ``;``
+  is an optional compression, not a conformance requirement), so the
+  output is order-insensitive and a plain ``.write.text`` sink.
+- An IRI compacts to ``prefix:local`` when it extends a declared
+  namespace and the remainder is PN_LOCAL-safe (conservative subset:
+  leading alnum/underscore, then alnum/``_.-``, no trailing dot —
+  anything else keeps the ``<...>`` form).  The LONGEST matching
+  namespace wins; ties cannot occur (namespaces are distinct strings).
+- ``rdf:type`` in predicate position prints as ``a``.
+- Literal escaping is the shared ECHAR chain (functions/ntriples.py);
+  plain literals stay bare (implied xsd:string), language literals get
+  ``@lang``, typed literals a compacted ``^^`` datatype.
+
+Scale shape: a projection — no shuffle, no Python; the prefix table
+is a compiled CASE chain (bounded: prefix maps are human-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdfa_streaming_parser_js_spark.functions.ntriples import (
+    escape_literal)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# conservative PN_LOCAL: no leading/trailing dot, no %-escapes needed
+_LOCAL_RE = r"^[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?$"
+
+
+def turtle_header(prefixes: dict[str, str]) -> str:
+    """``@prefix`` block for the given {prefix: namespace} map, sorted
+    by prefix — prepend to the written lines."""
+    return "".join(f"@prefix {p}: <{ns}> .\n"
+                   for p, ns in sorted(prefixes.items()))
+
+
+def _compact_iri(value: Column, prefixes: dict[str, str]) -> Column:
+    """``prefix:local`` when a namespace + safe local part matches,
+    else ``<iri>``.  Longest namespace tried first."""
+    out = F.concat(F.lit("<"), value, F.lit(">"))
+    for p, ns in sorted(prefixes.items(),
+                        key=lambda kv: len(kv[1])):  # longest LAST wins
+        local = F.substring(value, len(ns) + 1, 2_000_000)
+        out = F.when(
+            value.startswith(ns) & local.rlike(_LOCAL_RE),
+            F.concat(F.lit(p + ":"), local)).otherwise(out)
+    return out
+
+
+def _term(value: Column, kind: Column, prefixes: dict[str, str],
+          datatype: Column | None = None,
+          lang: Column | None = None) -> Column:
+    iri = _compact_iri(value, prefixes)
+    if datatype is None:  # subject position: iri | bnode
+        return F.when(kind == "iri", iri).otherwise(value)
+    lit = F.concat(
+        F.lit('"'), escape_literal(value), F.lit('"'),
+        F.when(lang.isNotNull(), F.concat(F.lit("@"), lang))
+        .when(datatype.isNotNull(),
+              F.concat(F.lit("^^"), _compact_iri(datatype, prefixes)))
+        .otherwise(F.lit("")))
+    return (F.when(kind == "iri", iri)
+            .when(kind == "bnode", value)
+            .otherwise(lit))
+
+
+def turtle_lines(triples: DataFrame, prefixes: dict[str, str],
+                 url_col: str | None = None) -> DataFrame:
+    """triples DF → one Turtle line per triple (``(url, line)`` when
+    ``url_col`` is given, else ``(line)``).  Write with
+    ``.write.text`` after prepending :func:`turtle_header`."""
+    pred = F.when(F.col("pred") == RDF_TYPE, F.lit("a")).otherwise(
+        _compact_iri(F.col("pred"), prefixes))
+    line = F.concat_ws(
+        " ",
+        _term(F.col("subj"), F.col("subj_kind"), prefixes),
+        pred,
+        _term(F.col("obj_value"), F.col("obj_kind"), prefixes,
+              F.col("obj_datatype"), F.col("obj_lang")),
+        F.lit("."))
+    if url_col is None:
+        return triples.select(line.alias("line"))
+    return triples.select(F.col(url_col).alias("url"), line.alias("line"))
+
+
+def turtle_lines_sql(triples_cte: str, prefixes: dict[str, str]) -> str:
+    """DuckDB mirror of :func:`turtle_lines` (no url column) over a
+    triples-shaped CTE — same compaction order, same escaping."""
+    def esc(col: str) -> str:
+        bs = "chr(92)"
+        return (f"replace(replace(replace(replace(replace({col}, "
+                f"{bs}, {bs} || {bs}), "
+                f"'\"', {bs} || '\"'), "
+                f"chr(10), {bs} || 'n'), "
+                f"chr(13), {bs} || 'r'), "
+                f"chr(9), {bs} || 't')")
+
+    def compact(col: str) -> str:
+        out = f"'<' || {col} || '>'"
+        for p, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+            local = f"substr({col}, {len(ns) + 1})"
+            out = (f"CASE WHEN starts_with({col}, '{ns}') "
+                   f"AND regexp_matches({local}, '{_LOCAL_RE}') "
+                   f"THEN '{p}:' || {local} ELSE {out} END")
+        return out
+
+    subj = (f"CASE WHEN subj_kind = 'iri' THEN {compact('subj')} "
+            f"ELSE subj END")
+    pred = (f"CASE WHEN pred = '{RDF_TYPE}' THEN 'a' "
+            f"ELSE {compact('pred')} END")
+    obj = (f"CASE WHEN obj_kind = 'iri' THEN {compact('obj_value')} "
+           f"WHEN obj_kind = 'bnode' THEN obj_value "
+           f"ELSE '\"' || {esc('obj_value')} || '\"' || "
+           f"CASE WHEN obj_lang IS NOT NULL THEN '@' || obj_lang "
+           f"WHEN obj_datatype IS NOT NULL "
+           f"THEN '^^' || {compact('obj_datatype')} "
+           f"ELSE '' END END")
+    return (f"SELECT {subj} || ' ' || {pred} || ' ' || {obj} || ' .' "
+            f"AS line FROM ({triples_cte})")

@@ -1,0 +1,88 @@
+"""Turtle serialization sink (functions/turtle.py): prefix compaction,
+'a' shorthand, escaping — Spark vs the DuckDB SQL mirror."""
+
+from __future__ import annotations
+
+import duckdb
+
+from rdfa_streaming_parser_js_spark.functions.turtle import (
+    RDF_TYPE, turtle_header, turtle_lines, turtle_lines_sql)
+
+S = "http://schema.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+PFX = {"schema": S, "xsd": XSD, "rdf": RDF}
+
+COLS = ("subj string, subj_kind string, pred string, obj_value string,"
+        " obj_kind string, obj_datatype string, obj_lang string")
+
+ROWS = [
+    ("http://ex.org/d1", "iri", RDF_TYPE, f"{S}Article", "iri",
+     None, None),
+    ("http://ex.org/d1", "iri", f"{S}name", 'al"pha\n', "literal",
+     None, "en"),
+    ("http://ex.org/d1", "iri", f"{S}wordCount", "120", "literal",
+     f"{XSD}integer", None),
+    ("http://ex.org/d1", "iri", f"{S}author", "_:b0", "bnode",
+     None, None),
+    ("_:b0", "bnode", f"{S}name", "carol", "literal", None, None),
+    # local part with a slash — must NOT compact
+    ("http://ex.org/d1", "iri", f"{S}isPartOf", f"{S}a/b", "iri",
+     None, None),
+    # trailing dot local — must NOT compact
+    ("http://ex.org/d1", "iri", f"{S}sameAs", f"{S}v1.", "iri",
+     None, None),
+]
+
+
+def _lines(spark):
+    df = spark.createDataFrame(ROWS, COLS)
+    return sorted(r.line for r in turtle_lines(df, PFX).collect())
+
+
+def test_turtle_compaction_and_shorthand(spark):
+    lines = _lines(spark)
+    assert "<http://ex.org/d1> a schema:Article ." in lines
+    assert ('<http://ex.org/d1> schema:name "al\\"pha\\n"@en .'
+            in lines)
+    assert ("<http://ex.org/d1> schema:wordCount "
+            '"120"^^xsd:integer .' in lines)
+    assert "<http://ex.org/d1> schema:author _:b0 ." in lines
+    assert '_:b0 schema:name "carol" .' in lines
+    # unsafe locals keep the full IRI form
+    assert ("<http://ex.org/d1> schema:isPartOf "
+            f"<{S}a/b> ." in lines)
+    assert ("<http://ex.org/d1> schema:sameAs "
+            f"<{S}v1.> ." in lines)
+
+
+def test_turtle_header_sorted():
+    hdr = turtle_header(PFX)
+    assert hdr.splitlines() == [
+        f"@prefix rdf: <{RDF}> .",
+        f"@prefix schema: <{S}> .",
+        f"@prefix xsd: <{XSD}> .",
+    ]
+
+
+def test_turtle_sql_mirror_matches(spark):
+    got = _lines(spark)
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + ", ".join("NULL" if v is None
+                        else "'" + v.replace("'", "''") + "'"
+                        for v in row) + ")" for row in ROWS)
+    cte = (f"SELECT * FROM (VALUES {vals}) AS t(subj, subj_kind, pred,"
+           f" obj_value, obj_kind, obj_datatype, obj_lang)")
+    want = sorted(r[0] for r in
+                  con.sql(turtle_lines_sql(cte, PFX)).fetchall())
+    assert got == want
+
+
+def test_turtle_longest_namespace_wins(spark):
+    pfx = {"s": "http://ex.org/", "sv": "http://ex.org/vocab/"}
+    df = spark.createDataFrame(
+        [("http://ex.org/vocab/x", "iri", "http://ex.org/p",
+          "plain", "literal", None, None)], COLS)
+    line = turtle_lines(df, pfx).collect()[0].line
+    assert line == 'sv:x s:p "plain" .'
