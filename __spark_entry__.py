@@ -862,6 +862,22 @@ def q_turtle_sink(spark, sf_dir):
     return turtle_lines(t, TURTLE_PREFIXES)
 
 
+def q_turtle_roundtrip(spark, sf_dir):
+    """Turtle interchange pair: serialize the deduplicated graph to
+    prefix-compacted lines and parse them back with the distributed
+    Turtle READER (term splits + per-term codegen regex) — output must
+    equal the input graph, so the oracle is the distinct expected
+    triple set."""
+    from rdfa_streaming_parser_js_spark.functions.turtle import (
+        parse_turtle_lines, turtle_lines)
+    t = (_triples(spark, sf_dir)
+         .select("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                 "obj_datatype", "obj_lang")
+         .distinct())
+    return parse_turtle_lines(turtle_lines(t, TURTLE_PREFIXES),
+                              TURTLE_PREFIXES)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms by tf·idf (single
     per-row product, no float sums — deterministic)."""
@@ -1768,7 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "kg_snapshot_delta": q_kg_snapshot_delta,
         "kg_recrawl_merge": q_kg_recrawl_merge,
-        "kg_bgp_same_source": q_kg_bgp_same_source,
+        "turtle_roundtrip": q_turtle_roundtrip,
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
         "kg_entity_table": q_kg_entity_table,
         # -- round-3 SPARQL/KG slab (first driver rows this round) ----
@@ -1801,6 +1817,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
         "kg_cooccurrence": q_kg_cooccurrence,  # retired round 4 (r03)
+        "kg_bgp_same_source": q_kg_bgp_same_source,  # retired r04 (r03)
         "json_graph_nodes": q_json_graph_nodes,  # retired round 4 (r03)
         "warc_roundtrip": q_warc_roundtrip,  # retired round 4 (r03)
         "tfidf_top_terms": q_tfidf_top_terms,  # retired round 4 (r03)
@@ -3271,6 +3288,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT DISTINCT subj, subj_kind, pred, obj_value, obj_kind,"
         " obj_datatype, obj_lang"
         f" FROM ({expected_triples_sql()})", TURTLE_PREFIXES)
+    # Turtle serialize → parse must be the identity on the graph set
+    oracles["turtle_roundtrip"] = (
+        "SELECT DISTINCT subj, subj_kind, pred, obj_value, obj_kind,"
+        " obj_datatype, obj_lang"
+        f" FROM ({expected_triples_sql()})")
     from rdfa_streaming_parser_js_spark.functions.jsonld import (
         json_graph_nodes_sql as _json_nodes_sql)
     oracles["json_graph_nodes"] = _json_nodes_sql(expected_triples_sql())

@@ -139,7 +139,7 @@ def main() -> None:
         "graph_table_roundtrip", "kg_values_lang_label",
         "kg_exists_filters", "kg_bind_expr", "kg_sparql_select",
         "kg_sparql_update", "kg_owl_entail", "kg_maintenance_stream",
-        "kg_ifp_resolution", "turtle_sink",
+        "kg_ifp_resolution", "turtle_sink", "turtle_roundtrip",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)

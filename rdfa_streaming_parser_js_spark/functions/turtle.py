@@ -1,10 +1,12 @@
 """Turtle serialization as native column expressions.
 
-The third text interchange sink (next to N-Triples and N-Quads,
+The third text interchange pair (next to N-Triples and N-Quads,
 functions/ntriples.py / nquads.py): Turtle with prefix compaction —
 the format KG consumers actually read.  The reference emits RDFJS
 quads (/root/reference/lib/RdfaParser.ts:803-811); Turtle is the
 serialization its ecosystem's `rdf-serialize-turtle` pairing writes.
+:func:`parse_turtle_lines` reads the one-line-per-triple dialect back
+(serialize → parse is the identity on any triples frame).
 
 Kept deterministic and whole-stage-codegen-clean like the other sinks:
 
@@ -93,6 +95,78 @@ def turtle_lines(triples: DataFrame, prefixes: dict[str, str],
     if url_col is None:
         return triples.select(line.alias("line"))
     return triples.select(F.col(url_col).alias("url"), line.alias("line"))
+
+
+# --------------------------------------------------------------------------
+# reader (the source half of the interchange pair)
+# --------------------------------------------------------------------------
+
+# Coarse line shape for the one-triple-per-line Turtle this sink emits:
+# three space-separated terms, object may contain spaces only inside the
+# quoted literal, line ends " .".  Term-level regexes below do the real
+# validation; this filter drops comments/blank/garbage lines.
+_PNAME_RE = r"[A-Za-z][A-Za-z0-9_.\-]*:[^\s<>\"]*"
+TTL_LINE_RE = (r'^(?:<[^>]*>|_:\S+|' + _PNAME_RE + r') '
+               r'(?:a|<[^>]*>|' + _PNAME_RE + r') '
+               r'(?:<[^>]*>|_:\S+|' + _PNAME_RE + r'|"(?:[^"\\]|\\.)*"'
+               r'(?:@[A-Za-z0-9-]+|\^\^(?:<[^>]*>|' + _PNAME_RE + r'))?)'
+               r' \.$')
+
+# literal object: "escaped" [@lang | ^^<dt> | ^^pname]
+_LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(.+))?$'
+
+
+def _expand_iri(term: Column, prefixes: dict[str, str]) -> Column:
+    """Inverse of :func:`_compact_iri`: ``<iri>`` → iri, ``p:local`` →
+    namespace + local for declared prefixes.  Prefix match is exact, so
+    expansion order does not matter."""
+    out = F.regexp_replace(term, r"^<(.*)>$", r"$1")
+    for p, ns in sorted(prefixes.items()):
+        out = F.when(term.startswith(p + ":"),
+                     F.concat(F.lit(ns),
+                              F.substring(term, len(p) + 2, 2_000_000))
+                     ).otherwise(out)
+    return out
+
+
+def parse_turtle_lines(lines: DataFrame, prefixes: dict[str, str],
+                       line_col: str = "line") -> DataFrame:
+    """(.., line) → triples columns — the distributed Turtle SOURCE for
+    the one-line-per-triple dialect :func:`turtle_lines` writes (the
+    prefix map must cover the file's ``@prefix`` header).  Pure codegen:
+    line filter + term splits + per-term regex/replace chains; rows that
+    do not match the grammar (comments, ``@prefix`` headers, blanks) are
+    dropped.  Passthrough columns other than ``line_col`` are kept."""
+    line = F.col(line_col)
+    subj_t = F.split_part(line, F.lit(" "), F.lit(1))
+    pred_t = F.split_part(line, F.lit(" "), F.lit(2))
+    # object = everything between the second space and the final " ."
+    head = F.length(subj_t) + F.length(pred_t) + 2
+    obj_t = F.substring(line, head + 1, F.length(line) - head - 2)
+    lit_v = F.regexp_extract(obj_t, _LIT_RE, 1)
+    lit_lang = F.regexp_extract(obj_t, _LIT_RE, 2)
+    lit_dt = F.regexp_extract(obj_t, _LIT_RE, 3)
+    is_lit = obj_t.startswith('"')
+    passthrough = [c for c in lines.columns if c != line_col]
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        unescape_literal)
+    return lines.filter(line.rlike(TTL_LINE_RE)).select(
+        *passthrough,
+        F.when(subj_t.startswith("_:"), subj_t)
+        .otherwise(_expand_iri(subj_t, prefixes)).alias("subj"),
+        F.when(subj_t.startswith("_:"), F.lit("bnode"))
+        .otherwise(F.lit("iri")).alias("subj_kind"),
+        F.when(pred_t == "a", F.lit(RDF_TYPE))
+        .otherwise(_expand_iri(pred_t, prefixes)).alias("pred"),
+        F.when(is_lit, unescape_literal(lit_v))
+        .when(obj_t.startswith("_:"), obj_t)
+        .otherwise(_expand_iri(obj_t, prefixes)).alias("obj_value"),
+        F.when(is_lit, F.lit("literal"))
+        .when(obj_t.startswith("_:"), F.lit("bnode"))
+        .otherwise(F.lit("iri")).alias("obj_kind"),
+        F.when(is_lit & (lit_dt != ""),
+               _expand_iri(lit_dt, prefixes)).alias("obj_datatype"),
+        F.when(is_lit & (lit_lang != ""), lit_lang).alias("obj_lang"))
 
 
 def turtle_lines_sql(triples_cte: str, prefixes: dict[str, str]) -> str:

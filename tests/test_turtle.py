@@ -79,6 +79,30 @@ def test_turtle_sql_mirror_matches(spark):
     assert got == want
 
 
+def test_turtle_roundtrip_identity(spark):
+    from pyspark.sql import functions as F
+
+    from rdfa_streaming_parser_js_spark.functions.turtle import (
+        parse_turtle_lines)
+    df = spark.createDataFrame(ROWS, COLS)
+    back = parse_turtle_lines(turtle_lines(df, PFX), PFX)
+    want = sorted(tuple(r) for r in df.collect())
+    got = sorted(tuple(r) for r in back.select(*df.columns).collect())
+    assert got == want
+    # non-triple lines (headers, comments, blanks) are dropped
+    noise = spark.createDataFrame(
+        [(turtle_header(PFX).splitlines()[0],), ("# comment",), ("",)],
+        "line string")
+    assert parse_turtle_lines(noise, PFX).count() == 0
+    # unknown prefixes stay un-expanded only if they match the grammar;
+    # a pname with a declared prefix expands, '<>'-form passes through
+    one = spark.createDataFrame(
+        [("schema:a schema:b schema:c .",)], "line string")
+    row = parse_turtle_lines(one, PFX).collect()[0]
+    assert row.subj == f"{S}a" and row.pred == f"{S}b"
+    assert row.obj_value == f"{S}c" and row.obj_kind == "iri"
+
+
 def test_turtle_longest_namespace_wins(spark):
     pfx = {"s": "http://ex.org/", "sv": "http://ex.org/vocab/"}
     df = spark.createDataFrame(
