@@ -82,6 +82,12 @@ NOTES = {
         "multiplicities cannot change, probe sides are predicate-pruned "
         "slices, and AQE broadcasts whichever side is small at "
         "runtime."),
+    "turtle_sink": (
+        "Serialization is pure projection: the compiled "
+        "prefix-compaction CASE chain and ECHAR escaping run inside "
+        "WholeStageCodegen — the only Exchange is the graph-set "
+        "distinct the sink consumes (and a pre-deduplicated graph "
+        "table needs none)."),
 }
 
 
