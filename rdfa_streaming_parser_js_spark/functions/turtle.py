@@ -169,6 +169,41 @@ def parse_turtle_lines(lines: DataFrame, prefixes: dict[str, str],
         F.when(is_lit & (lit_lang != ""), lit_lang).alias("obj_lang"))
 
 
+_PREFIX_DECL_RE = r"^@prefix\s+([A-Za-z][A-Za-z0-9_.\-]*):\s+<([^>]*)>\s+\.$"
+
+
+def read_turtle(spark, path: str) -> DataFrame:
+    """Read a Turtle dump written by :func:`turtle_header` +
+    :func:`turtle_lines` back into a triples frame.  The ``@prefix``
+    declarations are recovered from the file itself (one bounded
+    collect — prefix maps are human-sized), then every data line is
+    parsed distributed; header/comment/blank lines drop out in
+    :func:`parse_turtle_lines`'s grammar filter."""
+    import re
+
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    decls = (lines.filter(F.col("line").rlike(_PREFIX_DECL_RE))
+             .distinct().collect())
+    prefixes = {}
+    for row in decls:
+        m = re.match(_PREFIX_DECL_RE, row.line)
+        if m:
+            prefixes[m.group(1)] = m.group(2)
+    return parse_turtle_lines(lines, prefixes)
+
+
+def write_turtle(triples: DataFrame, prefixes: dict[str, str],
+                 path: str) -> None:
+    """Write a triples frame as a Turtle dump: data lines distributed
+    via ``.write.text``, the ``@prefix`` header as one extra shard
+    (every line is self-delimiting, so shard order is irrelevant)."""
+    spark = triples.sparkSession
+    turtle_lines(triples, prefixes).write.mode("overwrite").text(path)
+    hdr = [(ln,) for ln in turtle_header(prefixes).splitlines()]
+    (spark.createDataFrame(hdr, "line string").coalesce(1)
+     .write.mode("append").text(path))
+
+
 def turtle_lines_sql(triples_cte: str, prefixes: dict[str, str]) -> str:
     """DuckDB mirror of :func:`turtle_lines` (no url column) over a
     triples-shaped CTE — same compaction order, same escaping."""

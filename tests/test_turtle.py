@@ -103,6 +103,17 @@ def test_turtle_roundtrip_identity(spark):
     assert row.obj_value == f"{S}c" and row.obj_kind == "iri"
 
 
+def test_turtle_file_roundtrip(spark, tmp_path):
+    from rdfa_streaming_parser_js_spark.functions.turtle import (
+        read_turtle, write_turtle)
+    df = spark.createDataFrame(ROWS, COLS)
+    write_turtle(df, PFX, str(tmp_path / "g.ttl"))
+    back = read_turtle(spark, str(tmp_path / "g.ttl"))
+    want = sorted(tuple(r) for r in df.collect())
+    got = sorted(tuple(r) for r in back.select(*df.columns).collect())
+    assert got == want
+
+
 def test_turtle_longest_namespace_wins(spark):
     pfx = {"s": "http://ex.org/", "sv": "http://ex.org/vocab/"}
     df = spark.createDataFrame(
