@@ -121,3 +121,49 @@ def test_turtle_longest_namespace_wins(spark):
           "plain", "literal", None, None)], COLS)
     line = turtle_lines(df, pfx).collect()[0].line
     assert line == 'sv:x s:p "plain" .'
+
+
+def test_turtle_roundtrip_fuzz(spark):
+    """Seeded slice of the 20k-row campaign: random nasty literals
+    (quotes/backslashes/control bytes/unicode/grammar-lookalike text),
+    IRIs restricted to valid IRI characters (the extractor's
+    isValidIri guard upstream), mixed kinds — serialize → parse must
+    be the identity."""
+    import random
+
+    from rdfa_streaming_parser_js_spark.functions.turtle import (
+        parse_turtle_lines)
+    rng = random.Random(1234)
+    nasty = ['"', "\\", "\n", "\r", "\t", "\x01", "\x7f", "é", "中",
+             " ", ".", "@", "^^", "<", ">", "_:", "a ", " .", '\\"',
+             "schema:", "@en", "x", "y z"]
+
+    def lit():
+        return "".join(rng.choice(nasty)
+                       for _ in range(rng.randint(0, 8)))
+
+    def iri():
+        frag = "".join(rng.choice("abz09._-~%/#?=&+,;:!*'()")
+                       for _ in range(rng.randint(0, 10)))
+        return rng.choice([S, XSD, "http://ex.org/ns/", "urn:x:"]) + frag
+
+    rows = []
+    for i in range(400):
+        sk = rng.choice(["iri", "bnode"])
+        subj = iri() if sk == "iri" else f"_:b{i}"
+        ok = rng.choice(["iri", "bnode", "literal", "literal"])
+        if ok == "literal":
+            dt = iri() if rng.random() < 0.4 else None
+            lang = None if dt else rng.choice(["en-US", None])
+            ov = lit()
+        else:
+            dt = lang = None
+            ov = iri() if ok == "iri" else f"_:o{i}"
+        rows.append((subj, sk, RDF_TYPE if i % 10 == 0 else iri(),
+                     ov, ok, dt, lang))
+    df = spark.createDataFrame(rows, COLS)
+    back = parse_turtle_lines(turtle_lines(df, PFX), PFX)
+    canon = lambda rs: sorted(  # noqa: E731
+        tuple("" if v is None else v for v in r) for r in rs)
+    assert canon(back.select(*df.columns).collect()) == \
+        canon(df.collect())
