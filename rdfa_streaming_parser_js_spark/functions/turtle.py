@@ -138,11 +138,16 @@ def parse_turtle_lines(lines: DataFrame, prefixes: dict[str, str],
     do not match the grammar (comments, ``@prefix`` headers, blanks) are
     dropped.  Passthrough columns other than ``line_col`` are kept."""
     line = F.col(line_col)
-    subj_t = F.split_part(line, F.lit(" "), F.lit(1))
-    pred_t = F.split_part(line, F.lit(" "), F.lit(2))
-    # object = everything between the second space and the final " ."
-    head = F.length(subj_t) + F.length(pred_t) + 2
-    obj_t = F.substring(line, head + 1, F.length(line) - head - 2)
+    # leading term = bracketed IRI first (IRIs may contain spaces —
+    # ordered alternation, so a naive space-split would shear them),
+    # else the next space-free token
+    term_head = r"^(<[^>]*>|\S+)"
+    subj_t = F.regexp_extract(line, term_head, 1)
+    rest = F.substring(line, F.length(subj_t) + 2, F.length(line))
+    pred_t = F.regexp_extract(rest, term_head, 1)
+    # object = everything after the predicate up to the final " ."
+    obj_t = F.substring(rest, F.length(pred_t) + 2,
+                        F.length(rest) - F.length(pred_t) - 3)
     lit_v = F.regexp_extract(obj_t, _LIT_RE, 1)
     lit_lang = F.regexp_extract(obj_t, _LIT_RE, 2)
     lit_dt = F.regexp_extract(obj_t, _LIT_RE, 3)
@@ -216,13 +221,16 @@ def turtle_lines_sql(triples_cte: str, prefixes: dict[str, str]) -> str:
                 f"chr(13), {bs} || 'r'), "
                 f"chr(9), {bs} || 't')")
 
+    def q(s: str) -> str:  # SQL string literal (quote-escaped)
+        return "'" + s.replace("'", "''") + "'"
+
     def compact(col: str) -> str:
         out = f"'<' || {col} || '>'"
         for p, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
             local = f"substr({col}, {len(ns) + 1})"
-            out = (f"CASE WHEN starts_with({col}, '{ns}') "
+            out = (f"CASE WHEN starts_with({col}, {q(ns)}) "
                    f"AND regexp_matches({local}, '{_LOCAL_RE}') "
-                   f"THEN '{p}:' || {local} ELSE {out} END")
+                   f"THEN {q(p + ':')} || {local} ELSE {out} END")
         return out
 
     subj = (f"CASE WHEN subj_kind = 'iri' THEN {compact('subj')} "

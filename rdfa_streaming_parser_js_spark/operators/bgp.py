@@ -48,6 +48,11 @@ def _is_var(term: str) -> bool:
 #: companion-column suffixes attached for ``meta_vars`` bindings
 META_SUFFIXES = ("__kind", "__lang", "__dt")
 
+#: the full seven-column RDF term schema every graph table carries —
+#: the single definition (update/entailment/resolution import it)
+TERM_COLS = ("subj", "subj_kind", "pred", "obj_value", "obj_kind",
+             "obj_datatype", "obj_lang")
+
 
 def _meta_exprs(triples: DataFrame, var: str, col: str) -> list:
     """Companion term-metadata expressions for a variable first bound
@@ -489,7 +494,11 @@ def bgp_construct(solutions: DataFrame, template: list[Pattern],
     text front-end collects these while parsing a template, since the
     engine's string patterns can't distinguish the literal ``"0"``
     from a relative IRI ``0``.  Matching constants emit
-    ``obj_kind='literal'`` with the given datatype/language.
+    ``obj_kind='literal'`` with the given datatype/language.  Keys are
+    LEXICAL forms: a template where the same text also appears as an
+    IRI constant is ambiguous under this marking (the SPARQL text
+    front-end rejects such templates at parse time; direct callers
+    must not mix the two).
     """
     if not template:
         raise ValueError("bgp_construct requires at least one pattern")

@@ -131,8 +131,8 @@ OWL_INVERSE = f"{OWL_NS}inverseOf"
 OWL_SYMMETRIC = f"{OWL_NS}SymmetricProperty"
 OWL_TRANSITIVE = f"{OWL_NS}TransitiveProperty"
 
-_TERM_COLS = ("subj", "subj_kind", "pred", "obj_value", "obj_kind",
-              "obj_datatype", "obj_lang")
+from rdfa_streaming_parser_js_spark.operators.bgp import (
+    TERM_COLS as _TERM_COLS)
 
 
 def _swap_pass(graph: DataFrame, swap_map: DataFrame) -> DataFrame:

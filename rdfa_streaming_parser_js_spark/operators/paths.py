@@ -279,27 +279,14 @@ def transitive_closure(pairs: DataFrame, max_rounds: int = 30,
     held: list[DataFrame] = []  # every frame this call persisted
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        # Eager checkpoint with constraint propagation disabled for the
-        # capture: Spark's Dataset.checkpoint otherwise snapshots the
-        # origin plan's constraints into the LogicalRDD, and for plans
-        # with filters those can reference pre-checkpoint exprIds —
-        # optimizing any later union over such frames then dies in
-        # UnionBase.rewriteConstraints with "key not found: <attr>".
-        # With the flag off during capture the LogicalRDD carries no
-        # constraints at all; the data is identical and only the
-        # optimizer's inferred-filter pass over these internal frames
-        # is skipped.
-        spark = df.sparkSession
-        key = "spark.sql.constraintPropagation.enabled"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "false")
-        try:
+        # Eager checkpoint under storage.constraints_disabled (see its
+        # docstring for the UnionBase.rewriteConstraints exprId bug the
+        # toggle works around; the lock serializes concurrent loops so
+        # the session conf is always restored correctly).
+        from rdfa_streaming_parser_js_spark.operators.storage import (
+            constraints_disabled)
+        with constraints_disabled(df.sparkSession):
             out = df.localCheckpoint(eager=True)
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
         held.append(out)
         return out
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdfa_streaming_parser_js_spark.operators.bgp import TERM_COLS
 from rdfa_streaming_parser_js_spark.operators.components import (
     connected_components_star)
 
@@ -102,10 +103,6 @@ def resolve_same_as(triples: DataFrame,
                      .otherwise(F.col("obj_kind")))
          .drop("obj_canonical"))
     return t
-
-
-TERM_COLS = ("subj", "subj_kind", "pred", "obj_value", "obj_kind",
-             "obj_datatype", "obj_lang")
 
 
 def ifp_same_as(triples: DataFrame, ifp_preds,

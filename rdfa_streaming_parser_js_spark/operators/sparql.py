@@ -342,6 +342,7 @@ class _Parser:
         # shape heuristic and be emitted as an IRI.
         self.in_template = False
         self.template_literals: dict[str, tuple] = {}
+        self.template_iris: set[str] = set()
 
     # -- token helpers ------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -425,7 +426,10 @@ class _Parser:
         if t.kind == "VAR":
             return t.text
         if t.kind in ("IRIREF", "PNAME", "COLON"):
-            return self.expand_iri(t)
+            iri = self.expand_iri(t)
+            if self.in_template:
+                self.template_iris.add(iri)
+            return iri
         if t.kind == "NAME" and t.text == "a":
             return RDF_TYPE
         if t.kind == "BNODE":
@@ -603,6 +607,8 @@ class _Parser:
                         "groups at the DataFrame level")
                 if not sub.patterns:
                     self.fail("GRAPH block contains no triple pattern")
+                if any(len(pat) > 3 for pat in sub.patterns):
+                    self.fail("nested GRAPH blocks are not supported")
                 # stamp the graph term onto each contained pattern; the
                 # compiler treats it as a 4th match position (a FILTER
                 # inside GRAPH scopes to the enclosing group, per
@@ -934,12 +940,17 @@ class _Parser:
 
 
 def _unquote(raw: str) -> str:
-    """Decode a SPARQL string literal body (ECHAR escapes)."""
-    body = raw[1:-1]
-    return (body.replace("\\\\", "\x00")
-                .replace("\\t", "\t").replace("\\n", "\n")
-                .replace("\\r", "\r").replace('\\"', '"')
-                .replace("\\'", "'").replace("\x00", "\\"))
+    """Decode a SPARQL string literal body (ECHAR escapes).
+
+    Sentinel-free, like functions/ntriples.unescape_literal: any raw
+    byte (including NUL) may legitimately appear inside the body, so a
+    sentinel character would corrupt it — split on escaped-backslash
+    pairs, decode ECHARs per part, re-join with a real backslash."""
+    def echars(part: str) -> str:
+        return (part.replace("\\t", "\t").replace("\\n", "\n")
+                    .replace("\\r", "\r").replace('\\"', '"')
+                    .replace("\\'", "'"))
+    return "\\".join(echars(p) for p in raw[1:-1].split("\\\\"))
 
 
 def _sql_str(s: str) -> str:
@@ -958,6 +969,7 @@ class ParsedUpdate:
     insert: list | None = None
     where: Group | None = None
     template_literals: dict = field(default_factory=dict)  # lex→(dt,lang)
+    meta_vars: frozenset = frozenset()  # vars whose FILTERs need term meta
 
 
 def _parse_data_term(p: _Parser, position: str):
@@ -1077,8 +1089,23 @@ def parse_update(text: str) -> ParsedUpdate:
         p.fail("expected INSERT or DELETE")
     if p.peek().kind != "EOF":
         p.fail("trailing input after update (one operation per call)")
+    _check_template_collisions(p)
     u.template_literals = dict(p.template_literals)
+    u.meta_vars = frozenset(p.meta_vars)
     return u
+
+
+def _check_template_collisions(p: _Parser) -> None:
+    """Literal-constant marking is by lexical form (the engine's
+    template terms are bare strings), so a template where the same text
+    appears both quoted and as an IRI would silently stamp the IRI
+    triple ``obj_kind='literal'`` — reject it loudly instead."""
+    clash = set(p.template_literals) & p.template_iris
+    if clash:
+        raise SparqlSyntaxError(
+            f"{sorted(clash)!r} appear(s) as both an IRI and a literal "
+            "constant in the template — ambiguous under lexical "
+            "literal marking; compose at the DataFrame level instead")
 
 
 def sparql_update(graph: DataFrame, text: str) -> DataFrame:
@@ -1102,6 +1129,7 @@ def sparql_update(graph: DataFrame, text: str) -> DataFrame:
     return U.apply_update(
         graph, delete=u.delete, insert=u.insert,
         literal_consts=u.template_literals or None,
+        meta_vars=u.meta_vars,
         where=g.patterns, filters=g.filters or None,
         optionals=g.optionals or None, minus=g.minus or None,
         values=g.values or None, binds=g.binds or None,
@@ -1167,6 +1195,7 @@ def parse_sparql(text: str) -> ParsedQuery:
     if p.peek().kind != "EOF":
         p.fail("trailing input after query")
     _stamp_meta(q, frozenset(p.meta_vars))
+    _check_template_collisions(p)
     q.template_literals = dict(p.template_literals)
     return q
 
@@ -1211,16 +1240,18 @@ def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
         if not q.order_by:
             p.fail("ORDER BY needs at least one key")
     # LIMIT/OFFSET accepted in either order, per the SPARQL grammar
+    # (grammar requires INTEGER — a decimal NUMBER token must fail as
+    # a SparqlSyntaxError, not a raw ValueError)
     for _ in range(2):
         if p.take_kw("limit"):
             t = p.next()
-            if t.kind != "NUMBER":
-                p.fail("expected LIMIT count")
+            if t.kind != "NUMBER" or not t.text.lstrip("+-").isdigit():
+                p.fail("expected integer LIMIT count")
             q.limit = int(t.text)
         elif p.take_kw("offset"):
             t = p.next()
-            if t.kind != "NUMBER":
-                p.fail("expected OFFSET count")
+            if t.kind != "NUMBER" or not t.text.lstrip("+-").isdigit():
+                p.fail("expected integer OFFSET count")
             q.offset = int(t.text)
 
 
@@ -1297,9 +1328,19 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
     if q.form == "ask":
         return (sol.limit(1)
                 .agg((F.count(F.lit(1)) > 0).alias("ask")))
-    out = bgp_construct(sol, q.template,
-                        literal_consts=q.template_literals or None)
-    return _slice(out, q)
+    # CONSTRUCT solution modifiers act on the SOLUTION SEQUENCE, not on
+    # the constructed triple bag (SPARQL 1.1 §16.2: template
+    # instantiation happens after ORDER/LIMIT/OFFSET) — slicing the
+    # output triples would truncate to an arbitrary subset of a graph.
+    if q.group_by or q.having:
+        raise SparqlSyntaxError(
+            "GROUP BY/HAVING in CONSTRUCT is not supported — aggregate "
+            "in a sub-SELECT inside the WHERE group instead")
+    if q.order_by:
+        sol = _order(sol, q.order_by)
+    sol = _slice(sol, q)
+    return bgp_construct(sol, q.template,
+                         literal_consts=q.template_literals or None)
 
 
 def _execute_select(triples: DataFrame, q: ParsedQuery) -> DataFrame:

@@ -11,7 +11,47 @@ generations or executor storage grows until LRU eviction thrashes —
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import DataFrame
+
+# serializes the session-global constraint-propagation toggle below:
+# without it two concurrent checkpointing loops interleave their
+# save/restore and can leave the conf permanently flipped
+_CONSTRAINT_LOCK = threading.RLock()
+_CONSTRAINT_DEPTH = 0
+_CONSTRAINT_PREV: str | None = None
+
+
+@contextlib.contextmanager
+def constraints_disabled(spark):
+    """Disable ``spark.sql.constraintPropagation.enabled`` for the
+    duration of a ``localCheckpoint`` capture (re-entrant, process-wide
+    serialized).  Spark's ``Dataset.checkpoint`` otherwise snapshots the
+    origin plan's constraints into the LogicalRDD; for plans with
+    filters those can reference pre-checkpoint exprIds, and optimizing
+    any later union over such frames dies in
+    ``UnionBase.rewriteConstraints`` ("key not found: <attr>").  With
+    the flag off during capture the LogicalRDD carries no constraints —
+    data identical, only the optimizer's inferred-filter pass over
+    these internal frames is skipped."""
+    global _CONSTRAINT_DEPTH, _CONSTRAINT_PREV
+    key = "spark.sql.constraintPropagation.enabled"
+    with _CONSTRAINT_LOCK:
+        if _CONSTRAINT_DEPTH == 0:
+            _CONSTRAINT_PREV = spark.conf.get(key, None)
+            spark.conf.set(key, "false")
+        _CONSTRAINT_DEPTH += 1
+        try:
+            yield
+        finally:
+            _CONSTRAINT_DEPTH -= 1
+            if _CONSTRAINT_DEPTH == 0:
+                if _CONSTRAINT_PREV is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, _CONSTRAINT_PREV)
 
 
 def release(df: DataFrame) -> None:

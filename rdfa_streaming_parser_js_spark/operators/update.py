@@ -39,10 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    Pattern, bgp_construct, bgp_match)
-
-TERM_COLS = ("subj", "subj_kind", "pred", "obj_value", "obj_kind",
-             "obj_datatype", "obj_lang")
+    TERM_COLS, Pattern, bgp_construct, bgp_match)
 
 _LEX_KEY = ("subj", "pred", "obj_value")
 
@@ -58,6 +55,7 @@ def apply_update(graph: DataFrame,
                  where: "list[Pattern] | None" = None,
                  filters: "list[str] | None" = None,
                  literal_consts: "dict[str, tuple] | None" = None,
+                 meta_vars: "frozenset[str]" = frozenset(),
                  **bgp_kwargs) -> DataFrame:
     """``DELETE { delete } INSERT { insert } WHERE { where }`` → the
     updated graph (SPARQL 1.1 Update §3.1.3 ``DELETE/INSERT``).
@@ -96,7 +94,10 @@ def apply_update(graph: DataFrame,
     # plain pattern qualify (path endpoints carry no metadata).
     plain_bound = _template_vars(
         [pat for pat in where if isinstance(pat[1], str)])
-    meta = _template_vars(insert) & plain_bound
+    # extra meta_vars (e.g. isBlank/datatype FILTER references from the
+    # text front-end) pass through unfiltered — bgp_match itself raises
+    # for a metadata request on a path-only binding
+    meta = (_template_vars(insert) & plain_bound) | frozenset(meta_vars)
     solutions = bgp_match(graph, where, filters=filters,
                           meta_vars=meta, **bgp_kwargs)
     # the result is the 7-column term table (extra input columns like a

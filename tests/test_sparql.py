@@ -750,3 +750,39 @@ def test_parse_not_without_in_rejected():
     with pytest.raises(SparqlSyntaxError, match="expected"):
         parse_sparql(PFX + """SELECT ?x WHERE {
             ?x schema:name ?n . FILTER(?n NOT "beta") }""")
+
+
+def test_exec_construct_limit_applies_to_solutions(spark):
+    """SPARQL 1.1 §16.2: CONSTRUCT modifiers act on the solution
+    sequence, then the template instantiates — LIMIT 1 with a 2-triple
+    template must yield BOTH triples of the first ordered solution, not
+    1 arbitrary output triple (review-found: the slice used to truncate
+    the constructed triple bag)."""
+    out = sparql_query(_kg(spark), PFX + """
+        CONSTRUCT { ?d schema:headline ?n . ?d schema:tag "t" }
+        WHERE { ?d schema:name ?n } ORDER BY ?n LIMIT 1""")
+    rows = sorted((r.subj, r.pred, r.obj_value) for r in out.collect())
+    assert rows == [
+        ("srcA", f"{S}headline", "Source A"),
+        ("srcA", f"{S}tag", "t"),
+    ]
+
+
+def test_exec_construct_group_by_rejected(spark):
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY/HAVING"):
+        sparql_query(_kg(spark), PFX + """
+            CONSTRUCT { ?d schema:n ?c } WHERE {
+            ?d schema:name ?c } GROUP BY ?d""")
+
+
+def test_parse_nested_graph_rejected():
+    with pytest.raises(SparqlSyntaxError, match="nested GRAPH"):
+        parse_sparql(PFX + """SELECT ?s WHERE {
+            GRAPH ?g { GRAPH ?h { ?s ?p ?o } } }""")
+
+
+def test_parse_non_integer_limit_rejected():
+    with pytest.raises(SparqlSyntaxError, match="integer LIMIT"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o } LIMIT 1.5")
+    with pytest.raises(SparqlSyntaxError, match="integer OFFSET"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o } OFFSET 2e3")

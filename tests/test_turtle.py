@@ -123,6 +123,25 @@ def test_turtle_longest_namespace_wins(spark):
     assert line == 'sv:x s:p "plain" .'
 
 
+def test_turtle_space_iri_roundtrip(spark):
+    """IRIs containing spaces (real-web unencoded hrefs) must
+    round-trip — the term extraction prefers the bracketed form, so a
+    naive space-split cannot shear them (review-found)."""
+    rows = [
+        ("http://ex.org/a b", "iri", "http://ex.org/p q",
+         "http://ex.org/c  d", "iri", None, None),
+        ("http://ex.org/a b", "iri", f"{S}name", "x y", "literal",
+         "http://ex.org/dt with space", None),
+    ]
+    from rdfa_streaming_parser_js_spark.functions.turtle import (
+        parse_turtle_lines)
+    df = spark.createDataFrame(rows, COLS)
+    back = parse_turtle_lines(turtle_lines(df, PFX), PFX)
+    canon = lambda rs: sorted(  # noqa: E731
+        tuple("" if v is None else v for v in r) for r in rs)
+    assert canon(back.select(*df.columns).collect()) == canon(rows)
+
+
 def test_turtle_roundtrip_fuzz(spark):
     """Seeded slice of the 20k-row campaign: random nasty literals
     (quotes/backslashes/control bytes/unicode/grammar-lookalike text),

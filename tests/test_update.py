@@ -180,3 +180,41 @@ def test_exec_sparql_update_with_optional_and_filter(spark):
     assert out.filter(f"pred = '{S}wordCount'").count() == 2
     assert ("d2", "iri", f"{S}wordCount", "0", "literal", None,
             None) in _rows(out)
+
+
+def test_exec_sparql_update_term_filter_meta(spark):
+    """Term-introspection builtins in an update WHERE need companion
+    metadata columns — the parser's meta_vars must reach bgp_match
+    through apply_update (review-found: they used to be dropped and the
+    FILTER died on an unresolved column)."""
+    from pyspark.sql import functions as F
+    g = _g(spark).unionByName(spark.createDataFrame(
+        [("_:b9", "bnode", RDF_TYPE, f"{S}Article", "iri", None, None),
+         ("_:b9", "bnode", f"{S}name", "ghost", "literal", None, None)],
+        SCHEMA))
+    out = sparql_update(g, PFX + """
+        DELETE { ?x schema:name ?n }
+        WHERE  { ?x schema:name ?n FILTER(isBlank(?x)) }""")
+    assert out.filter(F.col("obj_value") == "ghost").count() == 0
+    # IRI-subject names survive
+    assert out.filter(f"pred = '{S}name'").count() == 3
+
+
+def test_parse_update_template_iri_literal_collision_rejected():
+    """The same lexical text as both an IRI and a literal constant in
+    one template is ambiguous under lexical literal marking — must be
+    rejected loudly, never silently stamped wrong."""
+    with pytest.raises(SparqlSyntaxError, match="both an IRI"):
+        parse_update(PFX + """
+            INSERT { ?d schema:p "http://x" . ?d schema:q <http://x> }
+            WHERE  { ?d a schema:Article }""")
+
+
+def test_unquote_backslash_and_raw_bytes():
+    """Sentinel-free string-literal decode: raw control bytes in the
+    body must survive (the NUL-sentinel scheme corrupted them)."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import _unquote
+    assert _unquote('"a\\\\b"') == "a\\b"
+    assert _unquote('"a\x00b"') == "a\x00b"
+    assert _unquote('"\\\\\x00\\n"') == "\\\x00\n"
+    assert _unquote('"\\t\\"x\\""') == '\t"x"'
