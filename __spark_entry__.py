@@ -55,6 +55,8 @@ from rdfa_streaming_parser_js_spark.sources.pages import (
     xmlcopy_expected_triples_sql as _xmlcopy_sql)
 
 JACCARD_THRESHOLD = 0.5
+from fractions import Fraction as _Fraction  # noqa: E402
+_JT_FRAC = _Fraction(JACCARD_THRESHOLD).limit_denominator(1_000_000)
 COSINE_NEARDUP_THRESHOLD = 0.3
 
 
@@ -3002,8 +3004,10 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes na ON na.doc_id = id_a
             JOIN sizes nb ON nb.doc_id = id_b
-            WHERE round(c * 1.0 / (na.n + nb.n - c), 6)
-                  >= {JACCARD_THRESHOLD}
+            -- exact integer threshold gate (mirrors the engine: the
+            -- rounded jaccard is display-only, never the filter)
+            WHERE c * {_JT_FRAC.denominator}
+                  >= (na.n + nb.n - c) * {_JT_FRAC.numerator}
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": f"""

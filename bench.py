@@ -143,6 +143,8 @@ def main() -> None:
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)
+    from rdfa_streaming_parser_js_spark.operators.storage import (
+        release_tracked)
     for name in bench_queries:
         trials = []
         qloads = []
@@ -155,6 +157,7 @@ def main() -> None:
             # accumulate executor storage (and each trial is honest:
             # no cross-trial cache reuse inside an operator)
             release_persisted()
+            release_tracked()
         timings[name] = round(statistics.median(trials), 3)
         ranges[name] = [round(min(trials), 3), round(max(trials), 3)]
         loads[name] = round(statistics.median(qloads), 1)
@@ -180,6 +183,7 @@ def main() -> None:
                 force(qs[name](spark, scale_dir))
                 trials.append(time.time() - t0)
                 release_persisted()
+                release_tracked()
             small = statistics.median(trials)
             small_timings[name] = round(small, 3)
             scale_ratio[name] = round(timings[name] / max(small, 1e-9), 2)

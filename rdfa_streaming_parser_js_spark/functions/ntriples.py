@@ -29,6 +29,12 @@ def escape_literal(col: Column) -> Column:
 
 def _term(value: Column, kind: Column, datatype: Column | None = None,
           lang: Column | None = None) -> Column:
+    """Engine term model (operators/bgp.py:61, kernel/terms.py:54):
+    ``obj_lang`` and ``obj_datatype`` are mutually exclusive — a
+    language-tagged literal implicitly has datatype rdf:langString and
+    carries a NULL datatype column.  For out-of-contract rows with both
+    set, the language wins (matching the N-Triples grammar, where
+    ``@lang`` IS the rdf:langString serialization)."""
     iri = F.concat(F.lit("<"), value, F.lit(">"))
     if datatype is None:  # subject position: iri | bnode
         return F.when(kind == "iri", iri).otherwise(value)
@@ -96,12 +102,17 @@ def parse_ntriples_lines(lines: DataFrame,
     codegen: one regexp per line + replace chains; rows that do not
     match the grammar are dropped (interchange files may carry comments
     or blank lines).  Passthrough columns other than ``line_col`` are
-    preserved."""
+    preserved — except ones named like a parsed output column, which
+    would make the result ambiguous (same guard as the N-Quads
+    reader)."""
     g = lambda i: F.regexp_extract(F.col(line_col), NT_LINE_RE, i)  # noqa: E731
     subj_bn = g(2)
     obj_iri, obj_bn, obj_lit = g(4), g(5), g(6)
     lang, dtype = g(7), g(8)
-    passthrough = [c for c in lines.columns if c != line_col]
+    parsed_cols = {"subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                   "obj_datatype", "obj_lang"}
+    passthrough = [c for c in lines.columns
+                   if c != line_col and c not in parsed_cols]
     parsed = lines.filter(
         F.col(line_col).rlike(NT_LINE_RE)).select(
         *passthrough,

@@ -152,7 +152,10 @@ def parse_turtle_lines(lines: DataFrame, prefixes: dict[str, str],
     lit_lang = F.regexp_extract(obj_t, _LIT_RE, 2)
     lit_dt = F.regexp_extract(obj_t, _LIT_RE, 3)
     is_lit = obj_t.startswith('"')
-    passthrough = [c for c in lines.columns if c != line_col]
+    parsed_cols = {"subj", "subj_kind", "pred", "obj_value", "obj_kind",
+                   "obj_datatype", "obj_lang"}
+    passthrough = [c for c in lines.columns
+                   if c != line_col and c not in parsed_cols]
     from rdfa_streaming_parser_js_spark.functions.ntriples import (
         unescape_literal)
     return lines.filter(line.rlike(TTL_LINE_RE)).select(

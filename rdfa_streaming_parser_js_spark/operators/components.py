@@ -31,7 +31,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Requires NUMERIC node ids: the one-action convergence signal casts
     labels to decimal (monotone label-sum).  For string ids (IRIs,
     bnode labels) use :func:`connected_components_star`, whose edge-set
-    signature is type-agnostic."""
+    signature is type-agnostic.  Checked up front: under ANSI a
+    non-numeric id would otherwise die mid-loop in an obscure
+    CAST_INVALID_INPUT instead of this error."""
+    from pyspark.sql.types import NumericType
+    id_type = edges.schema[src].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"connected_components needs numeric node ids, got "
+            f"{id_type.simpleString()} — use connected_components_star "
+            "for string ids (IRIs, bnode labels, urls)")
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
                                F.col(src).alias("b")))
@@ -94,8 +103,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 def dedup_clusters(pairs: DataFrame, src: str = "id_a",
                    dst: str = "id_b") -> DataFrame:
     """Near-dup pairs → (id, cluster_id, is_canonical): canonical = the
-    min-id member; everything else in the cluster is droppable."""
-    comp = connected_components(pairs, src, dst)
+    min-id member; everything else in the cluster is droppable.
+    Routes by id type: numeric ids take the min-label algorithm,
+    string ids (urls, IRIs) the type-agnostic star variant."""
+    from pyspark.sql.types import NumericType
+    if isinstance(pairs.schema[src].dataType, NumericType):
+        comp = connected_components(pairs, src, dst)
+    else:
+        comp = connected_components_star(pairs, src, dst)
     return (comp.select(F.col("id"),
                         F.col("comp").alias("cluster_id"),
                         (F.col("id") == F.col("comp"))
@@ -152,9 +167,12 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
     # self-loops carry no connectivity but their nodes are still
     # component members (matching connected_components' contract)
     e = raw.filter(F.col("u") != F.col("v")).distinct()
+    # nodes needs no cache: it is referenced exactly once (the final
+    # labels join) and recomputes from the eager `raw` checkpoint —
+    # the old cache()/unpersist() pair was dead (never materialized
+    # before the lazy labels were returned)
     nodes = (raw.select(F.col("u").alias("id"))
-             .union(raw.select(F.col("v").alias("id"))).distinct()
-             .cache())
+             .union(raw.select(F.col("v").alias("id"))).distinct())
 
     prev_sig = None
     # superseded generations pending a self-contained successor —
@@ -195,11 +213,9 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
         if not was_ckpt:
             release(f)
 
-    labels = (nodes.join(e.select(F.col("u").alias("id"),
-                                  F.col("v").alias("comp")), "id", "left")
-              .select("id", F.coalesce("comp", F.col("id")).alias("comp")))
-    nodes.unpersist()
-    return labels
+    return (nodes.join(e.select(F.col("u").alias("id"),
+                                F.col("v").alias("comp")), "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp")))
 
 
 def dedup_clusters_star(pairs: DataFrame, src: str = "id_a",

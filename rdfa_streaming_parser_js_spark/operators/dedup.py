@@ -80,13 +80,19 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 def shingles(docs: DataFrame, id_col: str = "doc_id",
              text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-gram shingles per document."""
+    """(id, shingle) — distinct word n-gram shingles per document.
+    Documents shorter than ``n`` tokens yield no shingles (guarded:
+    ``sequence(1, size-(n-1))`` would otherwise run DESCENDING for
+    short docs and crash the job on an out-of-range element_at —
+    one tweet-sized row in a 100 TB corpus must not abort the pass)."""
     toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    count = F.size(toks) - (n - 1)
+    grams = F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int"))
                    for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
     return (docs.select(F.col(id_col).alias("id"),
                         F.explode(F.array_distinct(grams)).alias("shingle")))
 
@@ -175,12 +181,17 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
              .join(sb, ["id_b", "shingle"])
              .groupBy("id_a", "id_b", "n_a", "n_b")
              .agg(F.count(F.lit(1)).alias("n_common")))
+    # threshold gate in EXACT integer arithmetic (the reported jaccard
+    # column is rounded for display; filtering on the rounded value
+    # would admit pairs up to 5e-7 BELOW threshold)
+    from fractions import Fraction
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return (inter
+            .filter(F.col("n_common") * F.lit(fr.denominator)
+                    >= union * F.lit(fr.numerator))
             .withColumn("jaccard",
-                        F.round(F.col("n_common")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
+                        F.round(F.col("n_common") / union, 6))
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -209,7 +220,15 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            bands: int = DEFAULT_BANDS,
                            n: int = 3) -> DataFrame:
     """LSH banding: split signatures into bands, hash each band, docs
-    colliding in any band are candidate near-dups (id_a < id_b)."""
+    colliding in any band are candidate near-dups (id_a < id_b).
+    ``bands`` must divide ``num_hashes`` — trailing hashes silently
+    excluded from every band would change the collision probability
+    without telling anyone."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} — "
+            f"{num_hashes % bands} trailing hash(es) would never "
+            "influence any band")
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
     band_arr = F.array(*[

@@ -39,7 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdfa_streaming_parser_js_spark.operators.storage import release
+from rdfa_streaming_parser_js_spark.operators.storage import (
+    release, track)
 
 PAGERANK_SCALE = 1_000_000_000_000  # 10^12
 DEFAULT_ITERATIONS = 6
@@ -76,14 +77,18 @@ def pagerank(edges: DataFrame, iterations: int = DEFAULT_ITERATIONS,
     # Materialize the two loop-invariant tables ONCE — every iteration
     # references both, and without an eager cut each round's plan would
     # re-derive them (plus the whole upstream extraction) from scratch.
-    nodes = (edges.select(F.col("src").alias("id"))
-             .union(edges.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint(eager=True))
+    # track() registers the pinned invariants (and the final cut below)
+    # for storage.release_tracked(): the lazy returned ranks still
+    # reference them, so they cannot be released here — a long-lived
+    # session releases them between queries once results materialize
+    nodes = track(edges.select(F.col("src").alias("id"))
+                  .union(edges.select(F.col("dst").alias("id")))
+                  .distinct().localCheckpoint(eager=True))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution edges carry outdeg so the per-round join is edges-only
-    contrib_edges = (edges.join(outdeg, "src")
-                     .select("src", "dst", "outdeg")
-                     .localCheckpoint(eager=True))
+    contrib_edges = track(edges.join(outdeg, "src")
+                          .select("src", "dst", "outdeg")
+                          .localCheckpoint(eager=True))
 
     base = (15 * scale) // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
@@ -107,6 +112,8 @@ def pagerank(edges: DataFrame, iterations: int = DEFAULT_ITERATIONS,
             if prev_cut is not None:
                 release(prev_cut)
             ranks = prev_cut = new_ranks
+    if prev_cut is not None:  # the returned ranks still reference it
+        track(prev_cut)
     return ranks
 
 

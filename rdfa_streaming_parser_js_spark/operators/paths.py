@@ -344,6 +344,12 @@ def transitive_closure(pairs: DataFrame, max_rounds: int = 30,
         for f in held:
             if f is not result:
                 release(f)
+        if result is not None:
+            # the returned checkpoint stays pinned for the caller; a
+            # long-lived session reclaims it via release_tracked()
+            from rdfa_streaming_parser_js_spark.operators.storage import (
+                track)
+            track(result)
 
 
 def path_pairs(triples: DataFrame, path: PathExpr,

@@ -54,6 +54,32 @@ def constraints_disabled(spark):
                     spark.conf.set(key, _CONSTRAINT_PREV)
 
 
+# Frames an operator must leave pinned for its caller (a returned
+# self-contained checkpoint, a loop invariant the lazy result still
+# references).  A long-lived session (bench loop, notebook) calls
+# release_tracked() between queries once results are materialized —
+# the in-function release is impossible, the blocks are still needed.
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register a pinned frame for later :func:`release_tracked`."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Release every tracked frame (storage-level release, works for
+    localCheckpoints too); returns how many were released.  Only call
+    once prior results are materialized — released checkpoints cannot
+    be recomputed."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        release(df)
+    _TRACKED.clear()
+    return n
+
+
 def release(df: DataFrame) -> None:
     """Free the storage behind a ``.cache()``d or ``.localCheckpoint``ed
     frame.  ``Dataset.unpersist`` only clears CacheManager entries, so

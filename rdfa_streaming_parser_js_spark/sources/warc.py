@@ -229,9 +229,15 @@ def read_warc_pages(spark: SparkSession, path: str | list[str],
              .option("pathGlobFilter", "*.warc*").load(path)
              .select(*cols))
     raw = files.mapInArrow(parse_batches, ddl)
+    # try_to_timestamp, not to_timestamp: under Spark 4 ANSI defaults a
+    # single non-conforming WARC-Date (WARC 1.1 allows fractional
+    # seconds; crawl garbage is routine) would abort the whole scan —
+    # the page is kept with a NULL warc_ts instead, per the module's
+    # malformed-records-are-skipped-never-fatal contract
     keep = ["url",
-            F.to_timestamp("warc_date",
-                           _WARC_DATE_SPARK_FMT).alias("warc_ts"),
+            F.try_to_timestamp("warc_date",
+                               F.lit(_WARC_DATE_SPARK_FMT))
+            .alias("warc_ts"),
             "html"] + (["shard"] if with_shard else [])
     return raw.select(*keep)
 

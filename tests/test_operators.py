@@ -460,3 +460,63 @@ def test_json_graph_nodes_c0_controls_escaped(spark):
     mirror = con.execute(json_graph_nodes_sql(
         "SELECT * FROM tr")).fetchone()[1]
     assert mirror == node
+
+
+def test_shingles_short_docs_not_fatal(spark):
+    """Documents with fewer than n tokens must yield zero shingles, not
+    crash the job (sequence(1, size-(n-1)) runs descending for short
+    docs and element_at then reads out of range under ANSI)."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        ngram_jaccard_pairs, shingles)
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "three tokens here now ok"),
+         (4, "three tokens here now ok")],
+        "doc_id long, text string")
+    sh = shingles(docs)
+    assert sh.filter("id in (1, 2)").count() == 0
+    assert sh.filter("id = 3").count() == 3  # 5 tokens → 3 trigrams
+    # the full PPJoin pipeline survives the short docs too
+    pairs = ngram_jaccard_pairs(docs).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(3, 4, 1.0)]
+
+
+def test_minhash_bands_must_divide(spark):
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        minhash_lsh_candidates)
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(docs, num_hashes=32, bands=5)
+
+
+def test_connected_components_string_ids(spark):
+    """Numeric-only min-label CC rejects string ids up front with a
+    clear error; dedup_clusters routes string ids (urls/IRIs) to the
+    type-agnostic star algorithm instead."""
+    from rdfa_streaming_parser_js_spark.operators.components import (
+        connected_components, dedup_clusters)
+    pairs = spark.createDataFrame(
+        [("http://a", "http://b"), ("http://b", "http://c"),
+         ("http://x", "http://y")],
+        "id_a string, id_b string")
+    with pytest.raises(TypeError, match="numeric node ids"):
+        connected_components(pairs)
+    got = {(r.id, r.cluster_id, r.is_canonical)
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        ("http://a", "http://a", True),
+        ("http://b", "http://a", False),
+        ("http://c", "http://a", False),
+        ("http://x", "http://x", True),
+        ("http://y", "http://x", False)}
+
+
+def test_ntriples_parse_passthrough_collision_dropped(spark):
+    from rdfa_streaming_parser_js_spark.functions.ntriples import (
+        parse_ntriples_lines)
+    lines = spark.createDataFrame(
+        [('<http://d/1> <http://p> "v" .', "stale", "keepme")],
+        "line string, subj string, extra string")
+    out = parse_ntriples_lines(lines)
+    assert out.columns.count("subj") == 1
+    row = out.head()
+    assert row.subj == "http://d/1" and row.extra == "keepme"

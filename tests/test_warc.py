@@ -186,3 +186,26 @@ try:
         assert len(urls) <= 3
 except ImportError:  # pragma: no cover - hypothesis always in sandbox
     pass
+
+
+def test_malformed_warc_date_not_fatal(spark, tmp_path):
+    """WARC 1.1 allows fractional-seconds dates and crawls carry
+    garbage ones; under ANSI a plain to_timestamp would abort the whole
+    scan — the page must instead come through with a NULL warc_ts
+    (malformed fields are skipped, never fatal)."""
+    recs = (warc_record_bytes("http://e.org/frac",
+                              "2017-03-06T04:03:53.264Z",
+                              b"<html><body>a</body></html>")
+            + warc_record_bytes("http://e.org/garbage",
+                                "not-a-date",
+                                b"<html><body>b</body></html>")
+            + warc_record_bytes("http://e.org/good",
+                                "2024-01-01T00:00:00Z",
+                                b"<html><body>c</body></html>"))
+    (tmp_path / "s.warc").write_bytes(recs)
+    back = read_warc_pages(spark, str(tmp_path))
+    rows = {r.url: r.warc_ts for r in back.collect()}
+    assert set(rows) == {"http://e.org/frac", "http://e.org/garbage",
+                         "http://e.org/good"}
+    assert rows["http://e.org/good"] is not None
+    assert rows["http://e.org/garbage"] is None
