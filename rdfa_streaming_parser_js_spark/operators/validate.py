@@ -118,6 +118,10 @@ def shacl_report(triples: DataFrame,
               .join(focus.select("focus", "shape_id").distinct(),
                     ["focus", "shape_id"])
               .localCheckpoint(eager=True))
+    # the lazily-returned report references this pinned checkpoint, so
+    # it cannot be freed here — register it for storage.release_tracked
+    from rdfa_streaming_parser_js_spark.operators.storage import track
+    track(values)
 
     parts: list[DataFrame] = []
 

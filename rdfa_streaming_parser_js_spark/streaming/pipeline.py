@@ -28,6 +28,7 @@ from pyspark.sql.types import (BinaryType, LongType, StringType,
                                StructField, StructType, TimestampType)
 
 from ..operators.extract import extract_triples
+from ..operators.storage import release
 
 PAGES_SCHEMA = StructType([
     StructField("page_id", LongType()),
@@ -147,6 +148,7 @@ def run_kg_maintenance_stream(spark: SparkSession, pages_dir: str,
         pages_latest = (batch.join(latest, ["url", "warc_ts"])
                         .dropDuplicates(["url"]))
         new_triples = extract_triples(pages_latest)
+        old = None
         try:
             old = spark.read.parquet(graph_dir).localCheckpoint(eager=True)
         except AnalysisException:  # first batch: no table yet
@@ -155,6 +157,11 @@ def run_kg_maintenance_stream(spark: SparkSession, pages_dir: str,
             merged = merge_by_url(old, new_triples)
         # data first: the swap below only involves metadata renames
         merged.write.mode("overwrite").parquet(staging)
+        if old is not None:
+            # the write above consumed the checkpointed snapshot; free
+            # it or every micro-batch pins one full graph copy for the
+            # stream's lifetime (unpersist is a no-op on LogicalRDDs)
+            release(old)
         shutil.rmtree(backup, ignore_errors=True)
         if os.path.exists(graph_dir):
             os.rename(graph_dir, backup)
