@@ -30,6 +30,8 @@ Scale notes (100 TB / 10^12 pages → ~10^13 triples):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,12 +39,68 @@ Pattern = tuple[str, str, str]
 # a named-graph-scoped pattern: (subject, predicate, object, graph) —
 # the 4th term matches the quad table's ``graph`` column (SPARQL §13)
 QuadPattern = tuple[str, str, str, str]
-# an OPTIONAL group: (patterns, group-local filter expressions or None)
+# an OPTIONAL/MINUS/EXISTS group: (patterns, group-local filter
+# expressions or None[, binds or None[, values or None]]) — the two
+# optional tail elements carry SPARQL BIND assignments and VALUES rows
+# scoped to the group (2-tuples stay valid for existing callers)
 OptionalGroup = tuple[list[Pattern], "list[str] | None"]
 
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?")
+
+@dataclass(frozen=True)
+class Lit:
+    """A language-tagged or datatyped literal CONSTANT in a pattern's
+    object position — matches on lexical form AND term metadata
+    (SPARQL simple-entailment term equality), unlike a bare string
+    term, which keeps the engine-wide lexical-value identity.
+
+    ``Lit("chat", lang="fr")`` ≙ ``"chat"@fr`` and
+    ``Lit("5", datatype=XSD+"integer")`` ≙ ``"5"^^xsd:integer``.
+    A plain ``Lit("x")`` is the simple literal ``"x"`` (matches a NULL
+    or explicit xsd:string datatype, no language tag).  Language tags
+    compare case-insensitively (RDF 1.1 lowercases them; the kernel
+    does too, kernel/util.py literal creation).  Requires the full term
+    schema (``obj_kind/obj_lang/obj_datatype``)."""
+    lex: str
+    lang: "str | None" = None
+    datatype: "str | None" = None
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _literal_filter(df: DataFrame, col: str, lit: Lit) -> DataFrame:
+    """Push a :class:`Lit` constant as a metadata-exact scan filter."""
+    if col != "obj_value":
+        raise ValueError(
+            f"literal constant {lit.lex!r} in the "
+            f"{'graph' if col == 'graph' else col} position — RDF "
+            "literals are only legal as objects")
+    for need in ("obj_kind", "obj_lang", "obj_datatype"):
+        if need not in df.columns:
+            raise ValueError(
+                f"typed/tagged literal constant {lit.lex!r} needs the "
+                f"full term schema, but the table has no {need!r} "
+                "column — match the bare lexical form instead")
+    cond = ((F.col("obj_value") == lit.lex)
+            & (F.col("obj_kind") == "literal"))
+    if lit.lang:
+        # rdf:langString: the tag compares case-insensitively and the
+        # datatype column is redundant (NULL or rdf:langString)
+        cond &= F.lower(F.col("obj_lang")) == lit.lang.lower()
+    else:
+        cond &= F.col("obj_lang").isNull()
+        if lit.datatype is None or lit.datatype == _XSD_STRING:
+            # "x" and "x"^^xsd:string are the same RDF 1.1 term; the
+            # engine stores the default datatype as NULL but imported
+            # quad dumps may carry it explicitly
+            cond &= (F.col("obj_datatype").isNull()
+                     | (F.col("obj_datatype") == _XSD_STRING))
+        else:
+            cond &= F.col("obj_datatype") == lit.datatype
+    return df.filter(cond)
 
 
 #: companion-column suffixes attached for ``meta_vars`` bindings
@@ -126,6 +184,13 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
             # endpoint seeds the evaluation (frontier BFS from the
             # bound term) instead of materializing the graph-wide
             # closure — object-bound paths run inverted and flip.
+            if isinstance(s, Lit) or isinstance(o, Lit):
+                raise ValueError(
+                    "typed/tagged literal constants cannot be property-"
+                    "path endpoints — the path engine computes bare "
+                    "node pairs without term metadata; match the bare "
+                    "lexical form or bind a variable and FILTER on its "
+                    "companion columns instead")
             src = triples
             if g is not None:
                 if _is_var(g):
@@ -167,6 +232,8 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
                     part = part.filter(F.col(col) == F.col(bound[name]))
                 else:
                     bound[name] = col
+            elif isinstance(term, Lit):
+                part = _literal_filter(part, col, term)
             else:
                 part = part.filter(F.col(col) == term)
         if not bound:
@@ -262,6 +329,57 @@ def _join_values(solution: DataFrame,
     return out
 
 
+def _apply_bind(solution: DataFrame, var: str, expr) -> DataFrame:
+    """One SPARQL BIND (``Extend``): ``expr`` is a SQL string, or a
+    ``(lex_sql, kind, datatype, lang)`` 4-tuple for the term
+    constructors (IRI/STRDT/STRLANG) — those mint the variable's
+    term-metadata companion columns alongside the value, so LANG /
+    DATATYPE / isIRI / SAMETERM and CONSTRUCT's metadata-faithful
+    instantiation work on constructed terms exactly as on matched
+    ones.  Companions are NULL where the value expression is NULL
+    (an error in SPARQL leaves the variable unbound)."""
+    if var in solution.columns:
+        raise ValueError(
+            f"BIND would rebind ?{var} — the variable is already "
+            "in scope (SPARQL grammar note 12 forbids this)")
+    if not isinstance(expr, tuple):
+        return solution.withColumn(var, F.expr(expr))
+    lex_sql, knd, dt, lang = expr
+    solution = solution.withColumn(var, F.expr(lex_sql))
+    bound = F.col(var).isNotNull()
+    meta = {"__kind": knd, "__dt": dt, "__lang": lang}
+    for sfx, val in meta.items():
+        solution = solution.withColumn(
+            f"{var}{sfx}",
+            F.when(bound, F.lit(val)).cast("string"))
+    return solution
+
+
+def _subgroup(triples: DataFrame, grp, meta_vars: frozenset,
+              constant_only_ok: bool = False) -> DataFrame:
+    """Compile one OPTIONAL/MINUS/EXISTS group tuple — ``(patterns,
+    filters[, binds[, values]])``.  With binds/values present the
+    group's filters apply AFTER them (same member order as the
+    enclosing group: patterns → VALUES → BIND → FILTER), so a group
+    filter may reference the bound columns; Catalyst still pushes
+    pattern-variable conjuncts through the projections to the scans."""
+    pats, flts = grp[0], grp[1]
+    binds = grp[2] if len(grp) > 2 else None
+    vals = grp[3] if len(grp) > 3 else None
+    group = _compile_group(triples, pats,
+                           None if (binds or vals) else flts,
+                           constant_only_ok=constant_only_ok,
+                           meta_vars=meta_vars)
+    if binds or vals:
+        if vals:
+            group = _join_values(group, vals)
+        for var, expr in binds or ():
+            group = _apply_bind(group, var, expr)
+        for e in flts or ():
+            group = group.filter(F.expr(e))
+    return group
+
+
 def _apply_exists(triples: DataFrame, solution: DataFrame,
                   groups: "list[OptionalGroup]", negate: bool,
                   meta_vars: "frozenset[str]" = frozenset()) -> DataFrame:
@@ -272,9 +390,9 @@ def _apply_exists(triples: DataFrame, solution: DataFrame,
     EXISTS keeps everything iff the group matches at all, NOT EXISTS
     empties the solution iff it does (the SPARQL §8.3.3 case where
     NOT EXISTS and MINUS genuinely differ)."""
-    for pats, flts in groups:
-        group = _compile_group(
-            triples, pats, flts, constant_only_ok=True,
+    for grp in groups:
+        group = _subgroup(
+            triples, grp, constant_only_ok=True,
             meta_vars=frozenset(v for v in meta_vars
                                 if v not in solution.columns))
         shared = [v for v in group.columns
@@ -310,7 +428,12 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
 
     Each pattern is a ``(subject, predicate, object)`` triple of terms;
     a term starting with ``?`` is a variable, anything else a constant
-    matched against ``subj`` / ``pred`` / ``obj_value``.  Returns one
+    matched against ``subj`` / ``pred`` / ``obj_value``.  A bare string
+    constant matches the LEXICAL value (the engine-wide identity); a
+    :class:`Lit` object constant additionally matches kind / language /
+    datatype (exact SPARQL term equality for ``"chat"@fr`` /
+    ``"5"^^xsd:integer`` constants) and needs the full term schema.
+    Returns one
     row per solution mapping with one column per variable (SPARQL bag
     semantics over the input's multiplicity).  ``select`` optionally
     projects/orders the output variables.
@@ -376,7 +499,18 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     column (``Extend(Ω, var, expr)``, §18.4).  Rebinding an in-scope
     variable raises, per the SPARQL grammar constraint; later binds may
     reference earlier ones.  Pure projection — Catalyst folds the
-    expressions into the surrounding stage, no shuffle.
+    expressions into the surrounding stage, no shuffle.  An entry may
+    instead carry a ``(lex_sql, kind, datatype, lang)`` 4-tuple — the
+    term-constructor form (IRI / STRDT / STRLANG): the variable gets
+    term-metadata companion columns minted alongside the value, so the
+    introspection builtins and metadata-faithful CONSTRUCT see the
+    constructed term's kind/datatype/language.
+
+    ``optionals`` / ``minus`` / ``exists`` / ``not_exists`` group
+    tuples may append two optional elements — ``(patterns, filters,
+    binds, values)`` — for BIND / VALUES scoped INSIDE the group; the
+    group's filters then apply after them, mirroring the enclosing
+    group's member order.
 
     ``exists`` / ``not_exists``: SPARQL FILTER (NOT) EXISTS — each
     ``(patterns, filters)`` group keeps (removes) the solutions that
@@ -419,14 +553,11 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     if values:
         solution = _join_values(solution, values)
     for var, expr in binds or ():
-        if var in solution.columns:
-            raise ValueError(
-                f"BIND would rebind ?{var} — the variable is already "
-                "in scope (SPARQL grammar note 12 forbids this)")
-        solution = solution.withColumn(var, F.expr(expr))
-    for opt_patterns, opt_filters in optionals or ():
-        group = _compile_group(
-            triples, opt_patterns, opt_filters,
+        solution = _apply_bind(solution, var, expr)
+    for grp in optionals or ():
+        opt_patterns = grp[0]
+        group = _subgroup(
+            triples, grp,
             meta_vars=frozenset(v for v in meta_vars
                                 if v not in solution.columns))
         shared = [v for v in group.columns if v in solution.columns
@@ -436,9 +567,9 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
                 "OPTIONAL group shares no variable with the required "
                 f"group: {opt_patterns}")
         solution = solution.join(group, on=shared, how="left")
-    for m_patterns, m_filters in minus or ():
-        group = _compile_group(
-            triples, m_patterns, m_filters,
+    for grp in minus or ():
+        group = _subgroup(
+            triples, grp,
             meta_vars=frozenset(v for v in meta_vars
                                 if v not in solution.columns))
         shared = [v for v in group.columns if v in solution.columns

@@ -38,7 +38,20 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   ``MINUS``, ``BIND (expr AS ?v)``, ``VALUES``, ``{...} UNION
   {...}`` as the entire group body, and mid-group ``{ SELECT ... }``
   sub-queries (§18.2) joined into the group on their shared
-  variables.
+  variables.  ``BIND`` / ``VALUES`` also work INSIDE an OPTIONAL /
+  MINUS / EXISTS group (applied after the group's patterns, before
+  its filters).
+- Language-tagged and datatyped literal CONSTANTS in pattern object
+  position (``?s schema:name "chat"@fr`` / ``?s schema:wordCount
+  "5"^^xsd:integer``): exact SPARQL term equality — lexical form AND
+  kind/language/datatype — compiled as pushed metadata-column scan
+  filters (``bgp.Lit``).  Requires the full term schema.
+- Term constructors as the entire BIND expression: ``BIND(IRI(expr)
+  AS ?v)`` (scheme-less values resolve against ``BASE`` by
+  concatenation), ``BIND(STRDT(expr, <dt>) AS ?v)``,
+  ``BIND(STRLANG(expr, "tag") AS ?v)`` — the constructed term's
+  metadata is minted as companion columns, so LANG / DATATYPE /
+  isIRI / SAMETERM and metadata-faithful templates see it.
 - ``GRAPH ?g {...}`` / ``GRAPH <iri> {...}`` (§13) over a QUADS table
   (a ``graph`` column, e.g. extraction output with ``url`` aliased to
   ``graph``): the graph term becomes a 4th match position on each
@@ -78,12 +91,18 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
 Documented deviations (each raises or is noted, never silent):
 
 - Term-introspection builtins take a plain variable (not a nested
-  expression), the variable must be bound by a plain triple pattern in
-  scope (property-path endpoints carry no metadata), and term
-  constructors (``IRI``, ``BNODE``, ``STRDT``, ``STRLANG``) plus
-  language-tagged or typed literal constants in patterns raise —
-  construct terms / filter on the ``obj_lang`` / ``obj_datatype``
-  columns with the DataFrame API instead.
+  expression), and the variable must be bound by a plain triple
+  pattern in scope (property-path endpoints carry no metadata) or by
+  a constructor BIND.
+- Plain STRING constants in patterns match the LEXICAL value (the
+  engine-wide identity documented on bgp_match) — only tagged/typed
+  constants get strict term equality.  Tagged/typed literals in
+  VALUES raise (VALUES joins on lexical solution columns).
+- Term constructors are only valid as the entire BIND expression;
+  STRDT's datatype and STRLANG's tag must be constants; ``BNODE()``
+  raises (fresh per-solution labels are non-deterministic under
+  distributed re-evaluation — skolemize instead); nested anywhere
+  else they raise.
 - ``GROUP_CONCAT`` concatenates in sorted value order (SPARQL leaves
   the order undefined; sorted is the only deterministic distributed
   choice) and ``SAMPLE`` returns the minimum.
@@ -107,7 +126,7 @@ from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators import paths as P
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    META_SUFFIXES, bgp_construct, bgp_match, bgp_union, describe)
+    META_SUFFIXES, Lit, bgp_construct, bgp_match, bgp_union, describe)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -319,7 +338,11 @@ _TERM_FNS = {
         + ", ".join(f"'{d}'" for d in _XSD_NUMERIC) + "))"),
 }
 
-_UNSUPPORTED_FNS = frozenset({"iri", "uri", "bnode", "strdt", "strlang"})
+#: term constructors: valid only as the ENTIRE BIND expression, where
+#: the engine can mint the constructed term's metadata companion
+#: columns (see _Parser._parse_constructor); nested inside a larger
+#: expression there is nowhere to carry the metadata, so they raise
+_CONSTRUCTOR_FNS = frozenset({"iri", "uri", "bnode", "strdt", "strlang"})
 
 _NUM_RE = re.compile(r"^\d+(\.\d*)?([eE][+-]?\d+)?$")
 _IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
@@ -443,16 +466,35 @@ class _Parser:
             return t.text
         if t.kind == "STRING":
             lex = _unquote(t.text)
-            if self.in_template:
-                self.template_literals[lex] = (None, None)
             nxt = self.peek()
-            if nxt.kind == "LANGTAG" or nxt.kind == "DHAT":
-                raise SparqlSyntaxError(
-                    "language-tagged / typed literal constants in "
-                    "patterns are not supported — solution columns "
-                    "carry the lexical form only; constrain obj_lang / "
-                    "obj_datatype via the DataFrame API instead "
-                    f"(offset {t.pos})")
+            lang = dt = None
+            if nxt.kind == "LANGTAG":
+                self.next()
+                lang = nxt.text[1:].lower()
+            elif nxt.kind == "DHAT":
+                self.next()
+                it = self.next()
+                if it.kind not in ("IRIREF", "PNAME", "COLON"):
+                    self.fail("expected a datatype IRI after ^^")
+                dt = self.expand_iri(it)
+            if self.in_template:
+                # template instantiation carries metadata via the
+                # lexical-form marking map (bgp_construct
+                # literal_consts); the same text with two different
+                # markings would stamp one of them wrongly
+                meta = (dt, lang)
+                if self.template_literals.get(lex, meta) != meta:
+                    raise SparqlSyntaxError(
+                        f"literal {lex!r} appears with two different "
+                        "datatype/language markings in the template — "
+                        "ambiguous under lexical literal marking; "
+                        "compose at the DataFrame level instead")
+                self.template_literals[lex] = meta
+                return lex
+            if lang or dt:
+                # pattern position: exact SPARQL term equality —
+                # lexical form AND kind/language/datatype (bgp.Lit)
+                return Lit(lex, lang=lang, datatype=dt)
             return lex
         self.fail("expected a term")
 
@@ -582,13 +624,12 @@ class _Parser:
                 if not top:
                     self.fail("nested OPTIONAL is not supported")
                 sub = self.parse_group(top=False)
-                g.optionals.append(
-                    (sub.patterns, sub.filters or None))
+                g.optionals.append(self._subgroup_tuple(sub))
             elif self.take_kw("minus"):
                 if not top:
                     self.fail("nested MINUS is not supported")
                 sub = self.parse_group(top=False)
-                g.minus.append((sub.patterns, sub.filters or None))
+                g.minus.append(self._subgroup_tuple(sub))
             elif self.take_kw("graph"):
                 t = self.peek()
                 if t.kind == "VAR":
@@ -617,13 +658,20 @@ class _Parser:
                 g.filters.extend(sub.filters)
             elif self.take_kw("bind"):
                 self.expect_op("(")
-                sql = self.parse_expr()
+                expr = self._parse_constructor()
+                if expr is None:
+                    expr = self.parse_expr()
                 self.expect_kw("as")
                 v = self.next()
                 if v.kind != "VAR":
                     self.fail("expected variable after AS")
                 self.expect_op(")")
-                g.binds.append((v.text[1:], sql))
+                if isinstance(expr, tuple):
+                    # constructed terms carry companion metadata
+                    # columns — same lifecycle as introspected vars
+                    # (SELECT * drops them, projection hides them)
+                    self.meta_vars.add(v.text[1:])
+                g.binds.append((v.text[1:], expr))
             elif self.take_kw("values"):
                 g.values.extend(self._parse_values())
             else:
@@ -653,7 +701,7 @@ class _Parser:
             self.fail("EXISTS inside a nested group is not supported")
         sub = self.parse_group(top=False)
         dest = g.not_exists if negate else g.exists
-        dest.append((sub.patterns, sub.filters or None))
+        dest.append(self._subgroup_tuple(sub))
 
     def _parse_triples_block(self, g: Group) -> None:
         subj = self.parse_term()
@@ -672,7 +720,13 @@ class _Parser:
         def value():
             if self.take_kw("undef"):
                 return None
-            return self.parse_term()
+            v = self.parse_term()
+            if isinstance(v, Lit):
+                raise SparqlSyntaxError(
+                    "tagged/typed literals in VALUES are not supported "
+                    "— VALUES joins on the lexical solution columns; "
+                    "FILTER on the companion metadata columns instead")
+            return v
 
         if self.peek().kind == "VAR":  # VALUES ?v { v1 v2 }
             var = self.next().text[1:]
@@ -695,6 +749,70 @@ class _Parser:
             rows.append(dict(zip(names, vals)))
         self.expect_op("}")
         return rows
+
+    def _parse_constructor(self):
+        """IRI / URI / STRDT / STRLANG as the ENTIRE BIND expression →
+        a ``(lex_sql, kind, datatype, lang)`` 4-tuple for bgp's
+        constructor-bind channel (the variable gets term-metadata
+        companion columns minted alongside the value).  Returns None
+        when the next tokens are not a constructor call.  STRDT's
+        datatype and STRLANG's tag must be constants in this engine
+        (the metadata rides in literal companion columns, one value
+        per BIND).  BNODE() raises: fresh per-solution blank-node
+        labels are non-deterministic under distributed re-evaluation —
+        skolemize (functions/skolem.py) instead."""
+        t = self.peek()
+        if (t.kind != "NAME" or t.text.lower() not in _CONSTRUCTOR_FNS
+                or self.peek(1).kind != "OP"
+                or self.peek(1).text != "("):
+            return None
+        word = t.text.lower()
+        self.next()
+        self.next()
+        if word == "bnode":
+            raise SparqlSyntaxError(
+                "BNODE() is not supported — fresh per-solution blank-"
+                "node labels are non-deterministic across distributed "
+                "re-evaluation; skolemize the graph instead "
+                f"(offset {t.pos})")
+        if word in ("iri", "uri"):
+            sql = self.parse_expr()
+            self.expect_op(")")
+            if self.base:
+                # resolve scheme-less values against BASE (same naive
+                # concat rule as expand_iri applies to parsed IRIs)
+                b = _sql_str(self.base)
+                sql = (f"(CASE WHEN {sql} RLIKE "
+                       "'^[A-Za-z][A-Za-z0-9+.-]*:' "
+                       f"THEN {sql} ELSE concat({b}, {sql}) END)")
+            return (sql, "iri", None, None)
+        sql = self.parse_expr()
+        self.expect_op(",")
+        if word == "strdt":
+            dt_tok = self.next()
+            if dt_tok.kind not in ("IRIREF", "PNAME", "COLON"):
+                self.fail("STRDT takes a constant datatype IRI in "
+                          "this engine")
+            self.expect_op(")")
+            return (f"CAST({sql} AS STRING)", "literal",
+                    self.expand_iri(dt_tok), None)
+        lt = self.next()  # strlang
+        if lt.kind != "STRING":
+            self.fail("STRLANG takes a constant language tag in this "
+                      "engine")
+        self.expect_op(")")
+        return (f"CAST({sql} AS STRING)", "literal", None,
+                _unquote(lt.text).lower())
+
+    @staticmethod
+    def _subgroup_tuple(sub: "Group"):
+        """OPTIONAL/MINUS/EXISTS group → the bgp OptionalGroup tuple;
+        group-scoped BIND/VALUES ride in the optional tail elements
+        (they used to be silently dropped)."""
+        if sub.binds or sub.values:
+            return (sub.patterns, sub.filters or None,
+                    sub.binds or None, sub.values or None)
+        return (sub.patterns, sub.filters or None)
 
     # -- expressions → Spark SQL --------------------------------------
     def parse_expr_or_call(self) -> str:
@@ -847,11 +965,13 @@ class _Parser:
                         + " AND ".join(
                             f"({x}{sfx} <=> {y}{sfx})"
                             for sfx in META_SUFFIXES) + ")"), "other"
-            if word in _UNSUPPORTED_FNS:
+            if word in _CONSTRUCTOR_FNS:
                 raise SparqlSyntaxError(
-                    f"term constructor {t.text.upper()}() is not "
-                    "supported — construct terms with the DataFrame "
-                    f"API / bgp_construct instead (offset {t.pos})")
+                    f"term constructor {t.text.upper()}() is only "
+                    "supported as the entire BIND expression — "
+                    f"BIND({t.text.upper()}(...) AS ?v) — where its "
+                    "term metadata can be carried as companion columns "
+                    f"(offset {t.pos})")
             if word in _AGG_FNS:
                 raise SparqlSyntaxError(
                     f"aggregate {t.text.upper()}() is only allowed in "
@@ -1339,7 +1459,11 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
     if q.order_by:
         sol = _order(sol, q.order_by)
     sol = _slice(sol, q)
-    return bgp_construct(sol, q.template,
+    # use_meta: template variables that carry companion metadata
+    # columns (introspected or constructor-bound) emit the SOURCE
+    # term's kind/datatype/language instead of the shape heuristic —
+    # a copied literal stays the same literal
+    return bgp_construct(sol, q.template, use_meta=True,
                          literal_consts=q.template_literals or None)
 
 

@@ -133,10 +133,14 @@ def test_parse_rejects_term_constructors():
             ?x schema:name ?n . FILTER(BNODE(?n) = ?n) }""")
 
 
-def test_parse_rejects_tagged_literal_patterns():
-    with pytest.raises(SparqlSyntaxError, match="lexical form"):
-        parse_sparql(
-            PFX + 'SELECT ?x WHERE { ?x schema:name "alpha"@en }')
+def test_parse_tagged_literal_pattern_is_lit():
+    # tagged/typed constants compile to bgp.Lit (exact term equality;
+    # full coverage in test_sparql_terms.py)
+    from rdfa_streaming_parser_js_spark.operators.bgp import Lit
+    q = parse_sparql(
+        PFX + 'SELECT ?x WHERE { ?x schema:name "alpha"@en }')
+    assert q.where.patterns == [
+        ("?x", f"{S}name", Lit("alpha", lang="en"))]
 
 
 def test_parse_rejects_mixed_union_group():
