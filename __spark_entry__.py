@@ -1221,6 +1221,41 @@ def q_kg_sparql_lang_datatype(spark, sf_dir):
     return sparql_query(t, SPARQL_LANG_DT_TEXT)
 
 
+SPARQL_TERMS_TEXT = f"""
+    PREFIX schema: <{SCHEMA_ORG}>
+    PREFIX xsd: <{XSD}>
+    SELECT ?doc ?name ?mirror ?wcdt ?midnight WHERE {{
+        ?doc a schema:Article ;
+             schema:inLanguage "en"@en ;
+             schema:name ?name ;
+             schema:wordCount ?wc .
+        BIND(IRI(CONCAT(STR(?doc), "/mirror")) AS ?mirror)
+        BIND(STRDT(?wc, xsd:decimal) AS ?wcd)
+        BIND(DATATYPE(?wcd) AS ?wcdt)
+        OPTIONAL {{ ?doc schema:dateCreated ?d .
+                    BIND(CONCAT(?d, "T00:00:00") AS ?midnight) }}
+        FILTER(isIRI(?mirror))
+    }}
+"""
+
+
+def q_kg_term_constructors(spark, sf_dir):
+    """The RDF-term surface of the SPARQL front-end, end-to-end from
+    query text: a language-TAGGED literal constant in pattern position
+    (``schema:inLanguage "en"@en`` → an exact-term pushed scan filter
+    on obj_value+obj_kind+obj_lang, bgp.Lit), term constructors as
+    BIND expressions (``IRI`` builds a mirror IRI per doc — its minted
+    companion metadata satisfies the ``isIRI`` filter; ``STRDT`` types
+    the word count and ``DATATYPE`` reads the constructed type back),
+    and a BIND scoped INSIDE an OPTIONAL group (previously a silent
+    drop).  All pure projections over one predicate-pruned BGP join —
+    the constructors add zero shuffles."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    t = _triples_cut(spark, sf_dir)
+    return sparql_query(t, SPARQL_TERMS_TEXT)
+
+
 SPARQL_UPDATE_TEXT = f"""
     PREFIX schema: <{SCHEMA_ORG}>
     DELETE {{ ?x schema:name ?n }}
@@ -1751,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_oracles.py) and by pytest."""
     return {
         # -- never driver-verified: round-3 late additions + round-4 new
+        "kg_term_constructors": q_kg_term_constructors,
         "kg_graph_provenance": q_kg_graph_provenance,
         "kg_graph_page_slice": q_kg_graph_page_slice,
         "kg_sparql_lang_datatype": q_kg_sparql_lang_datatype,
@@ -1784,7 +1820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "streaming_extract": q_streaming_extract,
         "streaming_windowed_counts": q_streaming_windowed_counts,
-        "kg_snapshot_delta": q_kg_snapshot_delta,
         "kg_recrawl_merge": q_kg_recrawl_merge,
         "turtle_roundtrip": q_turtle_roundtrip,
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
@@ -1818,6 +1853,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SURVEY.md §2.4."""
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
+        "kg_snapshot_delta": q_kg_snapshot_delta,  # retired r04 (r03)
         "kg_cooccurrence": q_kg_cooccurrence,  # retired round 4 (r03)
         "kg_bgp_same_source": q_kg_bgp_same_source,  # retired r04 (r03)
         "json_graph_nodes": q_json_graph_nodes,  # retired round 4 (r03)
@@ -2365,6 +2401,35 @@ def oracle_sql() -> dict[str, str]:
             FROM ty JOIN n USING (subj) JOIN w USING (subj)
                     JOIN s USING (subj)
             ORDER BY doc
+        """,
+        # Tagged-literal constant = exact (value, kind, lang) match;
+        # IRI(CONCAT(STR(?doc), "/mirror")) = string concat (all docs
+        # are IRIs, so isIRI(?mirror) keeps every row); DATATYPE of
+        # the STRDT-constructed literal is the constant decimal IRI;
+        # the OPTIONAL-scoped BIND is null exactly when dateCreated is.
+        "kg_term_constructors": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            ty AS (SELECT subj FROM exp
+                   WHERE pred = '{RDF_TYPE}'
+                     AND obj_value = '{SCHEMA_ORG}Article'),
+            lg AS (SELECT subj FROM exp
+                   WHERE pred = '{SCHEMA_ORG}inLanguage'
+                     AND obj_kind = 'literal'
+                     AND obj_value = 'en'
+                     AND lower(obj_lang) = 'en'),
+            n AS (SELECT subj, obj_value AS name FROM exp
+                  WHERE pred = '{SCHEMA_ORG}name'),
+            w AS (SELECT subj FROM exp
+                  WHERE pred = '{SCHEMA_ORG}wordCount'),
+            d AS (SELECT subj, obj_value AS dc FROM exp
+                  WHERE pred = '{SCHEMA_ORG}dateCreated')
+            SELECT ty.subj AS doc, n.name AS name,
+                   ty.subj || '/mirror' AS mirror,
+                   '{XSD}decimal' AS wcdt,
+                   d.dc || 'T00:00:00' AS midnight
+            FROM ty JOIN lg USING (subj) JOIN n USING (subj)
+                    JOIN w USING (subj)
+            LEFT JOIN d USING (subj)
         """,
         "kg_bgp_same_source": f"""
             WITH exp AS ({expected_triples_sql()}),
