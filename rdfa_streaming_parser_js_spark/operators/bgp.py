@@ -48,6 +48,79 @@ OptionalGroup = tuple[list[Pattern], "list[str] | None"]
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
+@dataclass
+class GroupSpec:
+    """A recursive group graph pattern — the full bgp_match surface as
+    a value, usable wherever an :data:`OptionalGroup` tuple is (an
+    ``optionals`` / ``minus`` / ``exists`` / ``not_exists`` entry), so
+    groups NEST: ``OPTIONAL { P1 OPTIONAL { P2 } }``, ``OPTIONAL {
+    {A} UNION {B} } }``, ``MINUS { P FILTER NOT EXISTS {...} }``.
+
+    Evaluation is SPARQL bottom-up (§18.5): the spec compiles to its
+    own solution relation (patterns → VALUES → BIND → OPTIONAL → MINUS
+    → FILTER → EXISTS), which the enclosing group then left/anti/semi
+    joins exactly like a flat tuple group.  ``union`` makes the spec a
+    UNION node instead — the branch specs stack by variable name — and
+    is exclusive with every other field except nothing (the SPARQL
+    grammar makes UNION the entire group body).
+
+    Join-key certainty: the enclosing join is an equi-join on the
+    shared variables, which is SPARQL compatibility ONLY when those
+    variables are never unbound (NULL) in the group's solutions.
+    Variables bound by the spec's required patterns are certain;
+    variables introduced under a nested OPTIONAL, bound in only some
+    UNION branches, or minted by BIND/VALUES (NULL on error / UNDEF)
+    are not — sharing one with the enclosing solution raises rather
+    than silently computing non-SPARQL answers."""
+    patterns: "list[Pattern]" = None
+    filters: "list[str] | None" = None
+    binds: "list[tuple] | None" = None
+    values: "list[dict] | None" = None
+    optionals: "list | None" = None      # entries: tuple | GroupSpec
+    minus: "list | None" = None
+    exists: "list | None" = None
+    not_exists: "list | None" = None
+    union: "list[GroupSpec] | None" = None
+
+    def __post_init__(self):
+        if self.union and (self.patterns or self.filters or self.binds
+                           or self.values or self.optionals or self.minus
+                           or self.exists or self.not_exists):
+            raise ValueError(
+                "a UNION GroupSpec holds only its branches — SPARQL "
+                "makes UNION the entire group body")
+        if not self.union and not self.patterns:
+            raise ValueError("GroupSpec needs patterns or union branches")
+
+
+def _pattern_vars(patterns) -> set:
+    """Variables bound by a list of (quad) patterns — required
+    bindings, so never NULL in the compiled solution."""
+    out = set()
+    for pat in patterns or ():
+        for t in pat:
+            if _is_var(t):
+                out.add(t[1:])
+    return out
+
+
+def _certain_vars(grp) -> set:
+    """Variables of an optionals/minus/exists entry that are bound in
+    EVERY solution of the group (valid equi-join keys).  Conservative:
+    BIND / VALUES variables are excluded (NULL on expression error /
+    UNDEF row), nested-OPTIONAL variables are excluded, and a UNION is
+    the intersection of its branches."""
+    if isinstance(grp, GroupSpec):
+        if grp.union:
+            sets = [_certain_vars(b) for b in grp.union]
+            out = sets[0]
+            for s in sets[1:]:
+                out &= s
+            return out
+        return _pattern_vars(grp.patterns)
+    return _pattern_vars(grp[0])
+
+
 @dataclass(frozen=True)
 class Lit:
     """A language-tagged or datatyped literal CONSTANT in a pattern's
@@ -357,12 +430,17 @@ def _apply_bind(solution: DataFrame, var: str, expr) -> DataFrame:
 
 def _subgroup(triples: DataFrame, grp, meta_vars: frozenset,
               constant_only_ok: bool = False) -> DataFrame:
-    """Compile one OPTIONAL/MINUS/EXISTS group tuple — ``(patterns,
-    filters[, binds[, values]])``.  With binds/values present the
+    """Compile one OPTIONAL/MINUS/EXISTS group — a ``(patterns,
+    filters[, binds[, values]])`` tuple, or a :class:`GroupSpec` for a
+    group that itself nests OPTIONAL/MINUS/EXISTS/UNION (evaluated
+    bottom-up by recursion).  With binds/values present the
     group's filters apply AFTER them (same member order as the
     enclosing group: patterns → VALUES → BIND → FILTER), so a group
     filter may reference the bound columns; Catalyst still pushes
     pattern-variable conjuncts through the projections to the scans."""
+    if isinstance(grp, GroupSpec):
+        return _eval_spec(triples, grp, meta_vars,
+                          constant_only_ok=constant_only_ok)
     pats, flts = grp[0], grp[1]
     binds = grp[2] if len(grp) > 2 else None
     vals = grp[3] if len(grp) > 3 else None
@@ -399,6 +477,8 @@ def _apply_exists(triples: DataFrame, solution: DataFrame,
                   if v != "_gate" and v in solution.columns
                   and not v.endswith(META_SUFFIXES)]
         if shared:
+            _check_join_keys(grp, shared,
+                             "NOT EXISTS" if negate else "EXISTS")
             solution = solution.join(group.select(*shared), on=shared,
                                      how="left_anti" if negate
                                      else "left_semi")
@@ -510,7 +590,12 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     tuples may append two optional elements — ``(patterns, filters,
     binds, values)`` — for BIND / VALUES scoped INSIDE the group; the
     group's filters then apply after them, mirroring the enclosing
-    group's member order.
+    group's member order.  An entry may also be a :class:`GroupSpec`
+    — a group that itself nests OPTIONAL / MINUS / EXISTS / UNION —
+    evaluated bottom-up by recursion; its equi-join keys into the
+    enclosing solution must be bound in every group solution
+    (:func:`_certain_vars`), else the call raises rather than silently
+    losing SPARQL's unbound-compatible-with-anything semantics.
 
     ``exists`` / ``not_exists``: SPARQL FILTER (NOT) EXISTS — each
     ``(patterns, filters)`` group keeps (removes) the solutions that
@@ -541,21 +626,54 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     """
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
-    meta_vars = frozenset(meta_vars)
-    # group FILTERs apply to the WHOLE group solution (SPARQL §8.3) —
-    # after VALUES/BIND/OPTIONAL/MINUS below — so expressions may
-    # reference optionally-bound variables (the OPTIONAL + !BOUND
-    # negation idiom) and VALUES/BIND columns.  Catalyst still pushes
-    # each conjunct down the join tree as far as its null semantics
-    # allow, so a required-var filter lands on its pattern's scan.
-    solution = _compile_group(triples, patterns, None,
+    spec = GroupSpec(patterns=patterns, filters=filters, binds=binds,
+                     values=values, optionals=optionals, minus=minus,
+                     exists=exists, not_exists=not_exists)
+    solution = _eval_spec(triples, spec, frozenset(meta_vars))
+    return solution.select(*select) if select else solution
+
+
+def _check_join_keys(grp, shared: list, kind: str) -> None:
+    """Raise when a nested-group equi-join key can be NULL (unbound) in
+    the group's solutions — NULL never equi-joins, but SPARQL says an
+    unbound variable is compatible with ANYTHING, so silently joining
+    would compute non-SPARQL answers."""
+    if not isinstance(grp, GroupSpec):
+        return  # flat tuple groups keep their documented semantics
+    unsafe = sorted(v for v in shared if v not in _certain_vars(grp))
+    if unsafe:
+        raise ValueError(
+            f"{kind} group shares variable(s) {unsafe} with the "
+            "enclosing solution, but they are not bound in every group "
+            "solution (nested OPTIONAL / partial UNION branch / BIND / "
+            "VALUES) — an unbound variable is compatible with anything "
+            "(SPARQL §18.3), which an equi-join cannot express; bind "
+            "them in the group's required patterns or rename")
+
+
+def _eval_spec(triples: DataFrame, spec: GroupSpec,
+               meta_vars: frozenset,
+               constant_only_ok: bool = False) -> DataFrame:
+    """Evaluate one :class:`GroupSpec` bottom-up (SPARQL §18.5), in
+    the member order patterns → VALUES → BIND → OPTIONAL → MINUS →
+    FILTER → EXISTS/NOT EXISTS.  Group FILTERs apply to the WHOLE
+    group solution (SPARQL §8.3) — after VALUES/BIND/OPTIONAL/MINUS —
+    so expressions may reference optionally-bound variables (the
+    OPTIONAL + !BOUND negation idiom) and VALUES/BIND columns.
+    Catalyst still pushes each conjunct down the join tree as far as
+    its null semantics allow, so a required-var filter lands on its
+    pattern's scan."""
+    if spec.union:
+        return bgp_union(*[_eval_spec(triples, b, meta_vars)
+                           for b in spec.union])
+    solution = _compile_group(triples, spec.patterns, None,
+                              constant_only_ok=constant_only_ok,
                               meta_vars=meta_vars)
-    if values:
-        solution = _join_values(solution, values)
-    for var, expr in binds or ():
+    if spec.values:
+        solution = _join_values(solution, spec.values)
+    for var, expr in spec.binds or ():
         solution = _apply_bind(solution, var, expr)
-    for grp in optionals or ():
-        opt_patterns = grp[0]
+    for grp in spec.optionals or ():
         group = _subgroup(
             triples, grp,
             meta_vars=frozenset(v for v in meta_vars
@@ -565,9 +683,10 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
         if not shared:
             raise ValueError(
                 "OPTIONAL group shares no variable with the required "
-                f"group: {opt_patterns}")
+                f"group: {grp.patterns if isinstance(grp, GroupSpec) else grp[0]}")
+        _check_join_keys(grp, shared, "OPTIONAL")
         solution = solution.join(group, on=shared, how="left")
-    for grp in minus or ():
+    for grp in spec.minus or ():
         group = _subgroup(
             triples, grp,
             meta_vars=frozenset(v for v in meta_vars
@@ -575,17 +694,18 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
         shared = [v for v in group.columns if v in solution.columns
                   and not v.endswith(META_SUFFIXES)]
         if shared:  # disjoint-domain MINUS is a no-op (SPARQL §8.3.3)
+            _check_join_keys(grp, shared, "MINUS")
             solution = solution.join(group.select(*shared),
                                      on=shared, how="left_anti")
-    for expr in filters or ():
+    for expr in spec.filters or ():
         solution = solution.filter(F.expr(expr))
-    if exists:
-        solution = _apply_exists(triples, solution, exists, negate=False,
-                                 meta_vars=meta_vars)
-    if not_exists:
-        solution = _apply_exists(triples, solution, not_exists,
+    if spec.exists:
+        solution = _apply_exists(triples, solution, spec.exists,
+                                 negate=False, meta_vars=meta_vars)
+    if spec.not_exists:
+        solution = _apply_exists(triples, solution, spec.not_exists,
                                  negate=True, meta_vars=meta_vars)
-    return solution.select(*select) if select else solution
+    return solution
 
 
 def bgp_construct(solutions: DataFrame, template: list[Pattern],

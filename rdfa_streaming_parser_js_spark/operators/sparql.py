@@ -40,7 +40,9 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   sub-queries (§18.2) joined into the group on their shared
   variables.  ``BIND`` / ``VALUES`` also work INSIDE an OPTIONAL /
   MINUS / EXISTS group (applied after the group's patterns, before
-  its filters).
+  its filters), and those groups NEST: ``OPTIONAL { P1 OPTIONAL
+  { P2 } }``, ``OPTIONAL { {A} UNION {B} }``, ``MINUS { P FILTER
+  NOT EXISTS {...} }`` — any depth, evaluated bottom-up (§18.5).
 - Language-tagged and datatyped literal CONSTANTS in pattern object
   position (``?s schema:name "chat"@fr`` / ``?s schema:wordCount
   "5"^^xsd:integer``): exact SPARQL term equality — lexical form AND
@@ -111,9 +113,16 @@ Documented deviations (each raises or is noted, never silent):
   engine's lexical columns).
 - With ``DISTINCT``, ``ORDER BY`` keys must be projected variables
   (ordering applies after de-duplication).
-- Nested OPTIONAL/UNION inside OPTIONAL / MINUS / EXISTS groups are
-  not supported, and a group containing a sub-SELECT cannot also
-  contain OPTIONAL/MINUS/EXISTS (compose at the DataFrame level).
+- Nested groups (OPTIONAL / MINUS / EXISTS / UNION *inside* an
+  OPTIONAL / MINUS / EXISTS group, to any depth) evaluate bottom-up
+  via :class:`bgp.GroupSpec`; the variables a nested group shares
+  with its enclosing solution must be bound in EVERY group solution
+  (required patterns; for a UNION, every branch) — a shared variable
+  bound only under a nested OPTIONAL, in some UNION branches, or by
+  BIND/VALUES raises, because SPARQL's unbound-compatible-with-
+  anything join semantics cannot be an equi-join.  Sub-SELECTs stay
+  top-level only, and a group containing one cannot also contain
+  OPTIONAL/MINUS/EXISTS (compose at the DataFrame level).
 """
 
 from __future__ import annotations
@@ -126,7 +135,8 @@ from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators import paths as P
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    META_SUFFIXES, Lit, bgp_construct, bgp_match, bgp_union, describe)
+    META_SUFFIXES, GroupSpec, Lit, bgp_construct, bgp_match, bgp_union,
+    describe)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -196,6 +206,30 @@ class Group:
     not_exists: list = field(default_factory=list)
     union: list = field(default_factory=list)  # list[Group] if UNION
     subselects: list = field(default_factory=list)  # list[ParsedQuery]
+
+
+def _group_to_spec(sub: Group) -> GroupSpec:
+    """A nested OPTIONAL/MINUS/EXISTS group that itself nests further
+    groups → the recursive :class:`bgp.GroupSpec` the algebra evaluates
+    bottom-up.  Entries in sub.optionals/minus/exists/not_exists were
+    already converted (tuple or GroupSpec) as they were parsed; UNION
+    branches are parser Groups and convert here."""
+    if sub.subselects:
+        raise SparqlSyntaxError(
+            "sub-SELECT inside a nested group is not supported")
+    if sub.union:
+        if sub.patterns or sub.filters:
+            raise SparqlSyntaxError("UNION must be the entire group body")
+        return GroupSpec(union=[
+            b if isinstance(b, GroupSpec) else _group_to_spec(b)
+            for b in sub.union])
+    if not sub.patterns:
+        raise SparqlSyntaxError("empty group pattern")
+    return GroupSpec(
+        patterns=sub.patterns, filters=sub.filters or None,
+        binds=sub.binds or None, values=sub.values or None,
+        optionals=sub.optionals or None, minus=sub.minus or None,
+        exists=sub.exists or None, not_exists=sub.not_exists or None)
 
 
 @dataclass
@@ -592,9 +626,8 @@ class _Parser:
         if self.at_op("{") and not (
                 self.peek(1).kind == "NAME"
                 and self.peek(1).text.lower() == "select"):
-            # {A} UNION {B} [UNION {C}...]
-            if not top:
-                self.fail("nested group blocks are not supported here")
+            # {A} UNION {B} [UNION {C}...] — at the top level or
+            # nested inside OPTIONAL/MINUS/EXISTS (GroupSpec recursion)
             g.union.append(self.parse_group(top=False))
             while self.take_kw("union"):
                 g.union.append(self.parse_group(top=False))
@@ -621,13 +654,9 @@ class _Parser:
             elif self.take_kw("filter"):
                 self._parse_filter(g, top)
             elif self.take_kw("optional"):
-                if not top:
-                    self.fail("nested OPTIONAL is not supported")
                 sub = self.parse_group(top=False)
                 g.optionals.append(self._subgroup_tuple(sub))
             elif self.take_kw("minus"):
-                if not top:
-                    self.fail("nested MINUS is not supported")
                 sub = self.parse_group(top=False)
                 g.minus.append(self._subgroup_tuple(sub))
             elif self.take_kw("graph"):
@@ -697,8 +726,6 @@ class _Parser:
         else:
             g.filters.append(self.parse_expr_or_call())
             return
-        if not top:
-            self.fail("EXISTS inside a nested group is not supported")
         sub = self.parse_group(top=False)
         dest = g.not_exists if negate else g.exists
         dest.append(self._subgroup_tuple(sub))
@@ -806,9 +833,14 @@ class _Parser:
 
     @staticmethod
     def _subgroup_tuple(sub: "Group"):
-        """OPTIONAL/MINUS/EXISTS group → the bgp OptionalGroup tuple;
-        group-scoped BIND/VALUES ride in the optional tail elements
-        (they used to be silently dropped)."""
+        """OPTIONAL/MINUS/EXISTS group → the bgp OptionalGroup tuple,
+        or a recursive :class:`bgp.GroupSpec` when the group itself
+        nests OPTIONAL/MINUS/EXISTS/UNION; group-scoped BIND/VALUES
+        ride in the optional tail elements (they used to be silently
+        dropped)."""
+        if (sub.optionals or sub.minus or sub.exists or sub.not_exists
+                or sub.union):
+            return _group_to_spec(sub)
         if sub.binds or sub.values:
             return (sub.patterns, sub.filters or None,
                     sub.binds or None, sub.values or None)

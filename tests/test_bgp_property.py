@@ -171,3 +171,113 @@ def test_values_agrees_with_naive_join(spark, case):
     got = Counter(tuple(getattr(r, v) for v in all_vars)
                   for r in got_rows)
     assert got == expect, (patterns, rows)
+
+
+# ---------------------------------------------------------------------
+# nested groups (GroupSpec recursion)
+# ---------------------------------------------------------------------
+
+def _compatible(s1: dict, s2: dict) -> bool:
+    """SPARQL §18.3 solution compatibility: agree on the common BOUND
+    variables (a variable absent from a mapping is unbound and
+    compatible with anything)."""
+    return all(s1[k] == s2[k] for k in s1.keys() & s2.keys())
+
+
+def _left_join(outer: list[dict], inner: list[dict]) -> list[dict]:
+    """SPARQL LeftJoin(Ω1, Ω2) with no expression — bag semantics."""
+    out = []
+    for s in outer:
+        matched = [i for i in inner if _compatible(s, i)]
+        if matched:
+            out.extend({**s, **i} for i in matched)
+        else:
+            out.append(dict(s))
+    return out
+
+
+@st.composite
+def graph_and_nested_optional(draw):
+    """Required BGP over ?a/?b, an OPTIONAL group over ?a/?c that
+    itself nests an OPTIONAL over ?c/?d.  The variable pools guarantee
+    every enclosing equi-join key is bound by the joined group's
+    required patterns (certain), so the compiled plan never trips the
+    join-key guard and must agree with the naive evaluator exactly."""
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(PREDS),
+                  st.sampled_from(OBJECTS)),
+        min_size=1, max_size=14))
+    req = [("?a", draw(st.sampled_from(PREDS)),
+            draw(st.sampled_from(["?b"] + OBJECTS)))]
+    if draw(st.booleans()):
+        req.append(("?a", draw(st.sampled_from(PREDS + ["?b"])),
+                    draw(st.sampled_from(OBJECTS))))
+    outer = [("?a", draw(st.sampled_from(PREDS)), "?c")]
+    inner = [("?c", draw(st.sampled_from(PREDS)),
+              draw(st.sampled_from(["?d"] + OBJECTS)))]
+    return triples, req, outer, inner
+
+
+@given(graph_and_nested_optional())
+@settings(max_examples=20, deadline=None)
+def test_nested_optional_agrees_with_naive(spark, case):
+    """OPTIONAL { P1 OPTIONAL { P2 } } = LeftJoin(req,
+    LeftJoin(P1, P2)) — SPARQL §18.5 bottom-up, bag semantics."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import GroupSpec
+    triples, req, outer, inner = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    spec = GroupSpec(patterns=outer,
+                     optionals=[GroupSpec(patterns=inner)])
+    got_rows = bgp_match(df, req, optionals=[spec]).collect()
+    want = _left_join(
+        naive_bgp(triples, req),
+        _left_join(naive_bgp(triples, outer), naive_bgp(triples, inner)))
+    all_vars = sorted({t[1:] for pats in (req, outer, inner)
+                       for pat in pats for t in pat
+                       if t.startswith("?")})
+    got = Counter(tuple(getattr(r, v) for v in all_vars)
+                  for r in got_rows)
+    expect = Counter(tuple(sol.get(v) for v in all_vars) for sol in want)
+    assert got == expect, (req, outer, inner)
+
+
+@st.composite
+def graph_and_union_optional(draw):
+    """OPTIONAL { {A} UNION {B} } where both branches bind ?a and ?c
+    (so the enclosing join keys are certain in every branch)."""
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(PREDS),
+                  st.sampled_from(OBJECTS)),
+        min_size=1, max_size=14))
+    req = [("?a", draw(st.sampled_from(PREDS)),
+            draw(st.sampled_from(["?b"] + OBJECTS)))]
+    b1 = [("?a", draw(st.sampled_from(PREDS)), "?c")]
+    b2 = [("?a", draw(st.sampled_from(PREDS)), "?c"),
+          ("?c", draw(st.sampled_from(PREDS)),
+           draw(st.sampled_from(OBJECTS)))]
+    return triples, req, b1, b2
+
+
+@given(graph_and_union_optional())
+@settings(max_examples=20, deadline=None)
+def test_union_inside_optional_agrees_with_naive(spark, case):
+    """OPTIONAL { {A} UNION {B} } = LeftJoin(req, Union(A, B)) —
+    branch solutions stack with bag multiplicity before the left
+    join."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import GroupSpec
+    triples, req, b1, b2 = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    spec = GroupSpec(union=[GroupSpec(patterns=b1),
+                            GroupSpec(patterns=b2)])
+    got_rows = bgp_match(df, req, optionals=[spec]).collect()
+    want = _left_join(naive_bgp(triples, req),
+                      naive_bgp(triples, b1) + naive_bgp(triples, b2))
+    all_vars = sorted({t[1:] for pats in (req, b1, b2)
+                       for pat in pats for t in pat
+                       if t.startswith("?")})
+    got = Counter(tuple(getattr(r, v) for v in all_vars)
+                  for r in got_rows)
+    expect = Counter(tuple(sol.get(v) for v in all_vars) for sol in want)
+    assert got == expect, (req, b1, b2)

@@ -790,3 +790,127 @@ def test_parse_non_integer_limit_rejected():
         parse_sparql("SELECT ?s WHERE { ?s ?p ?o } LIMIT 1.5")
     with pytest.raises(SparqlSyntaxError, match="integer OFFSET"):
         parse_sparql("SELECT ?s WHERE { ?s ?p ?o } OFFSET 2e3")
+
+
+# --------------------------------------------------------------------
+# nested groups (GroupSpec recursion through the text front-end)
+# --------------------------------------------------------------------
+
+def _nested_kg(spark):
+    return spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"),
+        ("d2", RDF_TYPE, f"{S}Article"),
+        ("d3", RDF_TYPE, f"{S}Article"),
+        ("d1", f"{S}author", "a1"),
+        ("d2", f"{S}author", "a2"),
+        ("a1", f"{S}name", "Alice"),
+        ("d3", f"{S}about", "t1"),
+    ], COLS)
+
+
+def test_nested_optional_in_optional(spark):
+    rows = sparql_query(_nested_kg(spark), PFX + """
+        SELECT ?d ?a ?n WHERE {
+            ?d a schema:Article .
+            OPTIONAL { ?d schema:author ?a .
+                       OPTIONAL { ?a schema:name ?n } }
+        } ORDER BY ?d""").collect()
+    assert [(r.d, r.a, r.n) for r in rows] == [
+        ("d1", "a1", "Alice"),   # full chain
+        ("d2", "a2", None),      # outer matches, inner does not
+        ("d3", None, None),      # outer does not match
+    ]
+
+
+def test_union_inside_optional(spark):
+    rows = sparql_query(_nested_kg(spark), PFX + """
+        SELECT ?d ?x WHERE {
+            ?d a schema:Article .
+            OPTIONAL { { ?d schema:author ?w . ?w schema:name ?x }
+                       UNION { ?d schema:about ?x } }
+        } ORDER BY ?d""").collect()
+    assert [(r.d, r.x) for r in rows] == [
+        ("d1", "Alice"), ("d2", None), ("d3", "t1")]
+
+
+def test_minus_with_nested_not_exists(spark):
+    # remove Articles that have an author WITHOUT a name
+    rows = sparql_query(_nested_kg(spark), PFX + """
+        SELECT ?d WHERE {
+            ?d a schema:Article .
+            MINUS { ?d schema:author ?a .
+                    FILTER NOT EXISTS { ?a schema:name ?n } }
+        } ORDER BY ?d""").collect()
+    assert [r.d for r in rows] == ["d1", "d3"]
+
+
+def test_exists_with_nested_optional_filter(spark):
+    # EXISTS group whose own OPTIONAL drives a !BOUND filter: keep
+    # Articles having an author with NO name (the OPTIONAL+!BOUND
+    # idiom, one level down)
+    rows = sparql_query(_nested_kg(spark), PFX + """
+        SELECT ?d WHERE {
+            ?d a schema:Article .
+            FILTER EXISTS { ?d schema:author ?a .
+                            OPTIONAL { ?a schema:name ?n }
+                            FILTER(!BOUND(?n)) }
+        }""").collect()
+    assert [r.d for r in rows] == ["d2"]
+
+
+def test_three_level_nesting(spark):
+    t = spark.createDataFrame([
+        ("d1", f"{S}author", "a1"),
+        ("a1", f"{S}affiliation", "o1"),
+        ("o1", f"{S}name", "Org One"),
+        ("d2", f"{S}author", "a2"),
+        ("a2", f"{S}affiliation", "o2"),
+        ("d3", f"{S}author", "a3"),
+        ("d4", f"{S}name", "plain"),
+    ], COLS)
+    rows = sparql_query(t, PFX + """
+        SELECT ?d ?a ?o ?n WHERE {
+            ?d schema:author ?a .
+            OPTIONAL { ?a schema:affiliation ?o .
+                       OPTIONAL { ?o schema:name ?n } }
+        } ORDER BY ?d""").collect()
+    assert [(r.d, r.a, r.o, r.n) for r in rows] == [
+        ("d1", "a1", "o1", "Org One"),
+        ("d2", "a2", "o2", None),
+        ("d3", "a3", None, None),
+    ]
+
+
+def test_unsafe_nested_join_key_raises(spark):
+    # ?n is bound only under the NESTED optional but shared with the
+    # enclosing solution — an equi-join on it would lose SPARQL's
+    # unbound-compatible-with-anything semantics, so it must raise
+    with pytest.raises(ValueError, match="not bound in every"):
+        sparql_query(_nested_kg(spark), PFX + """
+            SELECT * WHERE {
+                ?d a schema:Article ; schema:name ?n .
+                OPTIONAL { ?d schema:author ?a .
+                           OPTIONAL { ?a schema:name ?n } }
+            }""").collect()
+
+
+def test_union_branch_missing_join_key_raises(spark):
+    # ?a is bound in only ONE union branch but shared with the
+    # enclosing solution
+    with pytest.raises(ValueError, match="not bound in every"):
+        sparql_query(_nested_kg(spark), PFX + """
+            SELECT * WHERE {
+                ?d a schema:Article ; schema:author ?a .
+                OPTIONAL { { ?d schema:author ?a }
+                           UNION { ?d schema:about ?x } }
+            }""").collect()
+
+
+def test_nested_subselect_still_raises(spark):
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(PFX + """
+            SELECT * WHERE {
+                ?d a schema:Article .
+                OPTIONAL { ?d schema:author ?a .
+                           { SELECT ?a WHERE { ?a schema:name ?n } } }
+            }""")
