@@ -1256,6 +1256,52 @@ def q_kg_term_constructors(spark, sf_dir):
     return sparql_query(t, SPARQL_TERMS_TEXT)
 
 
+SPARQL_NESTED_TEXT = f"""
+    PREFIX schema: <{SCHEMA_ORG}>
+    SELECT ?doc ?name ?src ?d ?bucket WHERE {{
+        ?doc a schema:Article ;
+             schema:name ?name .
+        OPTIONAL {{
+            ?doc schema:isPartOf ?src .
+            FILTER(STRENDS(STR(?src), "1") || STRENDS(STR(?src), "2")
+                   || STRENDS(STR(?src), "3"))
+            OPTIONAL {{ ?doc schema:dateCreated ?d .
+                        FILTER(STR(?d) <= "2024-03-04") }}
+        }}
+        OPTIONAL {{
+            {{ ?doc schema:inLanguage "en"@en .
+               BIND("anglo" AS ?bucket) }}
+            UNION
+            {{ ?doc schema:inLanguage "fr"@fr .
+               BIND("franco" AS ?bucket) }}
+        }}
+        MINUS {{
+            ?doc schema:inLanguage ?l .
+            FILTER NOT EXISTS {{ ?doc schema:dateCreated ?dc .
+                                 FILTER(STR(?dc) < "2024-03-09") }}
+        }}
+    }} ORDER BY ?doc
+"""
+
+
+def q_kg_sparql_nested(spark, sf_dir):
+    """Nested group graph patterns end-to-end from SPARQL text
+    (SPARQL 1.1 §18.5 bottom-up evaluation via bgp.GroupSpec): an
+    OPTIONAL whose body holds a group-local FILTER plus a second-level
+    OPTIONAL (first-days date slice, so the nested binding is visible in rows MINUS keeps), an OPTIONAL whose entire body is
+    a UNION with a branch-local BIND per arm (language bucketing), and
+    a MINUS whose body carries a nested FILTER NOT EXISTS (keep only
+    early-crawl pages).  Every nested group compiles to its own
+    predicate-pruned scan slice; the enclosing joins are equi-joins on
+    ?doc, which the GroupSpec certainty check proves is bound in every
+    group solution — no unbound-compatibility semantics are needed, so
+    the whole query stays a left/anti-join DAG with zero UDFs."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    t = _triples_cut(spark, sf_dir)
+    return sparql_query(t, SPARQL_NESTED_TEXT)
+
+
 SPARQL_UPDATE_TEXT = f"""
     PREFIX schema: <{SCHEMA_ORG}>
     DELETE {{ ?x schema:name ?n }}
@@ -1822,7 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "kg_recrawl_merge": q_kg_recrawl_merge,
         "turtle_roundtrip": q_turtle_roundtrip,
-        "kg_bgp_optional_filter": q_kg_bgp_optional_filter,
+        "kg_sparql_nested": q_kg_sparql_nested,
         "kg_entity_table": q_kg_entity_table,
         # -- round-3 SPARQL/KG slab (first driver rows this round) ----
         "kg_path_list_members": q_kg_path_list_members,
@@ -1853,6 +1899,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SURVEY.md §2.4."""
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
+        "kg_bgp_optional_filter": q_kg_bgp_optional_filter,  # retired r04
+        # (green r03; subsumed by kg_sparql_nested's nested OPTIONALs)
         "kg_snapshot_delta": q_kg_snapshot_delta,  # retired r04 (r03)
         "kg_cooccurrence": q_kg_cooccurrence,  # retired round 4 (r03)
         "kg_bgp_same_source": q_kg_bgp_same_source,  # retired r04 (r03)
@@ -2234,6 +2282,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc, name, wc, lang
             FROM req LEFT JOIN opt USING (doc)
             ORDER BY doc LIMIT 100
+        """,
+        # Mirror of the nested-group SPARQL query (SPARQL 18.5
+        # bottom-up): opt1 = the OPTIONAL group with its group-local
+        # src filter and the second-level OPTIONAL folded as a LEFT
+        # JOIN *inside* the group (evaluated before the enclosing left
+        # join — nesting order matters: a doc with a matching src but
+        # late date keeps src and gets NULL d); opt2 = the
+        # OPTIONAL{UNION} with per-branch constant buckets (exact
+        # SPARQL term equality: lexical form AND language tag); minus
+        # = docs having a language AND no early dateCreated, anti-
+        # joined on the shared ?doc exactly like the engine.
+        "kg_sparql_nested": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            req AS (SELECT t.subj AS doc, n.obj_value AS name
+                    FROM exp t JOIN exp n ON n.subj = t.subj
+                               AND n.pred = '{SCHEMA_ORG}name'
+                    WHERE t.pred = '{RDF_TYPE}'
+                      AND t.obj_value = '{SCHEMA_ORG}Article'),
+            opt1 AS (SELECT s.subj AS doc, s.obj_value AS src,
+                            d.obj_value AS d
+                     FROM (SELECT subj, obj_value FROM exp
+                           WHERE pred = '{SCHEMA_ORG}isPartOf'
+                             AND (obj_value LIKE '%1' OR obj_value LIKE '%2'
+                                  OR obj_value LIKE '%3')) s
+                     LEFT JOIN (SELECT subj, obj_value FROM exp
+                                WHERE pred = '{SCHEMA_ORG}dateCreated'
+                                  AND obj_value <= '2024-03-04') d
+                       ON d.subj = s.subj),
+            opt2 AS (SELECT subj AS doc, 'anglo' AS bucket FROM exp
+                     WHERE pred = '{SCHEMA_ORG}inLanguage'
+                       AND obj_kind = 'literal' AND obj_value = 'en'
+                       AND lower(obj_lang) = 'en'
+                     UNION ALL
+                     SELECT subj AS doc, 'franco' AS bucket FROM exp
+                     WHERE pred = '{SCHEMA_ORG}inLanguage'
+                       AND obj_kind = 'literal' AND obj_value = 'fr'
+                       AND lower(obj_lang) = 'fr'),
+            minus AS (SELECT DISTINCT l.subj AS doc FROM exp l
+                      WHERE l.pred = '{SCHEMA_ORG}inLanguage'
+                        AND NOT EXISTS (
+                          SELECT 1 FROM exp dc
+                          WHERE dc.subj = l.subj
+                            AND dc.pred = '{SCHEMA_ORG}dateCreated'
+                            AND dc.obj_value < '2024-03-09'))
+            SELECT req.doc AS doc, req.name AS name, opt1.src AS src,
+                   opt1.d AS d, opt2.bucket AS bucket
+            FROM req LEFT JOIN opt1 ON opt1.doc = req.doc
+                     LEFT JOIN opt2 ON opt2.doc = req.doc
+            WHERE req.doc NOT IN (SELECT doc FROM minus)
+            ORDER BY doc
         """,
         # SPARQL Update mirror: solutions = (Article, name) pairs;
         # DELETE removes the matched name triples by lexical identity

@@ -914,3 +914,28 @@ def test_nested_subselect_still_raises(spark):
                 OPTIONAL { ?d schema:author ?a .
                            { SELECT ?a WHERE { ?a schema:name ?n } } }
             }""")
+
+
+def test_gated_nested_query_matches_oracle(spark):
+    """The gated kg_sparql_nested query (nested OPTIONAL/UNION/MINUS
+    groups end-to-end from SPARQL text over real extraction output)
+    agrees with its DuckDB oracle row-for-row through the driver's
+    order-insensitive canon — the same pair the correctness gate runs."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    df = entrymod.q_kg_sparql_nested(spark, SF_DIR)
+    cols = sorted(df.columns)
+    got = sorted(tuple("null" if r[c] is None else str(r[c]) for c in cols)
+                 for r in df.collect())
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF_DIR}/documents.parquet'")
+    rel = con.sql(entrymod.oracle_sql()["kg_sparql_nested"])
+    order = [rel.columns.index(c) for c in cols]
+    exp = sorted(tuple("null" if row[i] is None else str(row[i])
+                       for i in order) for row in rel.fetchall())
+    assert got == exp and len(got) > 0

@@ -82,6 +82,15 @@ NOTES = {
         "multiplicities cannot change, probe sides are predicate-pruned "
         "slices, and AQE broadcasts whichever side is small at "
         "runtime."),
+    "kg_sparql_nested": (
+        "Nested groups stay one join DAG: each nested OPTIONAL / UNION "
+        "branch / MINUS body compiles bottom-up to its own "
+        "predicate-pruned scan slice, then joins the enclosing "
+        "solution on the certainty-checked shared variable — "
+        "**SortMergeJoin LeftOuter** for the OPTIONALs, **LeftAnti** "
+        "for MINUS, a two-branch union feeding one left join for "
+        "OPTIONAL{UNION}. No cartesian products, no UDFs; AQE "
+        "broadcast-converts the small sides at runtime."),
     "turtle_sink": (
         "Serialization is pure projection: the compiled "
         "prefix-compaction CASE chain and ECHAR escaping run inside "
