@@ -39,6 +39,8 @@ from rdfa_streaming_parser_js_spark.operators.entity_link import (
 from rdfa_streaming_parser_js_spark.operators.graph import (
     cooccurrence_topk_sql as _cooccurrence_sql,
     pagerank_sql as _pagerank_sql)
+from rdfa_streaming_parser_js_spark.operators.fingerprint import (
+    fingerprint_sql as _fingerprint_sql)
 from rdfa_streaming_parser_js_spark.operators.search import (
     bm25_topk_sql as _bm25_topk_sql)
 from rdfa_streaming_parser_js_spark.operators.extract import (
@@ -1302,6 +1304,56 @@ def q_kg_sparql_nested(spark, sf_dir):
     return sparql_query(t, SPARQL_NESTED_TEXT)
 
 
+def q_kg_graph_fingerprint(spark, sf_dir):
+    """Canonical graph fingerprints (WL colour refinement over blank
+    nodes, operators/fingerprint.py): per-url hashes that are invariant
+    under blank-node renaming — the identity byte-level triple diffs
+    cannot give, because the reference mints bnode labels from a
+    per-document counter (/root/reference/lib/RdfaParser.ts:879-885)
+    and a recrawl that reorders siblings relabels every bnode.  Runs
+    over the RICH corpus (bnode chains + rdf:List spines, the graphs
+    where this matters), fingerprints (a) the extracted graph, (b) an
+    injectively bnode-RENAMED copy (must collide — isomorphic), and
+    (c) a structurally MUTATED copy with the list tail removed (must
+    differ).  The three variants are TAGGED into one table (variant
+    prefix folded into the url key) so ONE WL chain fingerprints all
+    of them — a third of the stages of three separate chains, and the
+    per-(url, node) keying stays map-side combinable with no hub skew
+    and no driver state."""
+    from rdfa_streaming_parser_js_spark.operators.fingerprint import (
+        graph_fingerprint, rename_bnodes)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        RDF_NS, rich_pages_from_documents)
+    t = extract_triples(rich_pages_from_documents(spark, sf_dir),
+                        lang_col=None).localCheckpoint(eager=True)
+
+    def tag(df, v):
+        return df.withColumn("url", F.concat(F.lit(v + "|"), "url"))
+
+    mutated = t.filter(~((F.col("pred") == f"{RDF_NS}rest")
+                         & (F.col("obj_kind") == "iri")
+                         & (F.col("obj_value") == f"{RDF_NS}nil")))
+    tagged = (tag(t, "b").unionByName(tag(rename_bnodes(t), "r"))
+              .unionByName(tag(mutated, "m")))
+    fps = (graph_fingerprint(tagged)
+           .select(F.expr("substring(url, 1, 1)").alias("variant"),
+                   F.expr("substring(url, 3)").alias("url"),
+                   "fingerprint", "n_triples"))
+    base = fps.filter(F.col("variant") == "b").drop("variant")
+    ren = fps.filter(F.col("variant") == "r").select(
+        F.col("url").alias("ru"), F.col("fingerprint").alias("rfp"))
+    mut = fps.filter(F.col("variant") == "m").select(
+        F.col("url").alias("mu"), F.col("fingerprint").alias("mfp"))
+    return (base.join(ren, F.col("url") == F.col("ru"))
+            .join(mut, F.col("url") == F.col("mu"))
+            .select("url", "fingerprint", "n_triples",
+                    (F.col("fingerprint") == F.col("rfp"))
+                    .alias("rename_invariant"),
+                    (F.col("fingerprint") != F.col("mfp"))
+                    .alias("structure_changed"))
+            .orderBy("url"))
+
+
 SPARQL_UPDATE_TEXT = f"""
     PREFIX schema: <{SCHEMA_ORG}>
     DELETE {{ ?x schema:name ?n }}
@@ -1869,7 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_recrawl_merge": q_kg_recrawl_merge,
         "turtle_roundtrip": q_turtle_roundtrip,
         "kg_sparql_nested": q_kg_sparql_nested,
-        "kg_entity_table": q_kg_entity_table,
+        "kg_graph_fingerprint": q_kg_graph_fingerprint,
         # -- round-3 SPARQL/KG slab (first driver rows this round) ----
         "kg_path_list_members": q_kg_path_list_members,
         "kg_sameas_resolution": q_kg_sameas_resolution,
@@ -1899,6 +1951,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SURVEY.md §2.4."""
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
+        "kg_entity_table": q_kg_entity_table,  # retired late-r04
+        # (green r03; kg_entity_table_multi in-window gates the same
+        # pivot with the faithful multi-value mode)
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,  # retired r04
         # (green r03; subsumed by kg_sparql_nested's nested OPTIONALs)
         "kg_snapshot_delta": q_kg_snapshot_delta,  # retired r04 (r03)
@@ -2332,6 +2387,54 @@ def oracle_sql() -> dict[str, str]:
                      LEFT JOIN opt2 ON opt2.doc = req.doc
             WHERE req.doc NOT IN (SELECT doc FROM minus)
             ORDER BY doc
+        """,
+        # WL graph-fingerprint mirror: the SAME colour-refinement
+        # rounds (fingerprint_sql) over the tagged union of (b) the
+        # reconstructed rich-corpus triples, (r) an injective
+        # md5-renaming of every bnode label (isomorphic — fingerprints
+        # must collide), (m) the graph with the list tail removed
+        # (fingerprints must differ) — variant prefix folded into the
+        # url key exactly like the Spark side, ONE WL chain.  md5 +
+        # binary string ordering agree between engines, so the hashes
+        # are bit-identical.
+        "kg_graph_fingerprint": f"""
+            WITH exp AS ({_rich_sql()}),
+            tagged AS (
+              SELECT 'b|' || url AS url, subj, subj_kind, pred,
+                     obj_value, obj_kind, obj_datatype, obj_lang
+              FROM exp
+              UNION ALL
+              SELECT 'r|' || url,
+                     CASE WHEN subj_kind = 'bnode'
+                          THEN '_:r' || md5(subj) ELSE subj END,
+                     subj_kind, pred,
+                     CASE WHEN obj_kind = 'bnode'
+                          THEN '_:r' || md5(obj_value)
+                          ELSE obj_value END,
+                     obj_kind, obj_datatype, obj_lang
+              FROM exp
+              UNION ALL
+              SELECT 'm|' || url, subj, subj_kind, pred,
+                     obj_value, obj_kind, obj_datatype, obj_lang
+              FROM exp
+              WHERE NOT (pred = '{_RDF_NS}rest' AND obj_kind = 'iri'
+                         AND obj_value = '{_RDF_NS}nil')),
+            fps AS ({_fingerprint_sql("SELECT * FROM tagged",
+                                      prefix="fw")}),
+            split AS (
+              SELECT substring(url, 1, 1) AS variant,
+                     substring(url, 3) AS url, fingerprint, n_triples
+              FROM fps)
+            SELECT b.url AS url, b.fingerprint AS fingerprint,
+                   b.n_triples AS n_triples,
+                   b.fingerprint = r.fingerprint AS rename_invariant,
+                   b.fingerprint <> m.fingerprint AS structure_changed
+            FROM (SELECT * FROM split WHERE variant = 'b') b
+            JOIN (SELECT * FROM split WHERE variant = 'r') r
+              ON r.url = b.url
+            JOIN (SELECT * FROM split WHERE variant = 'm') m
+              ON m.url = b.url
+            ORDER BY url
         """,
         # SPARQL Update mirror: solutions = (Article, name) pairs;
         # DELETE removes the matched name triples by lexical identity

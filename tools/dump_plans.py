@@ -82,6 +82,16 @@ NOTES = {
         "multiplicities cannot change, probe sides are predicate-pruned "
         "slices, and AQE broadcasts whichever side is small at "
         "runtime."),
+    "kg_graph_fingerprint": (
+        "One WL chain over the tagged 3-variant union: per-round "
+        "label refinement is 2 keyed HashAggregates (map-side "
+        "combined, sorted-multiset signatures) + 2 equi-joins on "
+        "(url, node) — maximal-cardinality keys, no hub skew "
+        "possible.  Each generation is localCheckpointed and the "
+        "previous released (≤2 live), so the plan shows LogicalRDD "
+        "scans instead of a 3^rounds lineage blowup.  Final "
+        "fingerprint = one groupBy(url) md5 of the sorted triple "
+        "multiset."),
     "kg_sparql_nested": (
         "Nested groups stay one join DAG: each nested OPTIONAL / UNION "
         "branch / MINUS body compiles bottom-up to its own "
