@@ -265,33 +265,58 @@ def _compile_group(triples: DataFrame, patterns: list[Pattern],
                     "lexical form or bind a variable and FILTER on its "
                     "companion columns instead")
             src = triples
-            if g is not None:
-                if _is_var(g):
-                    raise ValueError(
-                        "a property-path pattern inside GRAPH ?var is "
-                        "not supported — the path engine pools edges "
-                        "before closing, so per-graph closures need one "
-                        "evaluation per graph; filter to a constant "
-                        "graph or compose per-graph at the DataFrame "
-                        "level")
+            graph_var = g is not None and _is_var(g)
+            if g is not None and not graph_var:
                 # constant graph: pre-filter the edge table — the whole
                 # path (closure included) evaluates within that graph
                 src = triples.filter(F.col("graph") == g)
+            graphs = None
+            if graph_var:
+                # GRAPH ?var: a path never crosses graph boundaries, so
+                # per-graph evaluation = ONE evaluation over node ids
+                # prefixed with their graph ("<g>\x1f<node>") — edges
+                # only ever connect same-prefix nodes, closures stay
+                # inside their graph, and the prefix splits back out
+                # afterwards to bind ?var.  Sound because graph names
+                # are IRIs and IRIs exclude control characters
+                # (RFC 3987), so the FIRST 0x1f is always the boundary
+                # even when a literal endpoint contains 0x1f.
+                named = src.filter(F.col("graph").isNotNull())
+
+                def _pref(c):
+                    return F.concat(F.col("graph"), F.lit("\x1f"),
+                                    F.col(c))
+                graphs = named.select("graph").distinct()
+                src = named.select(_pref("subj").alias("subj"), "pred",
+                                   _pref("obj_value").alias("obj_value"))
             spark = triples.sparkSession
+
+            def _seed(term):
+                if graph_var:
+                    # the bound endpoint seeds once PER NAMED GRAPH;
+                    # graphs not containing it die at the first join
+                    return graphs.select(
+                        F.concat(F.col("graph"), F.lit("\x1f"),
+                                 F.lit(term)).alias("a"))
+                return spark.createDataFrame([(term,)], "a string")
             if not _is_var(s):
-                part = path_pairs(
-                    src, p,
-                    seeds=spark.createDataFrame([(s,)], "a string"))
+                part = path_pairs(src, p, seeds=_seed(s))
             elif not _is_var(o):
-                part = (path_pairs(
-                            src, inv(p),
-                            seeds=spark.createDataFrame([(o,)],
-                                                        "a string"))
+                part = (path_pairs(src, inv(p), seeds=_seed(o))
                         .select(F.col("b").alias("a"),
                                 F.col("a").alias("b")))
             else:
                 part = path_pairs(src, p)
             terms = ((s, "a"), (o, "b"))
+            if graph_var:
+                gcol = F.substring_index(F.col("a"), "\x1f", 1)
+                part = part.select(
+                    gcol.alias("graph"),
+                    F.col("a").substr(F.length(gcol) + F.lit(2),
+                                      F.length(F.col("a"))).alias("a"),
+                    F.col("b").substr(F.length(gcol) + F.lit(2),
+                                      F.length(F.col("b"))).alias("b"))
+                terms += ((g, "graph"),)
         else:
             part = triples
             terms = ((s, "subj"), (p, "pred"), (o, "obj_value"))
@@ -540,8 +565,12 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     patterns over a quads table match across ALL graphs (the pragmatic
     union-default-graph dataset) with the table's own multiplicity —
     pre-dedup on the term columns for RDF-merge set semantics.  A
-    property-path pattern accepts a CONSTANT graph term (the closure
-    evaluates within that graph); a variable one raises.
+    property-path pattern under a CONSTANT graph pre-filters the edge
+    table (the closure evaluates within that graph); under a VARIABLE
+    graph the node ids are prefixed with their graph name for one
+    pooled evaluation (paths cannot cross graphs, so prefixed ids
+    partition the closure per graph) and the prefix splits back out to
+    bind the variable.
 
     ``filters``: SPARQL FILTER — SQL boolean expressions over the
     variable columns (e.g. ``"CAST(wc AS BIGINT) > 50"``), applied to

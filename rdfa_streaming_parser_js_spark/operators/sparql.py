@@ -60,9 +60,11 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   contained pattern — a constant graph is a pushed scan filter, a
   shared ``?g`` an equi-join.  Patterns outside GRAPH match across all
   graphs (union default graph) with the table's own multiplicity.
-  GRAPH blocks hold triple patterns and plain FILTERs; property paths
-  under a VARIABLE graph raise (per-graph closures need one evaluation
-  per graph).
+  GRAPH blocks hold triple patterns, property paths, and plain
+  FILTERs; a path under a VARIABLE graph evaluates once over
+  graph-prefixed node ids (paths cannot cross graphs, so the prefix
+  partitions the closure per graph) and binds the variable from the
+  prefix.
 - Solution modifiers: ``GROUP BY`` + aggregates (COUNT / SUM / MIN /
   MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING``, ``ORDER BY [ASC|
   DESC]``, ``LIMIT`` / ``OFFSET``.

@@ -599,11 +599,44 @@ def test_exec_graph_scoped_constant_path(spark):
     assert [r.y for r in got2.collect()] == ["a2", "a3", "a4"]
 
 
-def test_exec_graph_var_path_raises(spark):
-    with pytest.raises(ValueError, match="GRAPH .var"):
-        sparql_query(_quads(spark), PFX + """
-            SELECT ?g ?y WHERE {
-                GRAPH ?g { <a1> schema:partOf+ ?y } }""").collect()
+def test_exec_graph_var_path_per_graph_closure(spark):
+    # per-graph closure: within g3, a1 reaches a2 and a3; the a3→a4
+    # edge lives in g1 — a DIFFERENT graph — and must not chain
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?y WHERE { GRAPH ?g { <a1> schema:partOf+ ?y } }
+        ORDER BY ?y""")
+    assert [(r.g, r.y) for r in got.collect()] == [
+        ("g3", "a2"), ("g3", "a3")]
+
+
+def test_exec_graph_var_path_unbound_endpoints(spark):
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x schema:partOf+ ?y } }
+        ORDER BY ?g ?x ?y""")
+    assert [(r.g, r.x, r.y) for r in got.collect()] == [
+        ("g1", "a3", "a4"),
+        ("g3", "a1", "a2"), ("g3", "a1", "a3"), ("g3", "a2", "a3")]
+
+
+def test_exec_graph_var_path_object_bound(spark):
+    # bound OBJECT endpoint: inverted evaluation, seeded per graph
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?x WHERE { GRAPH ?g { ?x schema:partOf+ <a3> } }
+        ORDER BY ?x""")
+    assert [(r.g, r.x) for r in got.collect()] == [
+        ("g3", "a1"), ("g3", "a2")]
+
+
+def test_exec_graph_var_star_zero_length_per_graph(spark):
+    # SPARQL §18.4 ALP: the zero-length path from a bound term exists
+    # in EVERY graph (the term need not occur there), so ?g ranges
+    # over all named graphs for y = a1; the closure part stays in g3
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?y WHERE { GRAPH ?g { <a1> schema:partOf* ?y } }
+        ORDER BY ?g ?y""")
+    assert [(r.g, r.y) for r in got.collect()] == [
+        ("g1", "a1"), ("g2", "a1"),
+        ("g3", "a1"), ("g3", "a2"), ("g3", "a3")]
 
 
 def test_exec_graph_over_triples_table_raises(spark):
