@@ -64,14 +64,18 @@ class GroupSpec:
     is exclusive with every other field except nothing (the SPARQL
     grammar makes UNION the entire group body).
 
-    Join-key certainty: the enclosing join is an equi-join on the
-    shared variables, which is SPARQL compatibility ONLY when those
-    variables are never unbound (NULL) in the group's solutions.
-    Variables bound by the spec's required patterns are certain;
-    variables introduced under a nested OPTIONAL, bound in only some
-    UNION branches, or minted by BIND/VALUES (NULL on error / UNDEF)
-    are not — sharing one with the enclosing solution raises rather
-    than silently computing non-SPARQL answers."""
+    Join-key certainty: variables bound by the spec's required
+    patterns are certain (never NULL); variables introduced under a
+    nested OPTIONAL, bound in only some UNION branches, or minted by
+    BIND/VALUES (NULL on error / UNDEF) are maybe-unbound.  When a
+    maybe-unbound variable is shared with the enclosing solution, the
+    enclosing OPTIONAL/MINUS join decomposes by bound-mask
+    (:func:`_mask_parts`) into exact SPARQL §18.3 compatibility —
+    still pure equi/anti joins, 2^k partitions for k ≤ 3 such
+    variables.  It raises only when the ENCLOSING side of a shared
+    variable is itself maybe-unbound (two-sided masks, unsupported) or
+    k exceeds the cap — never silently computing non-SPARQL
+    answers."""
     patterns: "list[Pattern]" = None
     filters: "list[str] | None" = None
     binds: "list[tuple] | None" = None
@@ -621,10 +625,13 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     group's filters then apply after them, mirroring the enclosing
     group's member order.  An entry may also be a :class:`GroupSpec`
     — a group that itself nests OPTIONAL / MINUS / EXISTS / UNION —
-    evaluated bottom-up by recursion; its equi-join keys into the
-    enclosing solution must be bound in every group solution
-    (:func:`_certain_vars`), else the call raises rather than silently
-    losing SPARQL's unbound-compatible-with-anything semantics.
+    evaluated bottom-up by recursion.  Shared variables bound in every
+    group solution (:func:`_certain_vars`) equi-join directly; shared
+    variables that may be UNBOUND in the group decompose by bound-mask
+    into exact SPARQL §18.3 compatibility (unbound matches anything —
+    see :func:`_compat_left_join` / :func:`_compat_minus`); only
+    two-sided uncertainty (the enclosing side maybe-unbound too) or
+    more than 3 such variables raise.
 
     ``exists`` / ``not_exists``: SPARQL FILTER (NOT) EXISTS — each
     ``(patterns, filters)`` group keeps (removes) the solutions that
@@ -666,7 +673,11 @@ def _check_join_keys(grp, shared: list, kind: str) -> None:
     """Raise when a nested-group equi-join key can be NULL (unbound) in
     the group's solutions — NULL never equi-joins, but SPARQL says an
     unbound variable is compatible with ANYTHING, so silently joining
-    would compute non-SPARQL answers."""
+    would compute non-SPARQL answers.  OPTIONAL and MINUS no longer
+    come here (they decompose by bound-mask, :func:`_mask_parts`);
+    EXISTS keeps the guard because its SPARQL semantics is
+    SUBSTITUTION, not compatibility — extending the mask trick there
+    would pick one of two non-equivalent readings silently."""
     if not isinstance(grp, GroupSpec):
         return  # flat tuple groups keep their documented semantics
     unsafe = sorted(v for v in shared if v not in _certain_vars(grp))
@@ -678,6 +689,80 @@ def _check_join_keys(grp, shared: list, kind: str) -> None:
             "VALUES) — an unbound variable is compatible with anything "
             "(SPARQL §18.3), which an equi-join cannot express; bind "
             "them in the group's required patterns or rename")
+
+
+_MASK_CAP = 3  # 2^3 partitions; beyond this the plan fans out too far
+
+
+def _mask_parts(group: DataFrame, shared: list, uncertain: list):
+    """Bound-mask decomposition of a group solution whose ``uncertain``
+    shared variables may be NULL (unbound): yields ``(keys, gpart)``
+    with the group rows partitioned by WHICH uncertain variables they
+    actually bind.  An unbound variable constrains nothing (SPARQL
+    §18.3 compatibility), so each partition equi-joins the enclosing
+    solution on exactly its bound shared variables; NULL columns are
+    dropped from the partition (the merge keeps the enclosing side's
+    value).  Partitions are disjoint — bag multiplicities add up
+    exactly once."""
+    certain_keys = [v for v in shared if v not in uncertain]
+    for bits in range(2 ** len(uncertain)):
+        nulls = [v for i, v in enumerate(uncertain) if bits >> i & 1]
+        bound = [v for v in uncertain if v not in nulls]
+        gpart = group
+        for v in nulls:
+            gpart = gpart.filter(F.col(v).isNull())
+        for v in bound:
+            gpart = gpart.filter(F.col(v).isNotNull())
+        yield certain_keys + bound, gpart.drop(*nulls)
+
+
+def _compat_left_join(solution: DataFrame, group: DataFrame,
+                      shared: list, uncertain: list) -> DataFrame:
+    """SPARQL §18.3-exact LeftJoin when some shared variables may be
+    unbound in the GROUP's solutions: union of per-bound-mask
+    equi-joins (the compatible pairs) plus the solutions compatible
+    with NO group row, extended with NULLs (the Diff half).  Every
+    join is an equi/anti join — no theta-join blowup; the all-unbound
+    partition is the one SPARQL-mandated cross join (such a group row
+    is compatible with every solution)."""
+    group_only = [c for c in group.columns if c not in solution.columns]
+    parts = []
+    unmatched = solution
+    for keys, gpart in _mask_parts(group, shared, uncertain):
+        if keys:
+            parts.append(solution.join(gpart, on=keys, how="inner")
+                         .select(*solution.columns, *group_only))
+            unmatched = unmatched.join(gpart.select(*keys),
+                                       on=keys, how="left_anti")
+        else:
+            parts.append(solution.crossJoin(gpart)
+                         .select(*solution.columns, *group_only))
+            unmatched = unmatched.join(
+                gpart.select(F.lit(1).alias("_m")), F.lit(True),
+                "left_anti")
+    bare = unmatched
+    for c in group_only:
+        bare = bare.withColumn(
+            c, F.lit(None).cast(group.schema[c].dataType))
+    out = bare.select(*solution.columns, *group_only)
+    for p in parts:
+        out = out.unionByName(p)
+    return out
+
+
+def _compat_minus(solution: DataFrame, group: DataFrame,
+                  shared: list, uncertain: list) -> DataFrame:
+    """SPARQL §18.5 Minus when some shared variables may be unbound in
+    the group: a solution is removed iff SOME group row is compatible
+    AND their domains overlap.  Per bound-mask partition the overlap
+    is exactly the partition's join keys, so the all-unbound partition
+    (empty keys = disjoint domains, the §8.3.3 rule) removes nothing
+    and every other partition is one anti-join."""
+    for keys, gpart in _mask_parts(group, shared, uncertain):
+        if keys:
+            solution = solution.join(gpart.select(*keys),
+                                     on=keys, how="left_anti")
+    return solution
 
 
 def _eval_spec(triples: DataFrame, spec: GroupSpec,
@@ -698,10 +783,46 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
     solution = _compile_group(triples, spec.patterns, None,
                               constant_only_ok=constant_only_ok,
                               meta_vars=meta_vars)
+    # variables certainly bound (never NULL) in the ENCLOSING solution:
+    # required-pattern bindings only — VALUES (UNDEF), BIND (error →
+    # NULL), and OPTIONAL-introduced variables are all maybe-unbound
+    certain = _pattern_vars(spec.patterns)
     if spec.values:
         solution = _join_values(solution, spec.values)
     for var, expr in spec.binds or ():
         solution = _apply_bind(solution, var, expr)
+
+    def _uncertain_shared(grp, shared, kind):
+        """For a GroupSpec entry: the shared variables that may be
+        unbound in the GROUP's solutions (→ bound-mask decomposition),
+        or None for flat tuple groups (documented equi-join
+        semantics).  Raises when the decomposition cannot be exact:
+        the ENCLOSING side may also be unbound on a shared variable
+        (mask explosion on both sides), or too many maybe-unbound
+        variables share."""
+        if not isinstance(grp, GroupSpec):
+            return None
+        unc = [v for v in shared if v not in _certain_vars(grp)]
+        if not unc:
+            return []
+        unc_sol = sorted(v for v in shared if v not in certain)
+        if unc_sol:
+            raise ValueError(
+                f"{kind} group shares maybe-unbound variable(s) with "
+                f"an enclosing solution where {unc_sol} are themselves "
+                "maybe-unbound (bound under OPTIONAL / BIND / VALUES) "
+                "— two-sided unbound compatibility needs a mask "
+                "decomposition on both sides; bind them in the "
+                "required patterns or rename")
+        if len(unc) > _MASK_CAP:
+            raise ValueError(
+                f"{kind} group shares {len(unc)} maybe-unbound "
+                f"variables {sorted(unc)} with the enclosing solution "
+                f"— the bound-mask decomposition fans out 2^k joins "
+                f"and is capped at k={_MASK_CAP}; bind some in the "
+                "group's required patterns or rename")
+        return unc
+
     for grp in spec.optionals or ():
         group = _subgroup(
             triples, grp,
@@ -713,8 +834,11 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
             raise ValueError(
                 "OPTIONAL group shares no variable with the required "
                 f"group: {grp.patterns if isinstance(grp, GroupSpec) else grp[0]}")
-        _check_join_keys(grp, shared, "OPTIONAL")
-        solution = solution.join(group, on=shared, how="left")
+        unc = _uncertain_shared(grp, shared, "OPTIONAL")
+        if unc:
+            solution = _compat_left_join(solution, group, shared, unc)
+        else:
+            solution = solution.join(group, on=shared, how="left")
     for grp in spec.minus or ():
         group = _subgroup(
             triples, grp,
@@ -723,9 +847,12 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
         shared = [v for v in group.columns if v in solution.columns
                   and not v.endswith(META_SUFFIXES)]
         if shared:  # disjoint-domain MINUS is a no-op (SPARQL §8.3.3)
-            _check_join_keys(grp, shared, "MINUS")
-            solution = solution.join(group.select(*shared),
-                                     on=shared, how="left_anti")
+            unc = _uncertain_shared(grp, shared, "MINUS")
+            if unc:
+                solution = _compat_minus(solution, group, shared, unc)
+            else:
+                solution = solution.join(group.select(*shared),
+                                         on=shared, how="left_anti")
     for expr in spec.filters or ():
         solution = solution.filter(F.expr(expr))
     if spec.exists:

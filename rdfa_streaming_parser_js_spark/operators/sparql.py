@@ -117,14 +117,17 @@ Documented deviations (each raises or is noted, never silent):
   (ordering applies after de-duplication).
 - Nested groups (OPTIONAL / MINUS / EXISTS / UNION *inside* an
   OPTIONAL / MINUS / EXISTS group, to any depth) evaluate bottom-up
-  via :class:`bgp.GroupSpec`; the variables a nested group shares
-  with its enclosing solution must be bound in EVERY group solution
-  (required patterns; for a UNION, every branch) — a shared variable
-  bound only under a nested OPTIONAL, in some UNION branches, or by
-  BIND/VALUES raises, because SPARQL's unbound-compatible-with-
-  anything join semantics cannot be an equi-join.  Sub-SELECTs stay
-  top-level only, and a group containing one cannot also contain
-  OPTIONAL/MINUS/EXISTS (compose at the DataFrame level).
+  via :class:`bgp.GroupSpec`.  A shared variable bound only under a
+  nested OPTIONAL, in some UNION branches, or by BIND/VALUES — i.e.
+  maybe-UNBOUND in the group — gets exact SPARQL §18.3 compatibility
+  (unbound matches anything) via bound-mask decomposition into
+  equi/anti joins; it raises only when the ENCLOSING side of a shared
+  variable is itself maybe-unbound (two-sided masks) or more than 3
+  such variables share (2^k fan-out cap), and in EXISTS/NOT EXISTS
+  groups (substitution semantics — correlate on required variables).
+  Sub-SELECTs stay top-level only, and a group containing one cannot
+  also contain OPTIONAL/MINUS/EXISTS (compose at the DataFrame
+  level).
 """
 
 from __future__ import annotations

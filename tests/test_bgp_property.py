@@ -281,3 +281,94 @@ def test_union_inside_optional_agrees_with_naive(spark, case):
                   for r in got_rows)
     expect = Counter(tuple(sol.get(v) for v in all_vars) for sol in want)
     assert got == expect, (req, b1, b2)
+
+
+# ---------------------------------------------------------------------
+# maybe-unbound shared variables (bound-mask compatibility joins)
+# ---------------------------------------------------------------------
+
+@st.composite
+def graph_and_uncertain_optional(draw):
+    """Required BGP binds ?a and ?b; the OPTIONAL group binds ?a/?c in
+    its required pattern and ?b only under its NESTED optional — so
+    the enclosing join key ?b is maybe-unbound in the group and the
+    compiled plan must take the bound-mask compatibility path."""
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(PREDS),
+                  st.sampled_from(OBJECTS)),
+        min_size=1, max_size=14))
+    req = [("?a", draw(st.sampled_from(PREDS)), "?b")]
+    outer = [("?a", draw(st.sampled_from(PREDS)), "?c")]
+    inner = [("?c", draw(st.sampled_from(PREDS)), "?b")]
+    return triples, req, outer, inner
+
+
+@given(graph_and_uncertain_optional())
+@settings(max_examples=20, deadline=None)
+def test_uncertain_optional_agrees_with_naive(spark, case):
+    """LeftJoin with a maybe-unbound shared variable: SPARQL §18.3
+    compatibility (unbound matches anything), bag multiplicities —
+    vs the naive evaluator."""
+    from rdfa_streaming_parser_js_spark.operators.bgp import GroupSpec
+    triples, req, outer, inner = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    spec = GroupSpec(patterns=outer,
+                     optionals=[GroupSpec(patterns=inner)])
+    got_rows = bgp_match(df, req, optionals=[spec]).collect()
+    want = _left_join(
+        naive_bgp(triples, req),
+        _left_join(naive_bgp(triples, outer), naive_bgp(triples, inner)))
+    all_vars = sorted({t[1:] for pats in (req, outer, inner)
+                       for pat in pats for t in pat
+                       if t.startswith("?")})
+    got = Counter(tuple(getattr(r, v) for v in all_vars)
+                  for r in got_rows)
+    expect = Counter(tuple(sol.get(v) for v in all_vars) for sol in want)
+    assert got == expect, (req, outer, inner)
+
+
+def _naive_minus(outer: list[dict], inner: list[dict]) -> list[dict]:
+    """SPARQL §18.5 Minus: drop μ1 when some μ2 is compatible AND
+    their domains overlap (row-level, §8.3.3)."""
+    return [s for s in outer
+            if not any(_compatible(s, i) and (s.keys() & i.keys())
+                       for i in inner)]
+
+
+@st.composite
+def graph_and_uncertain_minus(draw):
+    """MINUS { {A} UNION {B} } where the branches bind DIFFERENT
+    variable subsets — both enclosing join keys are maybe-unbound, and
+    branch rows binding neither shared variable must remove nothing
+    (disjoint domains)."""
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(PREDS),
+                  st.sampled_from(OBJECTS)),
+        min_size=1, max_size=14))
+    req = [("?a", draw(st.sampled_from(PREDS)), "?b")]
+    b1 = [("?a", draw(st.sampled_from(PREDS)),
+           draw(st.sampled_from(OBJECTS + ["?x"])))]
+    b2 = [("?b", draw(st.sampled_from(PREDS)),
+           draw(st.sampled_from(OBJECTS + ["?y"])))]
+    b3 = [(draw(st.sampled_from(SUBJECTS)),
+           draw(st.sampled_from(PREDS)), "?z")]
+    return triples, req, b1, b2, b3
+
+
+@given(graph_and_uncertain_minus())
+@settings(max_examples=20, deadline=None)
+def test_uncertain_minus_agrees_with_naive(spark, case):
+    from rdfa_streaming_parser_js_spark.operators.bgp import GroupSpec
+    triples, req, b1, b2, b3 = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    spec = GroupSpec(union=[GroupSpec(patterns=b) for b in (b1, b2, b3)])
+    got_rows = bgp_match(df, req, minus=[spec]).collect()
+    want = _naive_minus(
+        naive_bgp(triples, req),
+        naive_bgp(triples, b1) + naive_bgp(triples, b2)
+        + naive_bgp(triples, b3))
+    got = Counter((r.a, r.b) for r in got_rows)
+    expect = Counter((sol["a"], sol["b"]) for sol in want)
+    assert got == expect, (req, b1, b2, b3)

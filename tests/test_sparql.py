@@ -914,28 +914,93 @@ def test_three_level_nesting(spark):
     ]
 
 
-def test_unsafe_nested_join_key_raises(spark):
+def _uncertain_kg(spark):
+    """Documents with names; authors partly named — built so the
+    maybe-unbound shared variable changes the answer vs a naive
+    equi-join."""
+    return spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"), ("d1", f"{S}name", "Alice"),
+        ("d2", RDF_TYPE, f"{S}Article"), ("d2", f"{S}name", "Beta"),
+        ("d3", RDF_TYPE, f"{S}Article"), ("d3", f"{S}name", "Gamma"),
+        ("d4", RDF_TYPE, f"{S}Article"), ("d4", f"{S}name", "Delta"),
+        ("d1", f"{S}author", "a1"), ("a1", f"{S}name", "Alice"),
+        ("d2", f"{S}author", "a2"), ("a2", f"{S}name", "Bob"),
+        ("d4", f"{S}author", "a4"),  # a4 has NO name
+    ], COLS)
+
+
+def test_nested_maybe_unbound_shared_var_exact_semantics(spark):
     # ?n is bound only under the NESTED optional but shared with the
-    # enclosing solution — an equi-join on it would lose SPARQL's
-    # unbound-compatible-with-anything semantics, so it must raise
-    with pytest.raises(ValueError, match="not bound in every"):
-        sparql_query(_nested_kg(spark), PFX + """
-            SELECT * WHERE {
-                ?d a schema:Article ; schema:name ?n .
-                OPTIONAL { ?d schema:author ?a .
-                           OPTIONAL { ?a schema:name ?n } }
-            }""").collect()
+    # enclosing solution: SPARQL compatibility says an unbound ?n is
+    # compatible with ANY enclosing ?n, so d4 (author a4 without a
+    # name) still binds ?a = a4 — the case a naive equi-join on
+    # (d, n) silently gets wrong (it would leave ?a unbound)
+    rows = sparql_query(_uncertain_kg(spark), PFX + """
+        SELECT ?d ?n ?a WHERE {
+            ?d a schema:Article ; schema:name ?n .
+            OPTIONAL { ?d schema:author ?a .
+                       OPTIONAL { ?a schema:name ?n } }
+        } ORDER BY ?d""").collect()
+    assert [(r.d, r.n, r.a) for r in rows] == [
+        ("d1", "Alice", "a1"),   # ?n agrees through the nested group
+        ("d2", "Beta", None),    # a2's name "Bob" conflicts → bare
+        ("d3", "Gamma", None),   # no author at all → bare
+        ("d4", "Delta", "a4"),   # ?n unbound in group → compatible
+    ]
 
 
-def test_union_branch_missing_join_key_raises(spark):
-    # ?a is bound in only ONE union branch but shared with the
-    # enclosing solution
-    with pytest.raises(ValueError, match="not bound in every"):
-        sparql_query(_nested_kg(spark), PFX + """
+def test_union_branch_partial_binding_exact_semantics(spark):
+    # ?a bound in only one UNION branch: a branch-2 row (about) is
+    # compatible with ANY enclosing ?a, so d3 matches BOTH branches
+    # (bag semantics — two rows)
+    kg = spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"), ("d1", f"{S}author", "a1"),
+        ("d2", RDF_TYPE, f"{S}Article"), ("d2", f"{S}author", "a2"),
+        ("d3", RDF_TYPE, f"{S}Article"), ("d3", f"{S}author", "a3"),
+        ("d3", f"{S}about", "t1"),
+    ], COLS)
+    rows = sparql_query(kg, PFX + """
+        SELECT ?d ?a ?x WHERE {
+            ?d a schema:Article ; schema:author ?a .
+            OPTIONAL { { ?d schema:author ?a }
+                       UNION { ?d schema:about ?x } }
+        } ORDER BY ?d ?x""").collect()
+    assert [(r.d, r.a, r.x) for r in rows] == [
+        ("d1", "a1", None), ("d2", "a2", None),
+        ("d3", "a3", None), ("d3", "a3", "t1")]
+
+
+def test_minus_maybe_unbound_shared_var_domain_overlap(spark):
+    # MINUS group = UNION binding DIFFERENT variables per branch:
+    # removal needs compatibility AND a non-empty domain overlap per
+    # row — d1 removed via the ?a branch, d3 via the ?d branch, d2
+    # survives (SPARQL §8.3.3 row-level domains)
+    kg = spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"), ("d1", f"{S}author", "a1"),
+        ("d2", RDF_TYPE, f"{S}Article"), ("d2", f"{S}author", "a2"),
+        ("d3", RDF_TYPE, f"{S}Article"), ("d3", f"{S}author", "a3"),
+        ("d3", f"{S}about", "t1"), ("a1", f"{S}name", "Alice"),
+    ], COLS)
+    rows = sparql_query(kg, PFX + """
+        SELECT ?d ?a WHERE {
+            ?d a schema:Article ; schema:author ?a .
+            MINUS { { ?d schema:about ?x }
+                    UNION { ?a schema:name ?m } }
+        }""").collect()
+    assert [(r.d, r.a) for r in rows] == [("d2", "a2")]
+
+
+def test_two_sided_uncertainty_still_raises(spark):
+    # the ENCLOSING solution's shared variable is itself maybe-unbound
+    # (bound under an earlier OPTIONAL) — two-sided masks are not
+    # implemented, must raise rather than compute non-SPARQL answers
+    with pytest.raises(ValueError, match="maybe-unbound"):
+        sparql_query(_uncertain_kg(spark), PFX + """
             SELECT * WHERE {
-                ?d a schema:Article ; schema:author ?a .
-                OPTIONAL { { ?d schema:author ?a }
-                           UNION { ?d schema:about ?x } }
+                ?d a schema:Article .
+                OPTIONAL { ?d schema:author ?z }
+                OPTIONAL { ?d schema:name ?n .
+                           OPTIONAL { ?n schema:name ?z } }
             }""").collect()
 
 
