@@ -74,7 +74,12 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   DATA`` (ground triples; the one place typed/tagged literal constants
   are accepted), ``DELETE WHERE``, and ``DELETE {} INSERT {} WHERE {}``
   — compiled onto :mod:`operators.update` (lexical-identity deletes,
-  metadata-preserving inserts, set-semantics result).
+  metadata-preserving inserts, set-semantics result); plus the §3.2
+  graph-management operations over a QUADS table — ``CLEAR`` / ``DROP``
+  (``GRAPH <g>`` / ``DEFAULT`` / ``NAMED`` / ``ALL``), ``ADD`` /
+  ``MOVE`` / ``COPY`` (``TO``-pairs of graph-or-DEFAULT), and
+  ``CREATE`` (identity — a quads table records no empty graphs);
+  ``SILENT`` accepted and ignored.
 - Term-introspection builtins — ``LANG``, ``DATATYPE``, ``isIRI`` /
   ``isURI``, ``isBlank``, ``isLiteral``, ``isNumeric``, ``SAMETERM``
   (variable arguments), plus ``LANGMATCHES`` — compiled onto
@@ -1127,6 +1132,9 @@ class ParsedUpdate:
     where: Group | None = None
     template_literals: dict = field(default_factory=dict)  # lex→(dt,lang)
     meta_vars: frozenset = frozenset()  # vars whose FILTERs need term meta
+    target: str | None = None      # clear/drop/create selector
+    src: str | None = None         # add/move/copy source graph
+    dst: str | None = None         # add/move/copy destination graph
 
 
 def _parse_data_term(p: _Parser, position: str):
@@ -1220,6 +1228,51 @@ def parse_update(text: str) -> ParsedUpdate:
     calls for ``;``-sequences."""
     p = _Parser(text)
     p.parse_prologue()
+
+    def _graph_ref():
+        """((GRAPH)? iri) | DEFAULT — ADD/MOVE/COPY operand."""
+        if p.take_kw("default"):
+            return "DEFAULT"
+        p.take_kw("graph")
+        t = p.peek()
+        if t.kind in ("IRIREF", "PNAME", "COLON"):
+            return p.expand_iri(p.next())
+        p.fail("expected DEFAULT or a graph IRI")
+
+    mgmt = next((v for v in ("clear", "drop", "create", "add", "move",
+                             "copy") if p.take_kw(v)), None)
+    if mgmt:
+        # graph management (§3.2); SILENT accepted and ignored — the
+        # quads-table representation has no missing-graph errors
+        p.take_kw("silent")
+        if mgmt in ("clear", "drop"):
+            if p.take_kw("default"):
+                tgt = "DEFAULT"
+            elif p.take_kw("named"):
+                tgt = "NAMED"
+            elif p.take_kw("all"):
+                tgt = "ALL"
+            else:
+                p.expect_kw("graph")
+                t = p.peek()
+                if t.kind not in ("IRIREF", "PNAME", "COLON"):
+                    p.fail("expected a graph IRI after GRAPH")
+                tgt = p.expand_iri(p.next())
+            u = ParsedUpdate(mgmt, target=tgt)
+        elif mgmt == "create":
+            p.expect_kw("graph")
+            t = p.peek()
+            if t.kind not in ("IRIREF", "PNAME", "COLON"):
+                p.fail("expected a graph IRI after GRAPH")
+            u = ParsedUpdate("create", target=p.expand_iri(p.next()))
+        else:
+            src = _graph_ref()
+            p.expect_kw("to")
+            u = ParsedUpdate(mgmt, src=src, dst=_graph_ref())
+        if p.peek().kind != "EOF":
+            p.fail("trailing input after update (one operation per "
+                   "call)")
+        return u
     if p.take_kw("insert"):
         if p.take_kw("data"):
             u = ParsedUpdate("insert_data", data=_parse_data_block(p))
@@ -1243,7 +1296,8 @@ def parse_update(text: str) -> ParsedUpdate:
             u = ParsedUpdate("modify", delete=tmpl, insert=ins,
                              where=p.parse_group())
     else:
-        p.fail("expected INSERT or DELETE")
+        p.fail("expected INSERT, DELETE, CLEAR, DROP, CREATE, ADD, "
+               "MOVE or COPY")
     if p.peek().kind != "EOF":
         p.fail("trailing input after update (one operation per call)")
     _check_template_collisions(p)
@@ -1274,6 +1328,19 @@ def sparql_update(graph: DataFrame, text: str) -> DataFrame:
     from rdfa_streaming_parser_js_spark.operators import update as U
 
     u = parse_update(text)
+    if u.form in ("clear", "drop"):
+        return (U.clear_graph if u.form == "clear"
+                else U.drop_graph)(graph, u.target)
+    if u.form == "create":
+        # CREATE GRAPH: a quads table is a SET of quads — empty graphs
+        # have no rows to record, so this is the identity (the §3.2.1
+        # reading for stores without empty-graph bookkeeping)
+        U._require_quads(graph)
+        return graph
+    if u.form in ("add", "move", "copy"):
+        fn = {"add": U.add_graph, "move": U.move_graph,
+              "copy": U.copy_graph}[u.form]
+        return fn(graph, u.src, u.dst)
     if u.form == "insert_data":
         return U.insert_data(graph, u.data)
     if u.form == "delete_data":

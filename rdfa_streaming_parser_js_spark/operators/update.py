@@ -155,3 +155,101 @@ def delete_data(graph: DataFrame, triples) -> DataFrame:
               .select(*_LEX_KEY))
     return graph.join(F.broadcast(doomed), on=list(_LEX_KEY),
                       how="left_anti")
+
+
+# --------------------------------------------------------------------
+# graph management (SPARQL 1.1 Update §3.2) over a QUADS table
+# --------------------------------------------------------------------
+#
+# These operate on the quad schema (the term columns plus a nullable
+# ``graph`` column — NULL = the default graph).  A quads table is a
+# SET of quads, so CREATE is a no-op (empty graphs have no rows to
+# record) and DROP ≡ CLEAR — both facts the spec itself anticipates
+# for stores that "do not record the existence of empty graphs".
+# Every operation is a plan (filter/union/distinct), never a mutation;
+# the atomic swap lives in the catalog layer, as for apply_update.
+
+DEFAULT = "DEFAULT"   # selector sentinel: the default graph
+NAMED = "NAMED"       # CLEAR/DROP selector: every named graph
+ALL = "ALL"           # CLEAR/DROP selector: everything
+
+
+def _graph_sel(target: str):
+    """Row predicate for a graph selector.  Null-safe equality for a
+    specific graph: the default graph's NULL must make the predicate
+    FALSE (not NULL), or ``~sel`` in CLEAR/COPY/MOVE silently drops
+    the default graph's rows under three-valued logic."""
+    if target == DEFAULT:
+        return F.col("graph").isNull()
+    if target == NAMED:
+        return F.col("graph").isNotNull()
+    if target == ALL:
+        return F.lit(True)
+    return F.col("graph").eqNullSafe(F.lit(target))
+
+
+def _graph_lit(target: str):
+    if target in (NAMED, ALL):
+        raise ValueError(f"{target} is not a single-graph destination")
+    return (F.lit(None).cast("string") if target == DEFAULT
+            else F.lit(target))
+
+
+def _require_quads(quads: DataFrame) -> None:
+    if "graph" not in quads.columns:
+        raise ValueError(
+            "graph management needs a QUADS table (nullable 'graph' "
+            "column; NULL = default graph) — extraction output with "
+            "url aliased to graph, or parse_nquads_lines output")
+
+
+def clear_graph(quads: DataFrame, target: str) -> DataFrame:
+    """``CLEAR GRAPH <g> | DEFAULT | NAMED | ALL`` (§3.2.2): remove
+    every quad the selector matches.  A pushed-down filter — no
+    shuffle."""
+    _require_quads(quads)
+    return quads.filter(~_graph_sel(target))
+
+
+def drop_graph(quads: DataFrame, target: str) -> DataFrame:
+    """``DROP`` (§3.2.6) ≡ :func:`clear_graph` on a quads table (no
+    empty-graph bookkeeping to remove — the spec's own reading for
+    such stores)."""
+    return clear_graph(quads, target)
+
+
+def add_graph(quads: DataFrame, src: str, dst: str) -> DataFrame:
+    """``ADD <src> TO <dst>`` (§3.2.5): insert all of src's triples
+    into dst, keeping dst's existing content; src unchanged;
+    ``ADD g TO g`` is a no-op.  One filter + union + distinct."""
+    _require_quads(quads)
+    if src == dst:
+        return quads
+    moved = (quads.filter(_graph_sel(src))
+             .withColumn("graph", _graph_lit(dst)))
+    return (quads.unionByName(moved)
+            .dropDuplicates(list(quads.columns)))
+
+
+def copy_graph(quads: DataFrame, src: str, dst: str) -> DataFrame:
+    """``COPY <src> TO <dst>`` (§3.2.3): dst becomes exactly src's
+    content (DROP dst, then insert src into dst); src unchanged;
+    ``COPY g TO g`` is a no-op."""
+    _require_quads(quads)
+    if src == dst:
+        return quads
+    moved = (quads.filter(_graph_sel(src))
+             .withColumn("graph", _graph_lit(dst)))
+    return quads.filter(~_graph_sel(dst)).unionByName(moved)
+
+
+def move_graph(quads: DataFrame, src: str, dst: str) -> DataFrame:
+    """``MOVE <src> TO <dst>`` (§3.2.4): COPY then DROP src;
+    ``MOVE g TO g`` is a no-op."""
+    _require_quads(quads)
+    if src == dst:
+        return quads
+    moved = (quads.filter(_graph_sel(src))
+             .withColumn("graph", _graph_lit(dst)))
+    return (quads.filter(~_graph_sel(dst) & ~_graph_sel(src))
+            .unionByName(moved))

@@ -218,3 +218,113 @@ def test_unquote_backslash_and_raw_bytes():
     assert _unquote('"a\x00b"') == "a\x00b"
     assert _unquote('"\\\\\x00\\n"') == "\\\x00\n"
     assert _unquote('"\\t\\"x\\""') == '\t"x"'
+
+
+# ---------------------------------------------------------------------
+# graph management (SPARQL 1.1 Update §3.2) over a quads table
+# ---------------------------------------------------------------------
+
+QUAD_SCHEMA = ("graph string, subj string, subj_kind string, "
+               "pred string, obj_value string, obj_kind string, "
+               "obj_datatype string, obj_lang string")
+
+
+def _quads(spark):
+    def q(g, s, p, o):
+        return (g, s, "iri", p, o, "literal", None, None)
+    return spark.createDataFrame([
+        q("http://g/1", "s1", "http://p", "a"),
+        q("http://g/1", "s2", "http://p", "b"),
+        q("http://g/2", "s3", "http://p", "c"),
+        q(None, "s4", "http://p", "d"),        # default graph
+    ], QUAD_SCHEMA)
+
+
+def _gq(df):
+    return sorted(((r.graph, r.subj, r.obj_value) for r in df.collect()),
+                  key=lambda t: tuple(x or "" for x in t))
+
+
+def test_clear_named_graph(spark):
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    out = sparql_update(_quads(spark), "CLEAR GRAPH <http://g/1>")
+    assert _gq(out) == [(None, "s4", "d"), ("http://g/2", "s3", "c")]
+
+
+def test_clear_default_named_all(spark):
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    q = _quads(spark)
+    assert _gq(sparql_update(q, "CLEAR DEFAULT")) == [
+        ("http://g/1", "s1", "a"), ("http://g/1", "s2", "b"),
+        ("http://g/2", "s3", "c")]
+    assert _gq(sparql_update(q, "CLEAR NAMED")) == [(None, "s4", "d")]
+    assert _gq(sparql_update(q, "CLEAR ALL")) == []
+    # DROP ≡ CLEAR on a quads table; SILENT accepted
+    assert _gq(sparql_update(q, "DROP SILENT GRAPH <http://g/9>")) \
+        == _gq(q)
+
+
+def test_add_graph_keeps_destination(spark):
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    out = sparql_update(_quads(spark),
+                        "ADD GRAPH <http://g/1> TO GRAPH <http://g/2>")
+    assert _gq(out) == [
+        (None, "s4", "d"),
+        ("http://g/1", "s1", "a"), ("http://g/1", "s2", "b"),
+        ("http://g/2", "s1", "a"), ("http://g/2", "s2", "b"),
+        ("http://g/2", "s3", "c")]
+
+
+def test_copy_graph_replaces_destination(spark):
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    out = sparql_update(_quads(spark),
+                        "COPY <http://g/1> TO <http://g/2>")
+    assert _gq(out) == [
+        (None, "s4", "d"),
+        ("http://g/1", "s1", "a"), ("http://g/1", "s2", "b"),
+        ("http://g/2", "s1", "a"), ("http://g/2", "s2", "b")]
+
+
+def test_move_graph_to_default(spark):
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    out = sparql_update(_quads(spark), "MOVE <http://g/1> TO DEFAULT")
+    assert _gq(out) == [
+        (None, "s1", "a"), (None, "s2", "b"),
+        ("http://g/2", "s3", "c")]
+
+
+def test_graph_mgmt_noops_and_create(spark):
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    q = _quads(spark)
+    for text in ("ADD <http://g/1> TO <http://g/1>",
+                 "MOVE DEFAULT TO DEFAULT",
+                 "COPY <http://g/1> TO GRAPH <http://g/1>",
+                 "CREATE GRAPH <http://g/new>"):
+        assert _gq(sparql_update(q, text)) == _gq(q), text
+
+
+def test_graph_mgmt_requires_quads_table(spark):
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_update)
+    with pytest.raises(ValueError, match="QUADS table"):
+        sparql_update(_g(spark), "CLEAR ALL")
+
+
+def test_parse_graph_mgmt_forms():
+    assert parse_update("CLEAR NAMED").form == "clear"
+    u = parse_update("ADD SILENT DEFAULT TO <http://g/2>")
+    assert (u.form, u.src, u.dst) == ("add", "DEFAULT", "http://g/2")
+    u = parse_update("PREFIX g: <http://g/> MOVE g:1 TO g:2")
+    assert (u.form, u.src, u.dst) == ("move", "http://g/1", "http://g/2")
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_update("CLEAR ALL ; DROP ALL")
+    with pytest.raises(SparqlSyntaxError, match="graph IRI"):
+        parse_update("CREATE GRAPH ?g")
+    with pytest.raises(SparqlSyntaxError, match="DEFAULT or a graph"):
+        parse_update("ADD NAMED TO DEFAULT")
