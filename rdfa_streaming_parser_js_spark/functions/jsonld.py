@@ -110,3 +110,52 @@ def json_graph_nodes_sql(triples_cte: str) -> str:
                string_agg(frag, ',' ORDER BY frag) || ']}}' AS node_json
         FROM fr GROUP BY subj
     """
+
+
+# --------------------------------------------------------------------
+# reader (inverse of json_graph_nodes)
+# --------------------------------------------------------------------
+
+# from_json schema of one node document.  Column names carry the
+# JSON-LD '@' prefix verbatim (backquoted), so the parse is purely
+# structural — no string surgery on the document.
+NODE_SCHEMA = ("STRUCT<`@id`: STRING, edges: ARRAY<STRUCT<p: STRING, "
+               "o: STRUCT<`@id`: STRING, `@value`: STRING, "
+               "`@language`: STRING, `@type`: STRING>>>>")
+
+
+def parse_json_nodes(nodes: DataFrame,
+                     json_col: str = "node_json") -> DataFrame:
+    """Inverse of :func:`json_graph_nodes`: node documents back to the
+    engine triple schema (subj, subj_kind, pred, obj_value, obj_kind,
+    obj_datatype, obj_lang).
+
+    ``from_json`` + one ``explode`` — pure flatMap, zero shuffle,
+    JVM-side JSON parsing (all the escaping the sink emits, including
+    ``\\u00XX`` C0 controls, is standard JSON and round-trips).  Term
+    kinds are re-derived by shape (``_:`` prefix = bnode), the same
+    convention bgp_construct documents; a literal's NULL datatype is
+    the RDF 1.1 plain/xsd:string reading, and language-tagged
+    literals carry no datatype — exactly what the sink serialized.
+    Rows whose document fails to parse are DROPPED (from_json yields
+    NULL, the explode skips it) — count in/out to audit, as with the
+    N-Triples reader."""
+    n = (nodes.select(F.from_json(F.col(json_col), NODE_SCHEMA)
+                      .alias("n"))
+         .filter(F.col("n").isNotNull()))
+    e = n.select(F.col("n.`@id`").alias("subj"),
+                 F.explode("n.edges").alias("e"))
+    obj_id = F.col("e.o.`@id`")
+
+    def _kind(col):
+        return (F.when(col.startswith("_:"), F.lit("bnode"))
+                .otherwise(F.lit("iri")))
+    return e.select(
+        "subj",
+        _kind(F.col("subj")).alias("subj_kind"),
+        F.col("e.p").alias("pred"),
+        F.coalesce(obj_id, F.col("e.o.`@value`")).alias("obj_value"),
+        F.when(obj_id.isNotNull(), _kind(obj_id))
+        .otherwise(F.lit("literal")).alias("obj_kind"),
+        F.col("e.o.`@type`").alias("obj_datatype"),
+        F.col("e.o.`@language`").alias("obj_lang"))

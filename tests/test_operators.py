@@ -520,3 +520,39 @@ def test_ntriples_parse_passthrough_collision_dropped(spark):
     assert out.columns.count("subj") == 1
     row = out.head()
     assert row.subj == "http://d/1" and row.extra == "keepme"
+
+
+def test_json_nodes_roundtrip_nasty_terms(spark):
+    """parse_json_nodes(json_graph_nodes(t)) == t for bnodes, typed /
+    tagged / plain literals, and escape-hostile text (quotes,
+    backslashes, C0 controls, unicode)."""
+    from rdfa_streaming_parser_js_spark.functions.jsonld import (
+        json_graph_nodes, parse_json_nodes)
+    rows = [
+        ("s1", "iri", "http://p", 'va"l\\ue', "literal", None, "en"),
+        ("s1", "iri", "http://p2", "http://o", "iri", None, None),
+        ("s1", "iri", "http://p2", "_:b7", "bnode", None, None),
+        ("_:b0", "bnode", "http://p3", "line1\nline2\r\tx\x01\x1f",
+         "literal", None, None),
+        ("s2", "iri", "http://p", "5", "literal", "http://dt", None),
+        ("s2", "iri", "http://p", "naïve – ünïcode", "literal",
+         None, None),
+        ("s3", "iri", "http://p", "", "literal", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, subj_kind string, pred string, "
+              "obj_value string, obj_kind string, obj_datatype string, "
+              "obj_lang string")
+    back = parse_json_nodes(json_graph_nodes(t)).collect()
+    assert sorted(tuple(r) for r in back) == sorted(rows)
+
+
+def test_parse_json_nodes_drops_malformed(spark):
+    from rdfa_streaming_parser_js_spark.functions.jsonld import (
+        parse_json_nodes)
+    df = spark.createDataFrame(
+        [('{"@id":"s","edges":[{"p":"http://p","o":{"@id":"o"}}]}',),
+         ("not json at all",), ("42",)], "node_json string")
+    got = parse_json_nodes(df).collect()
+    assert [(r.subj, r.pred, r.obj_value, r.obj_kind)
+            for r in got] == [("s", "http://p", "o", "iri")]
