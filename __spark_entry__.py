@@ -1702,25 +1702,36 @@ def q_kg_shacl_report(spark, sf_dir):
     """SHACL-lite validation report gating KG publication: required
     keywords (minCount — every page lacks them), a language whitelist
     (sh:in — non-en/es pages violate), a wordCount lexical pattern
-    (data-conditional), plus two shapes the corpus satisfies (name
-    cardinality, isPartOf nodeKind) proving the validator stays silent
-    on conforming data."""
+    (data-conditional), the round-4 extended components — name
+    minLength (data-conditional), name languageIn (zh/fr/de literals
+    violate), inLanguage hasValue "en" (non-en pages), isPartOf
+    sh:class (sources are untyped — every value violates, exercising
+    the type-slice anti-join) — plus shapes the corpus satisfies
+    (name cardinality + uniqueLang, isPartOf nodeKind, name maxLength)
+    proving the validator stays silent on conforming data."""
     from rdfa_streaming_parser_js_spark.operators.validate import (
         PropertyShape, shacl_report)
     shapes = [
         PropertyShape("sh:article-name", f"{SCHEMA_ORG}Article",
-                      f"{SCHEMA_ORG}name", min_count=1, max_count=1),
+                      f"{SCHEMA_ORG}name", min_count=1, max_count=1,
+                      min_length=40, max_length=100,
+                      language_in=("en", "es"), unique_lang=True),
         PropertyShape("sh:article-keywords", f"{SCHEMA_ORG}Article",
                       f"{SCHEMA_ORG}keywords", min_count=1),
         PropertyShape("sh:article-lang", f"{SCHEMA_ORG}Article",
                       f"{SCHEMA_ORG}inLanguage",
                       in_values=("en", "es")),
+        PropertyShape("sh:article-haslang", f"{SCHEMA_ORG}Article",
+                      f"{SCHEMA_ORG}inLanguage", has_value="en"),
         PropertyShape("sh:article-wc", f"{SCHEMA_ORG}Article",
                       f"{SCHEMA_ORG}wordCount",
                       datatype=f"{XSD}integer",
                       pattern="^[2-9][0-9]$"),
         PropertyShape("sh:article-src", f"{SCHEMA_ORG}Article",
                       f"{SCHEMA_ORG}isPartOf", node_kind="iri"),
+        PropertyShape("sh:article-srcclass", f"{SCHEMA_ORG}Article",
+                      f"{SCHEMA_ORG}isPartOf",
+                      class_=f"{SCHEMA_ORG}WebSite"),
     ]
     return shacl_report(_triples_cut(spark, sf_dir), shapes)
 
@@ -2915,6 +2926,10 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR) || '#it'
                        AS focus,
                      CAST(len(string_split(text, ' ')) AS VARCHAR) AS nw,
+                     array_to_string(string_split(text, ' ')[1:8], ' ')
+                       AS name,
+                     'http://corpus.example.org/source/' || source
+                       AS src,
                      lang
               FROM documents)
             SELECT focus, 'sh:article-keywords' AS shape_id,
@@ -2929,6 +2944,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT focus, 'sh:article-wc', 'pattern',
                    '{SCHEMA_ORG}wordCount', nw, '^[2-9][0-9]$'
             FROM p WHERE NOT regexp_matches(nw, '^[2-9][0-9]$')
+            UNION ALL
+            -- extended components (round 4): name minLength is
+            -- data-conditional; name languageIn mirrors the page lang
+            -- (the literal inherits <html lang>, kernel-lowercased);
+            -- hasValue 'en' fails for every non-en page (each page
+            -- has exactly ONE inLanguage, so no absent-focus rows);
+            -- sh:class flags every isPartOf value (sources untyped)
+            SELECT focus, 'sh:article-name', 'minLength',
+                   '{SCHEMA_ORG}name', name, 'minLength 40'
+            FROM p WHERE len(name) < 40
+            UNION ALL
+            SELECT focus, 'sh:article-name', 'languageIn',
+                   '{SCHEMA_ORG}name', lower(lang), 'en,es'
+            FROM p WHERE lower(lang) NOT IN ('en', 'es')
+            UNION ALL
+            SELECT focus, 'sh:article-haslang', 'hasValue',
+                   '{SCHEMA_ORG}inLanguage', '(absent)', 'hasValue en'
+            FROM p WHERE lang <> 'en'
+            UNION ALL
+            SELECT focus, 'sh:article-srcclass', 'class',
+                   '{SCHEMA_ORG}isPartOf', src,
+                   'class {SCHEMA_ORG}WebSite'
+            FROM p
         """,
         "kg_construct_hasparts": f"""
             WITH p AS ({_PAGES_CTE})

@@ -7,7 +7,9 @@ publication on a validation report: which entities are missing required
 properties, carry the wrong datatype, or point at the wrong node kind.
 This module implements the workhorse SHACL core constraint components
 (sh:minCount / sh:maxCount / sh:datatype / sh:nodeKind / sh:in /
-sh:pattern) as ONE Catalyst plan for the whole shapes graph.
+sh:pattern / sh:minLength / sh:maxLength / sh:languageIn /
+sh:uniqueLang / sh:class / sh:hasValue) as ONE Catalyst plan for the
+whole shapes graph.
 
 Scale shape — the shapes graph is data, not plan:
 - Shapes become a broadcast DataFrame (a real shapes graph is a few
@@ -21,11 +23,15 @@ Scale shape — the shapes graph is data, not plan:
   then an equi-join on the focus subject — keyed on the graph's natural
   subject key, co-located on bucketed graph tables.
 - The value-row set is materialized once (``localCheckpoint``) and
-  feeds all four row-local constraint checks plus the cardinality
-  aggregate — without it, each report branch would re-run extraction.
-- minCount additionally needs the zero-count foci — a left-anti join
-  from the (focus × shape) set against the value-bearing pairs
-  (counting can't see absent groups).
+  feeds every row-local constraint check plus the three aggregates
+  (cardinality, uniqueLang, hasValue) — without it, each report
+  branch would re-run extraction.
+- minCount and hasValue additionally need the zero-count foci — a
+  left-anti join from the (focus × shape) set against the
+  value-bearing pairs (counting can't see absent groups).
+- sh:class is the one constraint that joins back into the instance
+  table (the rdf:type slice) — instance-sized on both sides, keyed on
+  the subject column the bucketed graph tables are laid out by.
 
 Violations of all components are unioned into one report with a
 deterministic schema, ready to gate a publish step or route entities to
@@ -49,7 +55,9 @@ REPORT_COLUMNS = ["focus", "shape_id", "constraint", "path", "value",
 _SHAPE_SCHEMA = ("shape_id string, target_class string, path string, "
                  "min_count int, max_count int, datatype string, "
                  "node_kind string, in_values array<string>, "
-                 "pattern string")
+                 "pattern string, class string, has_value string, "
+                 "min_length int, max_length int, "
+                 "language_in array<string>, unique_lang boolean")
 
 
 @dataclass(frozen=True)
@@ -66,13 +74,23 @@ class PropertyShape:
     node_kind: Optional[str] = None      # 'iri' | 'literal' | 'bnode'
     in_values: Optional[Sequence[str]] = None
     pattern: Optional[str] = None        # RLIKE over obj_value
+    class_: Optional[str] = None         # sh:class — obj rdf:type C
+    has_value: Optional[str] = None      # sh:hasValue — some obj = X
+    min_length: Optional[int] = None     # sh:minLength over obj_value
+    max_length: Optional[int] = None     # sh:maxLength over obj_value
+    language_in: Optional[Sequence[str]] = None  # sh:languageIn (ci)
+    unique_lang: Optional[bool] = None   # sh:uniqueLang
 
 
 def _shapes_df(spark, shapes: Sequence[PropertyShape]) -> DataFrame:
     rows = [(s.shape_id, s.target_class, s.path, s.min_count,
              s.max_count, s.datatype, s.node_kind,
              list(s.in_values) if s.in_values is not None else None,
-             s.pattern) for s in shapes]
+             s.pattern, s.class_, s.has_value, s.min_length,
+             s.max_length,
+             [x.lower() for x in s.language_in]
+             if s.language_in is not None else None,
+             s.unique_lang) for s in shapes]
     return spark.createDataFrame(rows, _SHAPE_SCHEMA)
 
 
@@ -104,7 +122,7 @@ def shacl_report(triples: DataFrame,
              .distinct()
              .join(sh, "target_class")
              .select("focus", "shape_id", "path", "min_count",
-                     "max_count"))
+                     "max_count", "has_value"))
 
     # value rows of every constrained property, restricted to typed
     # foci; materialized ONCE — five report branches read it
@@ -113,6 +131,8 @@ def shacl_report(triples: DataFrame,
               .select(F.col("subj").alias("focus"), "shape_id",
                       "target_class", "path", "min_count", "max_count",
                       "datatype", "node_kind", "in_values", "pattern",
+                      "class", "has_value", "min_length", "max_length",
+                      "language_in", "unique_lang",
                       "obj_value", "obj_kind", "obj_datatype",
                       "obj_lang")
               .join(focus.select("focus", "shape_id").distinct(),
@@ -129,8 +149,10 @@ def shacl_report(triples: DataFrame,
     counts = (values.groupBy("focus", "shape_id", "path", "min_count",
                              "max_count")
               .agg(F.count(F.lit(1)).alias("n")))
-    absent = (focus.join(values.select("focus", "shape_id").distinct(),
-                         ["focus", "shape_id"], "left_anti")
+    absent = (focus.select("focus", "shape_id", "path", "min_count",
+                           "max_count")
+              .join(values.select("focus", "shape_id").distinct(),
+                    ["focus", "shape_id"], "left_anti")
               .withColumn("n", F.lit(0).cast("long")))
     low = counts.filter(F.col("n") < F.col("min_count")).unionByName(
         absent.filter(F.col("min_count") > 0))
@@ -164,6 +186,73 @@ def shacl_report(triples: DataFrame,
                       & ~F.regexp_like(F.col("obj_value"),
                                        F.col("pattern"))),
         "pattern", F.col("obj_value"), F.col("pattern")))
+    parts.append(_report(
+        values.filter(F.col("min_length").isNotNull()
+                      & (F.length("obj_value") < F.col("min_length"))),
+        "minLength", F.col("obj_value"),
+        F.concat(F.lit("minLength "), F.col("min_length"))))
+    parts.append(_report(
+        values.filter(F.col("max_length").isNotNull()
+                      & (F.length("obj_value") > F.col("max_length"))),
+        "maxLength", F.col("obj_value"),
+        F.concat(F.lit("maxLength "), F.col("max_length"))))
+    # sh:languageIn — language-range match is case-insensitive (the
+    # shapes frame stores the list pre-lowercased); a missing tag
+    # violates (no language is in no list)
+    parts.append(_report(
+        values.filter(F.col("language_in").isNotNull()
+                      & ~F.array_contains(
+                          F.col("language_in"),
+                          F.lower(F.coalesce("obj_lang", F.lit(""))))),
+        "languageIn", F.coalesce("obj_lang", F.lit("(none)")),
+        F.array_join(F.col("language_in"), ",")))
+
+    # sh:uniqueLang — no two values of the path may share a language
+    # tag; one report row per duplicated tag (focus-local aggregate)
+    dup_lang = (values.filter(F.col("unique_lang")
+                              & F.col("obj_lang").isNotNull())
+                .groupBy("focus", "shape_id", "path",
+                         F.lower("obj_lang").alias("tag"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1))
+    parts.append(_report(
+        dup_lang, "uniqueLang", F.col("tag"),
+        F.concat(F.lit("uniqueLang ("), F.col("n"),
+                 F.lit(" values))"))))
+
+    # sh:class — the value node must be an rdf:type instance of the
+    # class; literals can never be.  One keyed anti-join against the
+    # type slice (both sides instance-sized — equi-join on the
+    # graph's natural subject key, co-located on bucketed tables).
+    classed = values.filter(F.col("class").isNotNull())
+    typed = (triples.filter(F.col("pred") == RDF_TYPE)
+             .select(F.col("subj").alias("obj_value"),
+                     F.col("obj_value").alias("class"))
+             .distinct())
+    bad_class = (classed.filter(F.col("obj_kind") == "literal")
+                 .unionByName(
+                     classed.filter(F.col("obj_kind") != "literal")
+                     .join(typed, ["obj_value", "class"], "left_anti")))
+    parts.append(_report(
+        bad_class, "class", F.col("obj_value"),
+        F.concat(F.lit("class "), F.col("class"))))
+
+    # sh:hasValue — SOME value of the path must equal the constant;
+    # rides the same aggregate shape as cardinality (absent foci
+    # violate too)
+    has = (values.filter(F.col("has_value").isNotNull())
+           .groupBy("focus", "shape_id", "path", "has_value")
+           .agg(F.max(F.when(F.col("obj_value") == F.col("has_value"),
+                             1).otherwise(0)).alias("hit"))
+           .filter(F.col("hit") == 0))
+    has_absent = (focus.filter(F.col("has_value").isNotNull())
+                  .join(values.select("focus", "shape_id").distinct(),
+                        ["focus", "shape_id"], "left_anti"))
+    parts.append(_report(
+        has.unionByName(has_absent, allowMissingColumns=True)
+        .select("focus", "shape_id", "path", "has_value"),
+        "hasValue", F.lit("(absent)"),
+        F.concat(F.lit("hasValue "), F.col("has_value"))))
 
     out = parts[0]
     for p in parts[1:]:

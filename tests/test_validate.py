@@ -86,3 +86,67 @@ def test_report_plan_filters_pred_before_join(spark):
     rep = shacl_report(_kg(spark), SHAPES[:1])
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert "isnotnull(pred" in plan
+
+
+def _kg2(spark):
+    rows = [
+        ("d1", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d1", f"{S}name", "alpha", "literal", None, "en"),
+        ("d1", f"{S}name", "alfa", "literal", None, "es"),
+        ("d1", f"{S}inLanguage", "en", "literal", None, None),
+        ("d1", f"{S}isPartOf", "http://src/a", "iri", None, None),
+        ("http://src/a", RDF_TYPE, f"{S}WebSite", "iri", None, None),
+        # d2: short name, duplicated EN names, wrong hasValue, isPartOf
+        # points at an UNTYPED node, name lang outside languageIn
+        ("d2", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d2", f"{S}name", "x", "literal", None, "fr"),
+        ("d2", f"{S}name", "long enough name", "literal", None, "en"),
+        ("d2", f"{S}name", "another en name", "literal", None, "EN"),
+        ("d2", f"{S}inLanguage", "fr", "literal", None, None),
+        ("d2", f"{S}isPartOf", "http://src/b", "iri", None, None),
+        # d3: no inLanguage at all (hasValue absent-focus case)
+        ("d3", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d3", f"{S}isPartOf", "plain text", "literal", None, None),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+SHAPES2 = [
+    PropertyShape("sh:name2", f"{S}Article", f"{S}name", min_length=2,
+                  max_length=30, language_in=("en", "ES"),
+                  unique_lang=True),
+    PropertyShape("sh:lang2", f"{S}Article", f"{S}inLanguage",
+                  has_value="en"),
+    PropertyShape("sh:src2", f"{S}Article", f"{S}isPartOf",
+                  class_=f"{S}WebSite"),
+]
+
+
+def test_shacl_extended_components(spark):
+    rep = shacl_report(_kg2(spark), SHAPES2)
+    got = {(r.focus, r.shape_id, r.constraint, r.value)
+           for r in rep.collect()}
+    assert got == {
+        # d2 name "x" too short; fr not in languageIn; two en-tagged
+        # names (case-insensitive) break uniqueLang
+        ("d2", "sh:name2", "minLength", "x"),
+        ("d2", "sh:name2", "languageIn", "fr"),
+        ("d2", "sh:name2", "uniqueLang", "en"),
+        # d2 inLanguage=fr misses hasValue en; d3 has NO inLanguage
+        ("d2", "sh:lang2", "hasValue", "(absent)"),
+        ("d3", "sh:lang2", "hasValue", "(absent)"),
+        # d2's source untyped; d3's a literal — both violate sh:class
+        ("d2", "sh:src2", "class", "http://src/b"),
+        ("d3", "sh:src2", "class", "plain text"),
+    }
+
+
+def test_shacl_extended_conforming_graph_is_silent(spark):
+    rows = [
+        ("d1", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d1", f"{S}name", "alpha", "literal", None, "en"),
+        ("d1", f"{S}inLanguage", "en", "literal", None, None),
+        ("d1", f"{S}isPartOf", "http://src/a", "iri", None, None),
+        ("http://src/a", RDF_TYPE, f"{S}WebSite", "iri", None, None),
+    ]
+    assert conforms(spark.createDataFrame(rows, COLS), SHAPES2)
