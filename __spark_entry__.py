@@ -41,6 +41,8 @@ from rdfa_streaming_parser_js_spark.operators.graph import (
     pagerank_sql as _pagerank_sql)
 from rdfa_streaming_parser_js_spark.operators.fingerprint import (
     fingerprint_sql as _fingerprint_sql)
+from rdfa_streaming_parser_js_spark.operators.validate import (
+    induce_shapes_sql as _induce_shapes_sql)
 from rdfa_streaming_parser_js_spark.operators.search import (
     bm25_topk_sql as _bm25_topk_sql)
 from rdfa_streaming_parser_js_spark.operators.extract import (
@@ -1840,6 +1842,21 @@ def q_kg_property_coverage(spark, sf_dir):
     return class_property_coverage(t)
 
 
+def q_kg_shape_induction(spark, sf_dir):
+    """Schema DISCOVERY (inverse of kg_shacl_report): profile every
+    (class, property) pair of the extracted KG and propose the SHACL
+    constraints the data already satisfies — min/max cardinality,
+    consistent datatype, consistent node kind, coverage percentage.
+    Shapes induced at 100 % coverage validate cleanly against the same
+    graph (pytest-asserted closure property); run them against the
+    NEXT crawl and violations are schema drift.  Two keyed map-side
+    aggregations after one subject-key equi-join; output is
+    ontology-sized."""
+    from rdfa_streaming_parser_js_spark.operators.validate import (
+        induce_shapes)
+    return induce_shapes(_triples_cut(spark, sf_dir))
+
+
 def q_kg_asof_snapshot(spark, sf_dir):
     """Time-travel read over three synthetic crawl generations: as-of a
     cutoff between capture 2 and capture 3, every %4==1 url shows its
@@ -1965,6 +1982,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_table": q_kg_entity_table,  # retired late-r04
         # (green r03; kg_entity_table_multi in-window gates the same
         # pivot with the faithful multi-value mode)
+        "kg_shape_induction": q_kg_shape_induction,  # new late-r04
+        # (oracle-checked by tools/check_oracles.py; the 50-entry gate
+        # window was already full when it landed)
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,  # retired r04
         # (green r03; subsumed by kg_sparql_nested's nested OPTIONALs)
         "kg_snapshot_delta": q_kg_snapshot_delta,  # retired r04 (r03)
@@ -2920,6 +2940,9 @@ def oracle_sql() -> dict[str, str]:
         # shapes over the uniform template corpus: keywords are always
         # absent (minCount fires per page), the lang whitelist and the
         # wordCount pattern are data-conditional, name/isPartOf conform.
+        # generic shape-induction mirror (same integer arithmetic and
+        # NULL rules as induce_shapes) over the reconstructed triples
+        "kg_shape_induction": _induce_shapes_sql(expected_triples_sql()),
         "kg_shacl_report": f"""
             WITH p AS (
               SELECT 'http://pages.example.org/page/'

@@ -264,3 +264,128 @@ def conforms(triples: DataFrame,
              shapes: Sequence[PropertyShape]) -> bool:
     """SHACL ``sh:conforms`` — True iff the report is empty."""
     return not shacl_report(triples, shapes).take(1)
+
+
+# --------------------------------------------------------------------
+# shape induction (schema discovery): profile → proposed shapes
+# --------------------------------------------------------------------
+
+def induce_shapes(triples: DataFrame,
+                  min_coverage_pct: int = 100) -> DataFrame:
+    """Schema discovery over the constructed KG: profile every
+    (class, property) pair and PROPOSE the SHACL constraints the data
+    already satisfies — the inverse of :func:`shacl_report`, closing
+    the profiling → validation loop (run the induced shapes on the
+    next crawl; violations are schema DRIFT).
+
+    Proposals (one row per class × property):
+
+    - ``min_count = 1``  when the property covers at least
+      ``min_coverage_pct`` % of the class's instances (integer
+      arithmetic — ``100·n_foci ≥ pct·n_class`` — so the oracle
+      hash-matches exactly);
+    - ``max_count = 1``  when no instance repeats the property;
+    - ``datatype``       when every value is a literal carrying the
+      same non-null datatype;
+    - ``node_kind``      when every value has the same term kind.
+
+    By construction, shapes induced at ``min_coverage_pct=100``
+    validate cleanly against the same graph
+    (``conforms(triples, induced) == True`` — pytest-asserted).
+
+    Scale shape: the type slice joins the property slice on the
+    subject key (instance-sized equi-join, co-located on a
+    subject-bucketed graph table), then two keyed aggregations —
+    per-(class, path, focus) counts, then per-(class, path) stats —
+    both map-side combinable.  Output is ontology-sized (classes ×
+    properties), never instance-sized.
+    """
+    typed = (triples.filter(F.col("pred") == RDF_TYPE)
+             .select(F.col("subj").alias("focus"),
+                     F.col("obj_value").alias("target_class"))
+             .distinct())
+    class_sizes = typed.groupBy("target_class").agg(
+        F.count(F.lit(1)).alias("n_class"))
+    vals = (triples.filter(F.col("pred") != RDF_TYPE)
+            .select(F.col("subj").alias("focus"),
+                    F.col("pred").alias("path"),
+                    "obj_kind", "obj_datatype")
+            .join(typed, "focus"))
+    per_focus = (vals.groupBy("target_class", "path", "focus")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    card = (per_focus.groupBy("target_class", "path")
+            .agg(F.count(F.lit(1)).alias("n_foci"),
+                 F.max("n").alias("max_per_focus")))
+    vstats = (vals.groupBy("target_class", "path")
+              .agg(F.countDistinct("obj_kind").alias("nk"),
+                   F.min("obj_kind").alias("kind"),
+                   F.countDistinct(
+                       F.coalesce("obj_datatype", F.lit("")))
+                   .alias("nd"),
+                   F.min(F.coalesce("obj_datatype", F.lit("")))
+                   .alias("dt")))
+    prof = (card.join(vstats, ["target_class", "path"])
+            .join(class_sizes, "target_class"))
+    return prof.select(
+        "target_class", "path",
+        F.col("n_class").cast("long").alias("n_class"),
+        F.col("n_foci").cast("long").alias("n_foci"),
+        F.expr("(100 * n_foci) div n_class").cast("long")
+        .alias("coverage_pct"),
+        F.when(100 * F.col("n_foci")
+               >= min_coverage_pct * F.col("n_class"),
+               F.lit(1)).cast("long").alias("min_count"),
+        F.when(F.col("max_per_focus") == 1, F.lit(1)).cast("long")
+        .alias("max_count"),
+        F.when((F.col("nd") == 1) & (F.col("dt") != "")
+               & (F.col("nk") == 1) & (F.col("kind") == "literal"),
+               F.col("dt")).alias("datatype"),
+        F.when(F.col("nk") == 1, F.col("kind")).alias("node_kind"))
+
+
+def induce_shapes_sql(triples_cte: str, rdf_type: str = RDF_TYPE,
+                      min_coverage_pct: int = 100) -> str:
+    """DuckDB mirror of :func:`induce_shapes` over any SELECT yielding
+    the triple columns — same integer arithmetic, same NULL rules."""
+    return f"""
+        WITH si_exp AS ({triples_cte}),
+        si_typed AS (
+          SELECT DISTINCT subj AS focus, obj_value AS target_class
+          FROM si_exp WHERE pred = '{rdf_type}'),
+        si_cs AS (SELECT target_class, count(*) AS n_class
+                  FROM si_typed GROUP BY 1),
+        si_v AS (SELECT t.target_class, e.pred AS path,
+                        e.subj AS focus, e.obj_kind, e.obj_datatype
+                 FROM si_exp e JOIN si_typed t ON t.focus = e.subj
+                 WHERE e.pred <> '{rdf_type}'),
+        si_pf AS (SELECT target_class, path, focus, count(*) AS n
+                  FROM si_v GROUP BY 1, 2, 3),
+        si_card AS (SELECT target_class, path, count(*) AS n_foci,
+                           max(n) AS max_per_focus
+                    FROM si_pf GROUP BY 1, 2),
+        si_vs AS (SELECT target_class, path,
+                         count(DISTINCT obj_kind) AS nk,
+                         min(obj_kind) AS kind,
+                         count(DISTINCT coalesce(obj_datatype, ''))
+                           AS nd,
+                         min(coalesce(obj_datatype, '')) AS dt
+                  FROM si_v GROUP BY 1, 2)
+        SELECT c.target_class, c.path,
+               CAST(s.n_class AS BIGINT) AS n_class,
+               CAST(c.n_foci AS BIGINT) AS n_foci,
+               CAST((100 * c.n_foci) // s.n_class AS BIGINT)
+                 AS coverage_pct,
+               CAST(CASE WHEN 100 * c.n_foci
+                              >= {min_coverage_pct} * s.n_class
+                         THEN 1 END AS BIGINT) AS min_count,
+               CAST(CASE WHEN c.max_per_focus = 1 THEN 1 END
+                    AS BIGINT) AS max_count,
+               CASE WHEN v.nd = 1 AND v.dt <> '' AND v.nk = 1
+                         AND v.kind = 'literal'
+                    THEN v.dt END AS datatype,
+               CASE WHEN v.nk = 1 THEN v.kind END AS node_kind
+        FROM si_card c
+        JOIN si_vs v ON v.target_class = c.target_class
+                    AND v.path = c.path
+        JOIN si_cs s ON s.target_class = c.target_class
+    """

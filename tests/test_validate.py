@@ -150,3 +150,45 @@ def test_shacl_extended_conforming_graph_is_silent(spark):
         ("http://src/a", RDF_TYPE, f"{S}WebSite", "iri", None, None),
     ]
     assert conforms(spark.createDataFrame(rows, COLS), SHAPES2)
+
+
+# ---------------------------------------------------------------------
+# shape induction (schema discovery)
+# ---------------------------------------------------------------------
+
+def test_induce_shapes_toy(spark):
+    from rdfa_streaming_parser_js_spark.operators.validate import (
+        induce_shapes)
+    rows = [
+        ("d1", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d1", f"{S}name", "alpha", "literal", None, "en"),
+        ("d1", f"{S}wordCount", "10", "literal", f"{XSD}integer", None),
+        ("d2", RDF_TYPE, f"{S}Article", "iri", None, None),
+        ("d2", f"{S}name", "beta", "literal", None, None),
+        ("d2", f"{S}name", "beta2", "literal", None, None),  # repeat
+        # d2 lacks wordCount → coverage 50, no min_count proposal
+    ]
+    got = {(r.path): r for r in
+           induce_shapes(spark.createDataFrame(rows, COLS)).collect()}
+    name = got[f"{S}name"]
+    assert (name.n_class, name.n_foci, name.coverage_pct) == (2, 2, 100)
+    assert name.min_count == 1 and name.max_count is None
+    assert name.datatype is None and name.node_kind == "literal"
+    wc = got[f"{S}wordCount"]
+    assert (wc.coverage_pct, wc.min_count, wc.max_count) == (50, None, 1)
+    assert wc.datatype == f"{XSD}integer" and wc.node_kind == "literal"
+
+
+def test_induced_shapes_validate_cleanly(spark):
+    """Closure property: shapes induced at 100 % coverage CONFORM on
+    the graph they were induced from (cardinality + datatype +
+    nodeKind proposals translated to PropertyShape)."""
+    from rdfa_streaming_parser_js_spark.operators.validate import (
+        induce_shapes)
+    kg = _kg(spark)
+    shapes = [
+        PropertyShape(f"ind:{i}", r.target_class, r.path,
+                      min_count=r.min_count, max_count=r.max_count,
+                      datatype=r.datatype, node_kind=r.node_kind)
+        for i, r in enumerate(induce_shapes(kg).collect())]
+    assert shapes and conforms(kg, shapes)
