@@ -1395,6 +1395,44 @@ def parse_sparql(text: str) -> ParsedQuery:
                    "binding it")
     elif p.take_kw("construct"):
         q = ParsedQuery(form="construct", where=Group())
+        if p.at_kw("where"):
+            # CONSTRUCT WHERE { ... } shorthand (§10.2.3): the WHERE
+            # pattern doubles as the template.  The spec limits the
+            # body to triple patterns; this engine additionally
+            # requires variable/IRI terms only — a literal constant
+            # would need the template literal-marking channel that
+            # only full templates thread, and a quad or path has no
+            # template meaning.
+            p.next()
+            q.where = p.parse_group()
+            if (q.where.filters or q.where.binds or q.where.values
+                    or q.where.optionals or q.where.minus
+                    or q.where.exists or q.where.not_exists
+                    or q.where.union or q.where.subselects):
+                p.fail("CONSTRUCT WHERE shorthand allows triple "
+                       "patterns only (SPARQL §10.2.3)")
+            if not q.where.patterns:
+                p.fail("CONSTRUCT WHERE shorthand needs at least one "
+                       "triple pattern")
+            for pat in q.where.patterns:
+                if len(pat) != 3 or not isinstance(pat[1], str):
+                    p.fail("CONSTRUCT WHERE shorthand allows plain "
+                           "triple patterns only (no GRAPH, no "
+                           "property paths)")
+                if any(isinstance(t, Lit) for t in pat) or (
+                        isinstance(pat[2], str)
+                        and not pat[2].startswith("?")
+                        and ":" not in pat[2]):
+                    p.fail("CONSTRUCT WHERE shorthand takes variable "
+                           "or IRI terms only — use the full "
+                           "CONSTRUCT {} WHERE {} form for literal "
+                           "constants")
+            q.template = list(q.where.patterns)
+            _parse_modifiers(p, q)
+            if p.peek().kind != "EOF":
+                p.fail("trailing input after query")
+            _stamp_meta(q, frozenset(p.meta_vars))
+            return q
         tmpl = Group()
         p.expect_op("{")
         p.in_template = True

@@ -1037,3 +1037,28 @@ def test_gated_nested_query_matches_oracle(spark):
     exp = sorted(tuple("null" if row[i] is None else str(row[i])
                        for i in order) for row in rel.fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_construct_where_shorthand(spark):
+    full = sparql_query(_kg(spark), PFX + """
+        CONSTRUCT { ?d schema:isPartOf ?s } WHERE {
+            ?d schema:isPartOf ?s }""")
+    short = sparql_query(_kg(spark), PFX + """
+        CONSTRUCT WHERE { ?d schema:isPartOf ?s }""")
+    assert sorted(map(tuple, short.collect())) \
+        == sorted(map(tuple, full.collect()))
+    assert len(short.collect()) > 0
+
+
+def test_construct_where_shorthand_rejects_rich_bodies(spark):
+    for text, msg in [
+        ("CONSTRUCT WHERE { ?d schema:name ?n FILTER(BOUND(?n)) }",
+         "triple patterns only"),
+        ("CONSTRUCT WHERE { ?d schema:partOf+ ?x }",
+         "plain triple patterns"),
+        ("CONSTRUCT WHERE { ?d schema:name \"x\" }",
+         "variable or IRI terms"),
+        ("CONSTRUCT WHERE { }", "at least one"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            parse_sparql(PFX + text)
