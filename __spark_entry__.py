@@ -1262,15 +1262,21 @@ def q_kg_term_constructors(spark, sf_dir):
 
 SPARQL_NESTED_TEXT = f"""
     PREFIX schema: <{SCHEMA_ORG}>
-    SELECT ?doc ?name ?src ?d ?bucket WHERE {{
+    SELECT ?doc ?name ?src ?d ?d2 ?wc ?bucket WHERE {{
         ?doc a schema:Article ;
-             schema:name ?name .
+             schema:name ?name ;
+             schema:dateCreated ?d2 .
         OPTIONAL {{
             ?doc schema:isPartOf ?src .
             FILTER(STRENDS(STR(?src), "1") || STRENDS(STR(?src), "2")
                    || STRENDS(STR(?src), "3"))
             OPTIONAL {{ ?doc schema:dateCreated ?d .
                         FILTER(STR(?d) <= "2024-03-04") }}
+        }}
+        OPTIONAL {{
+            ?doc schema:wordCount ?wc .
+            OPTIONAL {{ ?doc schema:dateCreated ?d2 .
+                        FILTER(STR(?d2) >= "2024-03-15") }}
         }}
         OPTIONAL {{
             {{ ?doc schema:inLanguage "en"@en .
@@ -1293,9 +1299,15 @@ def q_kg_sparql_nested(spark, sf_dir):
     (SPARQL 1.1 §18.5 bottom-up evaluation via bgp.GroupSpec): an
     OPTIONAL whose body holds a group-local FILTER plus a second-level
     OPTIONAL (first-days date slice, so the nested binding is visible in rows MINUS keeps), an OPTIONAL whose entire body is
-    a UNION with a branch-local BIND per arm (language bucketing), and
-    a MINUS whose body carries a nested FILTER NOT EXISTS (keep only
-    early-crawl pages).  Every nested group compiles to its own
+    a UNION with a branch-local BIND per arm (language bucketing), a
+    MINUS whose body carries a nested FILTER NOT EXISTS (keep only
+    early-crawl pages), and — late-r04 — an OPTIONAL sharing ?d2 with
+    the REQUIRED solution while binding it only under its own nested
+    OPTIONAL (late-month slice): ?d2 is maybe-UNBOUND in the group, so
+    the enclosing join takes the bound-mask §18.3 compatibility path
+    (_compat_left_join) — a naive equi-join would drop ?wc for every
+    early-month page, so the hash gate proves the exact semantics.
+    Every nested group compiles to its own
     predicate-pruned scan slice; the enclosing joins are equi-joins on
     ?doc, which the GroupSpec certainty check proves is bound in every
     group solution — no unbound-compatibility semantics are needed, so
@@ -2381,11 +2393,21 @@ def oracle_sql() -> dict[str, str]:
         # joined on the shared ?doc exactly like the engine.
         "kg_sparql_nested": f"""
             WITH exp AS ({expected_triples_sql()}),
-            req AS (SELECT t.subj AS doc, n.obj_value AS name
+            req AS (SELECT t.subj AS doc, n.obj_value AS name,
+                           d2.obj_value AS d2
                     FROM exp t JOIN exp n ON n.subj = t.subj
                                AND n.pred = '{SCHEMA_ORG}name'
+                               JOIN exp d2 ON d2.subj = t.subj
+                               AND d2.pred = '{SCHEMA_ORG}dateCreated'
                     WHERE t.pred = '{RDF_TYPE}'
                       AND t.obj_value = '{SCHEMA_ORG}Article'),
+            -- the maybe-unbound-?d2 OPTIONAL: SPARQL compatibility
+            -- attaches ?wc to EVERY doc (late-month group rows agree
+            -- on d2, early-month rows leave d2 unbound — both
+            -- compatible); a NULL-blind equi-join would lose wc for
+            -- early pages, which the hash gate would catch
+            optwc AS (SELECT subj AS doc, obj_value AS wc FROM exp
+                      WHERE pred = '{SCHEMA_ORG}wordCount'),
             opt1 AS (SELECT s.subj AS doc, s.obj_value AS src,
                             d.obj_value AS d
                      FROM (SELECT subj, obj_value FROM exp
@@ -2413,8 +2435,10 @@ def oracle_sql() -> dict[str, str]:
                             AND dc.pred = '{SCHEMA_ORG}dateCreated'
                             AND dc.obj_value < '2024-03-09'))
             SELECT req.doc AS doc, req.name AS name, opt1.src AS src,
-                   opt1.d AS d, opt2.bucket AS bucket
+                   opt1.d AS d, req.d2 AS d2, optwc.wc AS wc,
+                   opt2.bucket AS bucket
             FROM req LEFT JOIN opt1 ON opt1.doc = req.doc
+                     LEFT JOIN optwc ON optwc.doc = req.doc
                      LEFT JOIN opt2 ON opt2.doc = req.doc
             WHERE req.doc NOT IN (SELECT doc FROM minus)
             ORDER BY doc

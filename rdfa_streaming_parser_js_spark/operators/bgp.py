@@ -724,7 +724,18 @@ def _compat_left_join(solution: DataFrame, group: DataFrame,
     with NO group row, extended with NULLs (the Diff half).  Every
     join is an equi/anti join — no theta-join blowup; the all-unbound
     partition is the one SPARQL-mandated cross join (such a group row
-    is compatible with every solution)."""
+    is compatible with every solution).
+
+    Both inputs are eagerly materialized first: the mask partitions
+    consume ``group`` 2·2^k times and ``solution`` 2^k+1 times, and
+    re-evaluating a deep enclosing-solution DAG per consumer costs
+    far more than one localCheckpoint (tracked — the lazy result
+    still references the blocks; release_tracked() frees them)."""
+    from rdfa_streaming_parser_js_spark.operators.storage import (
+        constraints_disabled, track)
+    with constraints_disabled(solution.sparkSession):
+        solution = track(solution.localCheckpoint(eager=True))
+        group = track(group.localCheckpoint(eager=True))
     group_only = [c for c in group.columns if c not in solution.columns]
     parts = []
     unmatched = solution
@@ -757,7 +768,12 @@ def _compat_minus(solution: DataFrame, group: DataFrame,
     AND their domains overlap.  Per bound-mask partition the overlap
     is exactly the partition's join keys, so the all-unbound partition
     (empty keys = disjoint domains, the §8.3.3 rule) removes nothing
-    and every other partition is one anti-join."""
+    and every other partition is one anti-join.  ``group`` is
+    materialized once (up to 2^k mask consumers)."""
+    from rdfa_streaming_parser_js_spark.operators.storage import (
+        constraints_disabled, track)
+    with constraints_disabled(group.sparkSession):
+        group = track(group.localCheckpoint(eager=True))
     for keys, gpart in _mask_parts(group, shared, uncertain):
         if keys:
             solution = solution.join(gpart.select(*keys),

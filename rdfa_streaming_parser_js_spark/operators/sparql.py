@@ -120,6 +120,12 @@ Documented deviations (each raises or is noted, never silent):
   engine's lexical columns).
 - With ``DISTINCT``, ``ORDER BY`` keys must be projected variables
   (ordering applies after de-duplication).
+- ``ORDER BY`` compares the LEXICAL form (binary UTF-8 — the engine's
+  solution columns are lexical strings), not SPARQL §15.1's typed
+  value order; numeric keys order numerically by wrapping the key in
+  an explicit numeric context at the query site (e.g. ``ORDER BY``
+  a ``BIND(... AS ?k)`` of a cast) — the deterministic distributed
+  choice, matching the GROUP_CONCAT convention.
 - Nested groups (OPTIONAL / MINUS / EXISTS / UNION *inside* an
   OPTIONAL / MINUS / EXISTS group, to any depth) evaluate bottom-up
   via :class:`bgp.GroupSpec`.  A shared variable bound only under a
