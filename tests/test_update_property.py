@@ -131,3 +131,79 @@ def test_apply_update_agrees_with_naive_evaluator(spark, case):
                        literal_consts=LITERAL_CONSTS)
     got_set = {tuple(r) for r in got.select(*TERM_COLS).collect()}
     assert got_set == naive_update(triples, where, delete, insert)
+
+
+# ---------------------------------------------------------------------
+# graph management vs a Python-set model (SPARQL 1.1 Update §3.2)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+GRAPHS = [None, "http://g/1", "http://g/2", "http://g/3"]
+G_REFS = ["DEFAULT", "http://g/1", "http://g/2", "http://g/3"]
+
+
+def _model_apply(quads: set, op):
+    """Reference semantics over a set of (graph, subj, pred, obj)."""
+    kind = op[0]
+    if kind in ("clear", "drop"):
+        tgt = op[1]
+        if tgt == "DEFAULT":
+            return {q for q in quads if q[0] is not None}
+        if tgt == "NAMED":
+            return {q for q in quads if q[0] is None}
+        if tgt == "ALL":
+            return set()
+        return {q for q in quads if q[0] != tgt}
+    src, dst = op[1], op[2]
+    s = None if src == "DEFAULT" else src
+    d = None if dst == "DEFAULT" else dst
+    if s == d:
+        return set(quads)
+    moved = {(d,) + q[1:] for q in quads if q[0] == s}
+    if kind == "add":
+        return quads | moved
+    if kind == "copy":
+        return {q for q in quads if q[0] != d} | moved
+    return {q for q in quads if q[0] != d and q[0] != s} | moved
+
+
+@st.composite
+def quads_and_ops(draw):
+    quads = draw(st.sets(st.tuples(
+        st.sampled_from(GRAPHS), st.sampled_from(["s1", "s2"]),
+        st.sampled_from(["http://p", "http://q"]),
+        st.sampled_from(["a", "b"])), min_size=1, max_size=10))
+    ops = draw(st.lists(st.one_of(
+        st.tuples(st.sampled_from(["clear", "drop"]),
+                  st.sampled_from(G_REFS + ["NAMED", "ALL"])),
+        st.tuples(st.sampled_from(["add", "move", "copy"]),
+                  st.sampled_from(G_REFS), st.sampled_from(G_REFS)),
+    ), min_size=1, max_size=3))
+    return quads, ops
+
+
+@given(quads_and_ops())
+@settings(max_examples=15, deadline=None)
+def test_graph_mgmt_agrees_with_set_model(spark, case):
+    from rdfa_streaming_parser_js_spark.operators import update as U
+    quads, ops = case
+    df = spark.createDataFrame(
+        [(g, s, "iri", p, o, "literal", None, None)
+         for g, s, p, o in quads],
+        "graph string, subj string, subj_kind string, pred string, "
+        "obj_value string, obj_kind string, obj_datatype string, "
+        "obj_lang string")
+    model = set(quads)
+    for op in ops:
+        if op[0] in ("clear", "drop"):
+            df = U.clear_graph(df, op[1])
+        else:
+            fn = {"add": U.add_graph, "move": U.move_graph,
+                  "copy": U.copy_graph}[op[0]]
+            df = fn(df, op[1], op[2])
+        model = _model_apply(model, op)
+    got = {(r.graph, r.subj, r.pred, r.obj_value)
+           for r in df.collect()}
+    assert got == model, ops
