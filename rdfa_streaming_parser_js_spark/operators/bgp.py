@@ -68,14 +68,14 @@ class GroupSpec:
     patterns are certain (never NULL); variables introduced under a
     nested OPTIONAL, bound in only some UNION branches, or minted by
     BIND/VALUES (NULL on error / UNDEF) are maybe-unbound.  When a
-    maybe-unbound variable is shared with the enclosing solution, the
-    enclosing OPTIONAL/MINUS join decomposes by bound-mask
-    (:func:`_mask_parts`) into exact SPARQL §18.3 compatibility —
-    still pure equi/anti joins, 2^k partitions for k ≤ 3 such
-    variables.  It raises only when the ENCLOSING side of a shared
-    variable is itself maybe-unbound (two-sided masks, unsupported) or
-    k exceeds the cap — never silently computing non-SPARQL
-    answers."""
+    shared variable is maybe-unbound — on the group side, the
+    enclosing side, or BOTH — the enclosing OPTIONAL/MINUS join
+    decomposes by bound-mask on each side (:func:`_masks`) into exact
+    SPARQL §18.3 compatibility: still pure equi/anti joins, one
+    partition per mask pair, merged per §18.3 (an unbound side takes
+    the other side's value).  It raises only when the total mask
+    fan-out would exceed 2^{_MASK_CAP} partitions — never silently
+    computing non-SPARQL answers."""
     patterns: "list[Pattern]" = None
     filters: "list[str] | None" = None
     binds: "list[tuple] | None" = None
@@ -627,11 +627,12 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     — a group that itself nests OPTIONAL / MINUS / EXISTS / UNION —
     evaluated bottom-up by recursion.  Shared variables bound in every
     group solution (:func:`_certain_vars`) equi-join directly; shared
-    variables that may be UNBOUND in the group decompose by bound-mask
-    into exact SPARQL §18.3 compatibility (unbound matches anything —
-    see :func:`_compat_left_join` / :func:`_compat_minus`); only
-    two-sided uncertainty (the enclosing side maybe-unbound too) or
-    more than 3 such variables raise.
+    variables that may be UNBOUND — in the group, in the enclosing
+    solution, or both — decompose by bound-mask pairs into exact
+    SPARQL §18.3 compatibility (unbound matches anything; an unbound
+    side takes the other side's value — see :func:`_compat_left_join`
+    / :func:`_compat_minus`); only a mask fan-out beyond 2^4
+    partitions raises.
 
     ``exists`` / ``not_exists``: SPARQL FILTER (NOT) EXISTS — each
     ``(patterns, filters)`` group keeps (removes) the solutions that
@@ -691,94 +692,113 @@ def _check_join_keys(grp, shared: list, kind: str) -> None:
             "them in the group's required patterns or rename")
 
 
-_MASK_CAP = 3  # 2^3 partitions; beyond this the plan fans out too far
+_MASK_CAP = 4  # ≤ 2^4 mask-pair partitions; beyond this the plan
+               # fans out too far — bind vars in required patterns
 
 
-def _mask_parts(group: DataFrame, shared: list, uncertain: list):
-    """Bound-mask decomposition of a group solution whose ``uncertain``
-    shared variables may be NULL (unbound): yields ``(keys, gpart)``
-    with the group rows partitioned by WHICH uncertain variables they
-    actually bind.  An unbound variable constrains nothing (SPARQL
-    §18.3 compatibility), so each partition equi-joins the enclosing
-    solution on exactly its bound shared variables; NULL columns are
-    dropped from the partition (the merge keeps the enclosing side's
-    value).  Partitions are disjoint — bag multiplicities add up
-    exactly once."""
-    certain_keys = [v for v in shared if v not in uncertain]
+def _masks(df: DataFrame, uncertain: list):
+    """Yield ``(nulls, part)`` for every bound-mask over ``uncertain``
+    columns: the rows where exactly the ``nulls`` subset is NULL.
+    Partitions are disjoint, so bag multiplicities add up exactly
+    once."""
     for bits in range(2 ** len(uncertain)):
         nulls = [v for i, v in enumerate(uncertain) if bits >> i & 1]
-        bound = [v for v in uncertain if v not in nulls]
-        gpart = group
-        for v in nulls:
-            gpart = gpart.filter(F.col(v).isNull())
-        for v in bound:
-            gpart = gpart.filter(F.col(v).isNotNull())
-        yield certain_keys + bound, gpart.drop(*nulls)
+        part = df
+        for v in uncertain:
+            part = part.filter(F.col(v).isNull() if v in nulls
+                               else F.col(v).isNotNull())
+        yield nulls, part
 
 
 def _compat_left_join(solution: DataFrame, group: DataFrame,
-                      shared: list, uncertain: list) -> DataFrame:
-    """SPARQL §18.3-exact LeftJoin when some shared variables may be
-    unbound in the GROUP's solutions: union of per-bound-mask
-    equi-joins (the compatible pairs) plus the solutions compatible
-    with NO group row, extended with NULLs (the Diff half).  Every
-    join is an equi/anti join — no theta-join blowup; the all-unbound
-    partition is the one SPARQL-mandated cross join (such a group row
-    is compatible with every solution).
+                      shared: list, unc_sol: list,
+                      unc_grp: list) -> DataFrame:
+    """SPARQL §18.3-exact LeftJoin when shared variables may be
+    unbound on EITHER side: both sides are partitioned by which of
+    their maybe-unbound shared variables each row actually binds;
+    every mask pair equi-joins on the variables bound on BOTH sides
+    (an unbound variable constrains nothing), merging per §18.3 —
+    a variable unbound on one side takes the other side's value, one
+    unbound on both stays NULL.  Solutions compatible with NO group
+    row survive bare with NULL-extended group columns (the Diff
+    half).  Every join is an equi/anti join — no theta-join blowup;
+    an empty key set is the one SPARQL-mandated cross join.
 
-    Both inputs are eagerly materialized first: the mask partitions
-    consume ``group`` 2·2^k times and ``solution`` 2^k+1 times, and
-    re-evaluating a deep enclosing-solution DAG per consumer costs
-    far more than one localCheckpoint (tracked — the lazy result
-    still references the blocks; release_tracked() frees them)."""
+    Both inputs are eagerly materialized first: the mask pairs
+    consume each side O(2^k) times, and re-evaluating a deep
+    enclosing-solution DAG per consumer costs far more than one
+    localCheckpoint (tracked — the lazy result still references the
+    blocks; release_tracked() frees them)."""
     from rdfa_streaming_parser_js_spark.operators.storage import (
         constraints_disabled, track)
     with constraints_disabled(solution.sparkSession):
         solution = track(solution.localCheckpoint(eager=True))
         group = track(group.localCheckpoint(eager=True))
     group_only = [c for c in group.columns if c not in solution.columns]
+    out_cols = solution.columns + group_only
     parts = []
-    unmatched = solution
-    for keys, gpart in _mask_parts(group, shared, uncertain):
-        if keys:
-            parts.append(solution.join(gpart, on=keys, how="inner")
-                         .select(*solution.columns, *group_only))
-            unmatched = unmatched.join(gpart.select(*keys),
-                                       on=keys, how="left_anti")
-        else:
-            parts.append(solution.crossJoin(gpart)
-                         .select(*solution.columns, *group_only))
-            unmatched = unmatched.join(
-                gpart.select(F.lit(1).alias("_m")), F.lit(True),
-                "left_anti")
-    bare = unmatched
-    for c in group_only:
-        bare = bare.withColumn(
-            c, F.lit(None).cast(group.schema[c].dataType))
-    out = bare.select(*solution.columns, *group_only)
-    for p in parts:
+    for s_nulls, sol_s in _masks(solution, unc_sol):
+        unmatched = sol_s
+        for g_nulls, grp_g in _masks(group, unc_grp):
+            grp_g = grp_g.drop(*g_nulls)
+            keys = [v for v in shared
+                    if v not in s_nulls and v not in g_nulls]
+            # a var unbound on the sol side but bound in the group
+            # takes the GROUP's value — drop sol's NULL column so the
+            # join result carries the group's
+            left = sol_s.drop(*[v for v in s_nulls
+                                if v not in g_nulls])
+            if keys:
+                j = left.join(grp_g, on=keys, how="inner")
+                unmatched = unmatched.join(grp_g.select(*keys),
+                                           on=keys, how="left_anti")
+            else:
+                j = left.crossJoin(grp_g)
+                unmatched = unmatched.join(
+                    grp_g.select(F.lit(1).alias("_m")), F.lit(True),
+                    "left_anti")
+            for v in s_nulls:  # unbound on BOTH sides stays NULL
+                if v in g_nulls:
+                    j = j.withColumn(
+                        v, F.lit(None).cast(group.schema[v].dataType))
+            parts.append(j.select(*out_cols))
+        bare = unmatched
+        for c in group_only:
+            bare = bare.withColumn(
+                c, F.lit(None).cast(group.schema[c].dataType))
+        parts.append(bare.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
 def _compat_minus(solution: DataFrame, group: DataFrame,
-                  shared: list, uncertain: list) -> DataFrame:
-    """SPARQL §18.5 Minus when some shared variables may be unbound in
-    the group: a solution is removed iff SOME group row is compatible
-    AND their domains overlap.  Per bound-mask partition the overlap
-    is exactly the partition's join keys, so the all-unbound partition
-    (empty keys = disjoint domains, the §8.3.3 rule) removes nothing
-    and every other partition is one anti-join.  ``group`` is
-    materialized once (up to 2^k mask consumers)."""
+                  shared: list, unc_sol: list,
+                  unc_grp: list) -> DataFrame:
+    """SPARQL §18.5 Minus when shared variables may be unbound on
+    either side: a solution is removed iff SOME group row is
+    compatible AND their domains overlap.  Per mask pair the overlap
+    is exactly the pair's join keys, so an empty key set (disjoint
+    row-level domains, the §8.3.3 rule) removes nothing and every
+    other pair is one anti-join.  ``group`` is materialized once."""
     from rdfa_streaming_parser_js_spark.operators.storage import (
         constraints_disabled, track)
     with constraints_disabled(group.sparkSession):
         group = track(group.localCheckpoint(eager=True))
-    for keys, gpart in _mask_parts(group, shared, uncertain):
-        if keys:
-            solution = solution.join(gpart.select(*keys),
-                                     on=keys, how="left_anti")
-    return solution
+    kept = []
+    for s_nulls, sol_s in _masks(solution, unc_sol):
+        for g_nulls, grp_g in _masks(group, unc_grp):
+            keys = [v for v in shared
+                    if v not in s_nulls and v not in g_nulls]
+            if keys:
+                sol_s = sol_s.join(grp_g.select(*keys), on=keys,
+                                   how="left_anti")
+        kept.append(sol_s)
+    out = kept[0]
+    for p in kept[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _eval_spec(triples: DataFrame, spec: GroupSpec,
@@ -809,35 +829,24 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
         solution = _apply_bind(solution, var, expr)
 
     def _uncertain_shared(grp, shared, kind):
-        """For a GroupSpec entry: the shared variables that may be
-        unbound in the GROUP's solutions (→ bound-mask decomposition),
-        or None for flat tuple groups (documented equi-join
-        semantics).  Raises when the decomposition cannot be exact:
-        the ENCLOSING side may also be unbound on a shared variable
-        (mask explosion on both sides), or too many maybe-unbound
-        variables share."""
+        """For a GroupSpec entry: the (sol-side, group-side) shared
+        variables that may be unbound (→ bound-mask decomposition on
+        each side), or None for flat tuple groups (documented
+        equi-join semantics).  Raises only when the total mask fan-out
+        would exceed 2^_MASK_CAP partitions."""
         if not isinstance(grp, GroupSpec):
             return None
-        unc = [v for v in shared if v not in _certain_vars(grp)]
-        if not unc:
-            return []
-        unc_sol = sorted(v for v in shared if v not in certain)
-        if unc_sol:
+        unc_g = [v for v in shared if v not in _certain_vars(grp)]
+        unc_s = [v for v in shared if v not in certain]
+        if len(unc_s) + len(unc_g) > _MASK_CAP:
             raise ValueError(
-                f"{kind} group shares maybe-unbound variable(s) with "
-                f"an enclosing solution where {unc_sol} are themselves "
-                "maybe-unbound (bound under OPTIONAL / BIND / VALUES) "
-                "— two-sided unbound compatibility needs a mask "
-                "decomposition on both sides; bind them in the "
-                "required patterns or rename")
-        if len(unc) > _MASK_CAP:
-            raise ValueError(
-                f"{kind} group shares {len(unc)} maybe-unbound "
-                f"variables {sorted(unc)} with the enclosing solution "
-                f"— the bound-mask decomposition fans out 2^k joins "
-                f"and is capped at k={_MASK_CAP}; bind some in the "
-                "group's required patterns or rename")
-        return unc
+                f"{kind} group shares {len(unc_s) + len(unc_g)} "
+                f"maybe-unbound variable sides (enclosing "
+                f"{sorted(unc_s)}, group {sorted(unc_g)}) — the "
+                f"bound-mask decomposition fans out 2^k joins and is "
+                f"capped at k={_MASK_CAP}; bind some in required "
+                "patterns or rename")
+        return unc_s, unc_g
 
     for grp in spec.optionals or ():
         group = _subgroup(
@@ -851,8 +860,9 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
                 "OPTIONAL group shares no variable with the required "
                 f"group: {grp.patterns if isinstance(grp, GroupSpec) else grp[0]}")
         unc = _uncertain_shared(grp, shared, "OPTIONAL")
-        if unc:
-            solution = _compat_left_join(solution, group, shared, unc)
+        if unc is not None and (unc[0] or unc[1]):
+            solution = _compat_left_join(solution, group, shared,
+                                         *unc)
         else:
             solution = solution.join(group, on=shared, how="left")
     for grp in spec.minus or ():
@@ -864,8 +874,9 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
                   and not v.endswith(META_SUFFIXES)]
         if shared:  # disjoint-domain MINUS is a no-op (SPARQL §8.3.3)
             unc = _uncertain_shared(grp, shared, "MINUS")
-            if unc:
-                solution = _compat_minus(solution, group, shared, unc)
+            if unc is not None and (unc[0] or unc[1]):
+                solution = _compat_minus(solution, group, shared,
+                                         *unc)
             else:
                 solution = solution.join(group.select(*shared),
                                          on=shared, how="left_anti")

@@ -130,12 +130,13 @@ Documented deviations (each raises or is noted, never silent):
   OPTIONAL / MINUS / EXISTS group, to any depth) evaluate bottom-up
   via :class:`bgp.GroupSpec`.  A shared variable bound only under a
   nested OPTIONAL, in some UNION branches, or by BIND/VALUES — i.e.
-  maybe-UNBOUND in the group — gets exact SPARQL §18.3 compatibility
-  (unbound matches anything) via bound-mask decomposition into
-  equi/anti joins; it raises only when the ENCLOSING side of a shared
-  variable is itself maybe-unbound (two-sided masks) or more than 3
-  such variables share (2^k fan-out cap), and in EXISTS/NOT EXISTS
-  groups (substitution semantics — correlate on required variables).
+  maybe-UNBOUND, whether in the group, in the enclosing solution, or
+  BOTH — gets exact SPARQL §18.3 compatibility (unbound matches
+  anything; an unbound side takes the other side's value) via
+  bound-mask-pair decomposition into equi/anti joins; it raises only
+  beyond the 2^4 fan-out cap, and for maybe-unbound correlation in
+  EXISTS/NOT EXISTS groups (substitution semantics — correlate on
+  required variables).
   Sub-SELECTs stay top-level only, and a group containing one cannot
   also contain OPTIONAL/MINUS/EXISTS (compose at the DataFrame
   level).

@@ -372,3 +372,60 @@ def test_uncertain_minus_agrees_with_naive(spark, case):
     got = Counter((r.a, r.b) for r in got_rows)
     expect = Counter((sol["a"], sol["b"]) for sol in want)
     assert got == expect, (req, b1, b2, b3)
+
+
+@st.composite
+def graph_and_two_sided_optional(draw):
+    """?x is maybe-unbound on BOTH sides: the enclosing solution gets
+    it from a flat OPTIONAL, the GroupSpec group binds it only under
+    its own nested OPTIONAL — mask pairs on both sides."""
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(PREDS),
+                  st.sampled_from(OBJECTS)),
+        min_size=1, max_size=14))
+    req = [("?a", draw(st.sampled_from(PREDS)), "?b")]
+    flat = [("?a", draw(st.sampled_from(PREDS)), "?x")]
+    outer = [("?a", draw(st.sampled_from(PREDS)), "?c")]
+    inner = [("?c", draw(st.sampled_from(PREDS)), "?x")]
+    return triples, req, flat, outer, inner
+
+
+@given(graph_and_two_sided_optional())
+@settings(max_examples=20, deadline=None)
+def test_two_sided_optional_agrees_with_naive(spark, case):
+    from rdfa_streaming_parser_js_spark.operators.bgp import GroupSpec
+    triples, req, flat, outer, inner = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    spec = GroupSpec(patterns=outer,
+                     optionals=[GroupSpec(patterns=inner)])
+    got_rows = bgp_match(df, req,
+                         optionals=[(flat, None), spec]).collect()
+    want = _left_join(
+        _left_join(naive_bgp(triples, req), naive_bgp(triples, flat)),
+        _left_join(naive_bgp(triples, outer), naive_bgp(triples, inner)))
+    all_vars = ["a", "b", "c", "x"]
+    got = Counter(tuple(getattr(r, v) for v in all_vars)
+                  for r in got_rows)
+    expect = Counter(tuple(sol.get(v) for v in all_vars) for sol in want)
+    assert got == expect, (req, flat, outer, inner)
+
+
+@given(graph_and_two_sided_optional())
+@settings(max_examples=15, deadline=None)
+def test_two_sided_minus_agrees_with_naive(spark, case):
+    from rdfa_streaming_parser_js_spark.operators.bgp import GroupSpec
+    triples, req, flat, outer, inner = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    spec = GroupSpec(patterns=outer,
+                     optionals=[GroupSpec(patterns=inner)])
+    got_rows = bgp_match(df, req, optionals=[(flat, None)],
+                         minus=[spec]).collect()
+    want = _naive_minus(
+        _left_join(naive_bgp(triples, req), naive_bgp(triples, flat)),
+        _left_join(naive_bgp(triples, outer), naive_bgp(triples, inner)))
+    got = Counter((r.a, r.b, r.x) for r in got_rows)
+    expect = Counter((sol["a"], sol["b"], sol.get("x"))
+                     for sol in want)
+    assert got == expect, (req, flat, outer, inner)

@@ -990,18 +990,50 @@ def test_minus_maybe_unbound_shared_var_domain_overlap(spark):
     assert [(r.d, r.a) for r in rows] == [("d2", "a2")]
 
 
-def test_two_sided_uncertainty_still_raises(spark):
-    # the ENCLOSING solution's shared variable is itself maybe-unbound
-    # (bound under an earlier OPTIONAL) — two-sided masks are not
-    # implemented, must raise rather than compute non-SPARQL answers
-    with pytest.raises(ValueError, match="maybe-unbound"):
-        sparql_query(_uncertain_kg(spark), PFX + """
-            SELECT * WHERE {
-                ?d a schema:Article .
-                OPTIONAL { ?d schema:author ?z }
-                OPTIONAL { ?d schema:name ?n .
-                           OPTIONAL { ?n schema:name ?z } }
-            }""").collect()
+def test_two_sided_uncertainty_exact_semantics(spark):
+    # ?z is maybe-unbound on BOTH sides: in the enclosing solution
+    # (bound under the first OPTIONAL) and in the second group (bound
+    # only under ITS nested OPTIONAL, which never matches here) — the
+    # mask-pair decomposition must still attach ?n everywhere, with
+    # ?z keeping the enclosing side's value
+    rows = sparql_query(_uncertain_kg(spark), PFX + """
+        SELECT ?d ?z ?n WHERE {
+            ?d a schema:Article .
+            OPTIONAL { ?d schema:author ?z }
+            OPTIONAL { ?d schema:name ?n .
+                       OPTIONAL { ?n schema:name ?z } }
+        } ORDER BY ?d""").collect()
+    assert [(r.d, r.z, r.n) for r in rows] == [
+        ("d1", "a1", "Alice"), ("d2", "a2", "Beta"),
+        ("d3", None, "Gamma"), ("d4", "a4", "Delta")]
+
+
+def test_two_sided_group_value_fills_unbound_sol_var(spark):
+    # the group binds ?z where the enclosing left it unbound: the
+    # merged solution takes the GROUP's value (d3 has no author, but
+    # its name-holder a3x does) — and where BOTH bind, they must agree
+    kg = spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"), ("d1", f"{S}author", "a1"),
+        ("d1", f"{S}about", "t1"), ("t1", f"{S}sameAs", "a1"),
+        ("d2", RDF_TYPE, f"{S}Article"), ("d2", f"{S}author", "a2"),
+        ("d2", f"{S}about", "t2"), ("t2", f"{S}sameAs", "aX"),
+        ("d3", RDF_TYPE, f"{S}Article"),
+        ("d3", f"{S}about", "t3"), ("t3", f"{S}sameAs", "a3x"),
+        ("d4", RDF_TYPE, f"{S}Article"),
+    ], COLS)
+    rows = sparql_query(kg, PFX + """
+        SELECT ?d ?z ?t WHERE {
+            ?d a schema:Article .
+            OPTIONAL { ?d schema:author ?z }
+            OPTIONAL { ?d schema:about ?t .
+                       OPTIONAL { ?t schema:sameAs ?z } }
+        } ORDER BY ?d""").collect()
+    assert [(r.d, r.z, r.t) for r in rows] == [
+        ("d1", "a1", "t1"),    # both bind, equal → merged
+        ("d2", "a2", None),    # group binds aX ≠ a2 → incompatible,
+                               # and no other group row for d2 → bare
+        ("d3", "a3x", "t3"),   # sol unbound → takes the group's value
+        ("d4", None, None)]    # nothing anywhere
 
 
 def test_nested_subselect_still_raises(spark):
