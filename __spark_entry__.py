@@ -836,6 +836,21 @@ def q_json_graph_nodes(spark, sf_dir):
     return json_graph_nodes(_triples(spark, sf_dir))
 
 
+def q_json_nodes_roundtrip(spark, sf_dir):
+    """JSON interchange pair: serialize the extracted graph to
+    canonical node documents (json_graph_nodes) and parse them back
+    with the from_json READER (parse_json_nodes) — the round trip must
+    reproduce the distinct triple set, so it shares the extraction
+    oracle.  Pure flatMap both ways (JVM-side JSON build + parse), one
+    shuffle for the per-subject grouping."""
+    from rdfa_streaming_parser_js_spark.functions.jsonld import (
+        json_graph_nodes, parse_json_nodes)
+    t = _triples(spark, sf_dir).select(
+        "subj", "subj_kind", "pred", "obj_value", "obj_kind",
+        "obj_datatype", "obj_lang").distinct()
+    return parse_json_nodes(json_graph_nodes(t))
+
+
 def q_ntriples_roundtrip(spark, sf_dir):
     """N-Triples interchange pair: serialize the extracted graph to
     canonical lines (codegen concat) and parse the lines back with the
@@ -1995,6 +2010,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green r03; kg_entity_table_multi in-window gates the same
         # pivot with the faithful multi-value mode)
         "kg_shape_induction": q_kg_shape_induction,  # new late-r04
+        "json_nodes_roundtrip": q_json_nodes_roundtrip,  # new late-r04
         # (oracle-checked by tools/check_oracles.py; the 50-entry gate
         # window was already full when it landed)
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,  # retired r04
@@ -3651,6 +3667,11 @@ def oracle_sql() -> dict[str, str]:
     from rdfa_streaming_parser_js_spark.functions.jsonld import (
         json_graph_nodes_sql as _json_nodes_sql)
     oracles["json_graph_nodes"] = _json_nodes_sql(expected_triples_sql())
+    # JSON serialize → parse must be the identity on the graph set
+    oracles["json_nodes_roundtrip"] = (
+        "SELECT DISTINCT subj, subj_kind, pred, obj_value, obj_kind,"
+        " obj_datatype, obj_lang"
+        f" FROM ({expected_triples_sql()})")
     # first-seen dedup: whatever the micro-batching, the survivors are
     # the ORIGINAL sightings — original warc_ts, original lang
     oracles["streaming_stateful_dedup"] = """
