@@ -836,6 +836,18 @@ def q_json_graph_nodes(spark, sf_dir):
     return json_graph_nodes(_triples(spark, sf_dir))
 
 
+def q_dedup_exact_spans(spark, sf_dir):
+    """Exact duplicate-SPAN detection over the documents table (the
+    Lee-et-al exact-substring dedup stage, stride-sampled windows):
+    any ≥48-token verbatim repeat contains an aligned 32-token window
+    pair, so windowed md5 hashing catches every long boilerplate
+    repeat in ONE map-side-combinable shuffle — the missing exact
+    complement to the n-gram-Jaccard / MinHash NEAR-dup family."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        duplicate_spans)
+    return duplicate_spans(_docs(spark, sf_dir))
+
+
 def q_json_nodes_roundtrip(spark, sf_dir):
     """JSON interchange pair: serialize the extracted graph to
     canonical node documents (json_graph_nodes) and parse them back
@@ -2011,6 +2023,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pivot with the faithful multi-value mode)
         "kg_shape_induction": q_kg_shape_induction,  # new late-r04
         "json_nodes_roundtrip": q_json_nodes_roundtrip,  # new late-r04
+        "dedup_exact_spans": q_dedup_exact_spans,  # new late-r04
         # (oracle-checked by tools/check_oracles.py; the 50-entry gate
         # window was already full when it landed)
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,  # retired r04
@@ -3667,6 +3680,9 @@ def oracle_sql() -> dict[str, str]:
     from rdfa_streaming_parser_js_spark.functions.jsonld import (
         json_graph_nodes_sql as _json_nodes_sql)
     oracles["json_graph_nodes"] = _json_nodes_sql(expected_triples_sql())
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        duplicate_spans_sql as _dup_spans_sql)
+    oracles["dedup_exact_spans"] = _dup_spans_sql()
     # JSON serialize → parse must be the identity on the graph set
     oracles["json_nodes_roundtrip"] = (
         "SELECT DISTINCT subj, subj_kind, pred, obj_value, obj_kind,"

@@ -345,3 +345,107 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
                     F.col("b.id").alias("id_b"),
                     F.round(dot, 5).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def duplicate_spans(docs: DataFrame, k: int = 8, guarantee: int = 16,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact duplicate-SPAN detection — the training-data
+    "deduplicating exact substrings" stage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — via
+    WINNOWING (Schleimer, Wilkerson & Aiken 2003, the MOSS
+    fingerprint): per document, hash every ``k``-token gram, then in
+    each window of ``w = guarantee − k + 1`` consecutive gram hashes
+    select the RIGHTMOST minimum as an anchor.  Anchor selection
+    depends only on local CONTENT, never on the offset within the
+    document, so two documents sharing any verbatim run of
+    ``≥ guarantee`` tokens are GUARANTEED to select at least one
+    identical anchored gram — the phase-independence a naive
+    stride-sampled windowing lacks (two copies of the same boilerplate
+    at different offsets never align stride grids).
+
+    Returns one row per anchored k-gram occurring in ≥ 2 documents:
+    ``(span_hash, span_text, n_docs, n_spans)``.
+
+    Scale shape: tokenize + gram-hash + winnow are pure codegen
+    (sequence / transform / slice / array_min — zero Python, zero
+    shuffle); ONE map-side-combinable shuffle on the md5 gram hash.
+    Boilerplate mega-grams (site chrome repeated across millions of
+    pages) are the classic skew key — at 100 TB cap the per-hash
+    count with a saturating partial aggregate or salt the hash."""
+    w = guarantee - k + 1
+    if w < 1:
+        raise ValueError("guarantee must be ≥ k")
+    toks = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
+    docs = docs.select(F.col(id_col).alias("id"), toks.alias("t"),
+                       hs.alias("hs"))
+    n_wins = F.greatest(F.size("hs") - F.lit(w - 1), F.lit(1))
+
+    def _rightmost_min(a):
+        win = F.slice(F.col("hs"), a, w)
+        # rightmost occurrence of the window minimum (the standard
+        # winnowing tie-break; ties are real — repeated tokens repeat
+        # gram hashes)
+        return (a + F.size(win)
+                - F.array_position(F.reverse(win), F.array_min(win))
+                ).cast("int")
+    anchors = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_wins), _rightmost_min))
+    exploded = (docs.select("id", "t", F.explode(anchors).alias("pos"))
+                .select("id",
+                        F.concat_ws(" ", F.slice(F.col("t"),
+                                                 F.col("pos"), k))
+                        .alias("span_text")))
+    return (exploded
+            .select("id", "span_text",
+                    F.md5(F.col("span_text")).alias("span_hash"))
+            .groupBy("span_hash")
+            .agg(F.min("span_text").alias("span_text"),
+                 F.countDistinct("id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_spans"))
+            .filter(F.col("n_docs") >= 2))
+
+
+def duplicate_spans_sql(k: int = 8, guarantee: int = 16,
+                        table: str = "documents") -> str:
+    """DuckDB mirror of :func:`duplicate_spans` — identical grams,
+    winnow windows, rightmost-min tie-break, md5, aggregates.
+    ``range()`` is exclusive-end (hence the ``+ 1``) where Spark's
+    ``sequence()`` is inclusive."""
+    w = guarantee - k + 1
+    return f"""
+        WITH ds_toks AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS t
+          FROM {table}),
+        ds_h AS (
+          SELECT id, t,
+                 list_transform(
+                   range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                   i -> md5(array_to_string(t[i:i + {k - 1}], ' ')))
+                 AS hs
+          FROM ds_toks),
+        ds_anchor AS (
+          SELECT id, t,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+                   a -> a + len(hs[a:a + {w - 1}])
+                        - list_position(
+                            list_reverse(hs[a:a + {w - 1}]),
+                            list_min(hs[a:a + {w - 1}]))))) AS pos
+          FROM ds_h),
+        ds_spans AS (
+          SELECT id,
+                 array_to_string(t[pos:pos + {k - 1}], ' ')
+                   AS span_text
+          FROM ds_anchor)
+        SELECT md5(span_text) AS span_hash,
+               min(span_text) AS span_text,
+               CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_spans
+        FROM ds_spans GROUP BY md5(span_text)
+        HAVING count(DISTINCT id) >= 2
+    """

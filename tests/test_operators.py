@@ -556,3 +556,45 @@ def test_parse_json_nodes_drops_malformed(spark):
     got = parse_json_nodes(df).collect()
     assert [(r.subj, r.pred, r.obj_value, r.obj_kind)
             for r in got] == [("s", "http://p", "o", "iri")]
+
+
+def test_duplicate_spans_winnowing_guarantee(spark):
+    """Winnowing is phase-INDEPENDENT: a verbatim repeat of ≥ the
+    guarantee length is caught even at different offsets in each
+    document (the case stride-grid sampling provably misses);
+    unrelated docs yield nothing."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        duplicate_spans)
+    boiler = " ".join(f"b{i}" for i in range(16))  # = guarantee
+    docs = spark.createDataFrame([
+        (1, "intro one two " + boiler + " tail x"),   # offset 3
+        (2, boiler + " completely different ending"),  # offset 0
+        (3, "nothing in common here at all with anything"),
+    ], "doc_id long, text string")
+    got = duplicate_spans(docs).collect()
+    assert got, "phase-shifted 16-token boilerplate must be detected"
+    assert all(r.n_docs == 2 for r in got)          # docs 1+2 only
+    assert all(r.span_text.split(" ")[0].startswith("b")
+               for r in got)
+    # short unrelated docs: no duplicates
+    none = duplicate_spans(spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )).collect()
+    assert none == []
+
+
+def test_duplicate_spans_tie_break_matches_duckdb(spark):
+    """Repeated tokens make EQUAL adjacent gram hashes — the
+    rightmost-min tie-break must agree between engines."""
+    import duckdb
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        duplicate_spans, duplicate_spans_sql)
+    rep = " ".join(["batch"] * 30)
+    docs = spark.createDataFrame(
+        [(1, "x " + rep), (2, rep + " y"), (3, rep)],
+        "doc_id long, text string")
+    got = {tuple(r) for r in duplicate_spans(docs).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = set(map(tuple, con.sql(duplicate_spans_sql()).fetchall()))
+    assert got == want and got
