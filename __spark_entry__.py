@@ -1983,8 +1983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "bm25_topk": q_bm25_topk,
         "corpus_curation": q_corpus_curation,
-        "streaming_extract": q_streaming_extract,
-        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "dedup_exact_spans": q_dedup_exact_spans,
+        "kg_shape_induction": q_kg_shape_induction,
         "kg_recrawl_merge": q_kg_recrawl_merge,
         "turtle_roundtrip": q_turtle_roundtrip,
         "kg_sparql_nested": q_kg_sparql_nested,
@@ -2021,11 +2021,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_table": q_kg_entity_table,  # retired late-r04
         # (green r03; kg_entity_table_multi in-window gates the same
         # pivot with the faithful multi-value mode)
-        "kg_shape_induction": q_kg_shape_induction,  # new late-r04
         "json_nodes_roundtrip": q_json_nodes_roundtrip,  # new late-r04
-        "dedup_exact_spans": q_dedup_exact_spans,  # new late-r04
-        # (oracle-checked by tools/check_oracles.py; the 50-entry gate
-        # window was already full when it landed)
+        # (never gated — the window stayed full; interchange identity
+        # is gated in-window by nquads/turtle/graph_table roundtrips)
+        "streaming_extract": q_streaming_extract,  # retired late-r04
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        # (both green r02+r03; streaming stays gated in-window by
+        # streaming_stateful_dedup + kg_maintenance_stream — retired
+        # late-r04 for dedup_exact_spans + kg_shape_induction)
         "kg_bgp_optional_filter": q_kg_bgp_optional_filter,  # retired r04
         # (green r03; subsumed by kg_sparql_nested's nested OPTIONALs)
         "kg_snapshot_delta": q_kg_snapshot_delta,  # retired r04 (r03)

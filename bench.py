@@ -141,7 +141,8 @@ def main() -> None:
         "kg_sparql_update", "kg_owl_entail", "kg_maintenance_stream",
         "kg_ifp_resolution", "turtle_sink", "turtle_roundtrip",
         "kg_term_constructors", "kg_sparql_nested",
-        "kg_graph_fingerprint",
+        "kg_graph_fingerprint", "dedup_exact_spans",
+        "kg_shape_induction",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)
