@@ -82,6 +82,19 @@ NOTES = {
         "multiplicities cannot change, probe sides are predicate-pruned "
         "slices, and AQE broadcasts whichever side is small at "
         "runtime."),
+    "dedup_exact_spans": (
+        "Winnowing is pure codegen over per-row arrays (gram md5s, "
+        "window minima, rightmost-min anchors — no shuffle, no "
+        "Python); the ONE Exchange is the map-side-combinable "
+        "groupBy on the anchored-gram hash.  Phase-independent by "
+        "construction, so no alignment join is ever needed."),
+    "kg_shape_induction": (
+        "Type slice ⋈ property slice on the subject key (instance-"
+        "sized equi-join, co-located on a subject-bucketed graph "
+        "table), then two keyed HashAggregates with map-side partials "
+        "— per-(class,path,focus) counts, then per-(class,path) "
+        "stats.  Output is ontology-sized; class sizes ride a "
+        "broadcast join."),
     "kg_graph_fingerprint": (
         "One WL chain over the tagged 3-variant union: per-round "
         "label refinement is 2 keyed HashAggregates (map-side "
