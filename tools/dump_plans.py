@@ -109,11 +109,13 @@ NOTES = {
         "Nested groups stay one join DAG: each nested OPTIONAL / UNION "
         "branch / MINUS body compiles bottom-up to its own "
         "predicate-pruned scan slice, then joins the enclosing "
-        "solution on the certainty-checked shared variable — "
-        "**SortMergeJoin LeftOuter** for the OPTIONALs, **LeftAnti** "
-        "for MINUS, a two-branch union feeding one left join for "
-        "OPTIONAL{UNION}. No cartesian products, no UDFs; AQE "
-        "broadcast-converts the small sides at runtime."),
+        "solution on the certainty-checked shared variables — "
+        "**SortMergeJoin LeftOuter** for certain-key OPTIONALs, "
+        "**LeftAnti** for MINUS, and for the maybe-unbound-?d2 group a "
+        "**Union of bound-mask partitions** (each an equi-join or "
+        "anti-join; the §18.3 compatibility decomposition). No "
+        "cartesian products, no UDFs; AQE broadcast-converts the "
+        "small sides at runtime."),
     "turtle_sink": (
         "Serialization is pure projection: the compiled "
         "prefix-compaction CASE chain and ECHAR escaping run inside "
