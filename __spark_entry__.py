@@ -2010,12 +2010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Operators retired from the driver's 50-entry gate window to make
-    room (each was driver-green in round 1 and/or 2 — see
-    CORRECTNESS_r01/r02.json — and each remains covered by the same
-    DuckDB oracle via tools/check_oracles.py plus pytest).  Retired
-    keys and their surviving in-window evidence are tabled in
-    SURVEY.md §2.4."""
+    """Queries outside the driver's 50-entry gate window: operators
+    RETIRED to make room (each was driver-green in one or more earlier
+    rounds — see CORRECTNESS_r0*.json — with retirement rationale and
+    surviving in-window evidence tabled in SURVEY.md §2.4), plus the
+    occasional late addition the full window couldn't absorb (marked
+    inline).  Every key remains covered by the same DuckDB oracle via
+    tools/check_oracles.py plus pytest."""
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
         "kg_entity_table": q_kg_entity_table,  # retired late-r04
