@@ -598,3 +598,41 @@ def test_duplicate_spans_tie_break_matches_duckdb(spark):
     con.register("documents", docs.toPandas())
     want = set(map(tuple, con.sql(duplicate_spans_sql()).fetchall()))
     assert got == want and got
+
+
+from hypothesis import given, settings  # noqa: E402 (fuzz section)
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _docs_with_planted_repeat(draw):
+    """Two random docs with a shared verbatim run of ≥ guarantee
+    tokens planted at INDEPENDENT offsets (the phase-shift case)."""
+    vocab = [f"w{i}" for i in range(12)]
+    shared = draw(st.lists(st.sampled_from(vocab), min_size=16,
+                           max_size=24))
+    pre1 = draw(st.lists(st.sampled_from(vocab), min_size=0,
+                         max_size=7))
+    pre2 = draw(st.lists(st.sampled_from(vocab), min_size=0,
+                         max_size=7))
+    suf1 = draw(st.lists(st.sampled_from(vocab), min_size=0,
+                         max_size=5))
+    suf2 = draw(st.lists(st.sampled_from(vocab), min_size=0,
+                         max_size=5))
+    return (" ".join(pre1 + shared + suf1),
+            " ".join(pre2 + shared + suf2))
+
+
+@given(_docs_with_planted_repeat())
+@settings(max_examples=12, deadline=None)
+def test_winnowing_guarantee_fuzz(spark, case):
+    """The MOSS guarantee, fuzzed: ANY ≥16-token verbatim repeat at
+    arbitrary independent offsets must share at least one anchored
+    gram (k=8, w=9 → guarantee 16)."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        duplicate_spans)
+    t1, t2 = case
+    docs = spark.createDataFrame([(1, t1), (2, t2)],
+                                 "doc_id long, text string")
+    got = duplicate_spans(docs).collect()
+    assert any(r.n_docs == 2 for r in got), (t1, t2)
