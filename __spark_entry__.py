@@ -836,6 +836,19 @@ def q_json_graph_nodes(spark, sf_dir):
     return json_graph_nodes(_triples(spark, sf_dir))
 
 
+def q_entity_link_fuzzy(spark, sf_dir):
+    """Typo/inflection-tolerant entity linking: tokens within one
+    Levenshtein edit of a canonical gazetteer name (plural/inflected
+    KB labels never exact-match their surface forms — the realistic
+    gap exact linking leaves).  Broadcast nested-loop against the
+    small gazetteer with a length-band prefilter, JVM-side
+    levenshtein; one per-doc aggregation shuffle."""
+    from rdfa_streaming_parser_js_spark.operators.entity_link import (
+        fuzzy_entity_dictionary, fuzzy_link_entities)
+    return fuzzy_link_entities(_docs(spark, sf_dir),
+                               fuzzy_entity_dictionary(spark))
+
+
 def q_dedup_exact_spans(spark, sf_dir):
     """Exact duplicate-SPAN detection over the documents table (the
     Lee-et-al exact-substring dedup stage, stride-sampled windows):
@@ -2025,6 +2038,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_nodes_roundtrip": q_json_nodes_roundtrip,  # new late-r04
         # (never gated — the window stayed full; interchange identity
         # is gated in-window by nquads/turtle/graph_table roundtrips)
+        "entity_link_fuzzy": q_entity_link_fuzzy,  # new late-r04
+        # (never gated — window full; the exact broadcast-dictionary
+        # family has r01-r03 driver greens via entity_link_top1)
         "streaming_extract": q_streaming_extract,  # retired late-r04
         "streaming_windowed_counts": q_streaming_windowed_counts,
         # (both green r02+r03; streaming stays gated in-window by
@@ -3687,6 +3703,9 @@ def oracle_sql() -> dict[str, str]:
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         duplicate_spans_sql as _dup_spans_sql)
     oracles["dedup_exact_spans"] = _dup_spans_sql()
+    from rdfa_streaming_parser_js_spark.operators.entity_link import (
+        fuzzy_link_sql as _fuzzy_link_sql)
+    oracles["entity_link_fuzzy"] = _fuzzy_link_sql()
     # JSON serialize → parse must be the identity on the graph set
     oracles["json_nodes_roundtrip"] = (
         "SELECT DISTINCT subj, subj_kind, pred, obj_value, obj_kind,"

@@ -92,3 +92,76 @@ def scored_entity_links(docs: DataFrame, dictionary: DataFrame,
                         6))
             .select("id", "entity_iri", "name", "n_mentions",
                     "doc_freq", "score"))
+
+
+# Canonical KB names whose SURFACE forms in text differ by small edits
+# (plural/inflected variants) — the fuzzy-linking demo gazetteer.
+FUZZY_ENTITY_NAMES = (
+    "tables", "sparks", "windows", "streams", "joins", "merged",
+    "filters", "scans",
+)
+
+
+def fuzzy_entity_dictionary(spark: SparkSession,
+                            names=FUZZY_ENTITY_NAMES) -> DataFrame:
+    return entity_dictionary(spark, names)
+
+
+def fuzzy_link_entities(docs: DataFrame, dictionary: DataFrame,
+                        max_edits: int = 1, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Typo/inflection-tolerant mention detection: tokens within
+    ``max_edits`` Levenshtein edits of a gazetteer name (surface forms
+    like plurals and truncations never exact-match the canonical KB
+    label — the realistic gap exact linking leaves).
+
+    Per (doc, entity): ``n_mentions``, ``min_edits`` (0 = an exact hit
+    exists), ``n_exact``.
+
+    Scale shape: the gazetteer is small and **broadcast**, so the
+    fuzzy match is a broadcast nested-loop join evaluated JVM-side
+    (codegen ``levenshtein``) — each token row scans ≤ |gazetteer|
+    names, never a shuffle of the big side; the length-band
+    pre-filter (|len(tok) − len(name)| ≤ max_edits, a lower bound on
+    edit distance) prunes most evaluations before the O(n·m) DP.  The
+    only Exchange is the per-doc aggregation, like exact linking."""
+    mentions = detect_mentions(docs, id_col, text_col)
+    cond = (
+        (F.abs(F.length(mentions.token) - F.length(dictionary.name))
+         <= max_edits)
+        & (F.levenshtein(mentions.token, dictionary.name) <= max_edits))
+    cand = (mentions.join(F.broadcast(dictionary), cond)
+            .select("id", "entity_iri", "name",
+                    F.levenshtein("token", "name").alias("dist")))
+    return (cand.groupBy("id", "entity_iri", "name")
+            .agg(F.count(F.lit(1)).alias("n_mentions"),
+                 F.min("dist").cast("long").alias("min_edits"),
+                 F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+                 .cast("long").alias("n_exact")))
+
+
+def fuzzy_link_sql(names=FUZZY_ENTITY_NAMES, max_edits: int = 1,
+                   table: str = "documents") -> str:
+    """DuckDB mirror of :func:`fuzzy_link_entities` (same length band,
+    same classic Levenshtein, same aggregates)."""
+    values = ", ".join(f"('{n}', '{KB_PREFIX}{n}')"
+                       for n in sorted(names))
+    return f"""
+        WITH fl_m AS (
+          SELECT doc_id AS id,
+                 unnest(string_split(text, ' ')) AS token
+          FROM {table}),
+        fl_d(name, entity_iri) AS (VALUES {values}),
+        fl_c AS (
+          SELECT id, entity_iri, name,
+                 levenshtein(token, name) AS dist
+          FROM fl_m, fl_d
+          WHERE abs(len(token) - len(name)) <= {max_edits}
+            AND levenshtein(token, name) <= {max_edits})
+        SELECT id, entity_iri, name,
+               CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(min(dist) AS BIGINT) AS min_edits,
+               CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact
+        FROM fl_c GROUP BY 1, 2, 3
+    """

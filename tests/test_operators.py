@@ -636,3 +636,38 @@ def test_winnowing_guarantee_fuzz(spark, case):
                                  "doc_id long, text string")
     got = duplicate_spans(docs).collect()
     assert any(r.n_docs == 2 for r in got), (t1, t2)
+
+
+def test_fuzzy_entity_link_against_python(spark):
+    """Fuzzy linking vs a nested-loop Python reference: classic
+    Levenshtein ≤ 1, per-(doc, entity) counts/min/exact."""
+    from rdfa_streaming_parser_js_spark.operators.entity_link import (
+        KB_PREFIX, entity_dictionary, fuzzy_link_entities)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    docs = spark.createDataFrame(
+        [(1, "tables tble table zzz"), (2, "sparks spark sprk")],
+        "doc_id long, text string")
+    names = ("tables", "sparks")
+    got = {(r.id, r.name): (r.n_mentions, r.min_edits, r.n_exact)
+           for r in fuzzy_link_entities(
+               docs, entity_dictionary(spark, names)).collect()}
+    expect = {}
+    for did, text in [(1, "tables tble table zzz"),
+                      (2, "sparks spark sprk")]:
+        for n in names:
+            hits = [lev(t, n) for t in text.split(" ")
+                    if abs(len(t) - len(n)) <= 1 and lev(t, n) <= 1]
+            if hits:
+                expect[(did, n)] = (len(hits), min(hits),
+                                    sum(1 for h in hits if h == 0))
+    assert got == expect and (1, "tables") in got
