@@ -22,7 +22,11 @@ import __spark_entry__ as entrymod
 # families where integer/decimal type widening differs across engines
 QUERIES = ["sessionize_events", "windowed_event_counts",
            "percentiles_by_event_type", "agg_events_by_type",
-           "text_quality"]
+           "text_quality",
+           # late-r04 documents-only additions: winnowed span dedup
+           # (may legitimately return zero rows on tiny corpora —
+           # schema identity still checks) and fuzzy entity linking
+           "dedup_exact_spans", "entity_link_fuzzy"]
 
 # engine type -> shared canonical tag; anything unmapped fails loudly
 _SPARK_CANON = {"bigint": "i64", "int": "i32", "smallint": "i16",
