@@ -405,24 +405,89 @@ def _join_values(solution: DataFrame,
     expensive group, materialize the triples input first (the gated
     queries read the checkpointed extraction cut, so a re-reference is
     a cheap cached scan).
+
+    A :class:`Lit` value (tagged/typed literal) constrains the
+    variable as an RDF TERM — lexical form AND kind/language/datatype
+    via the variable's metadata companion columns (the variable must
+    be bound with ``meta_vars`` and may not be VALUES-extended; the
+    SPARQL front-end arranges both).  The companion comparisons ride
+    in the same broadcast join as extra null-safe equi-keys.
     """
     spark = solution.sparkSession
     all_vars = sorted({v for r in rows for v in r})
+    sol_cols = set(solution.columns)
     by_mask: dict[tuple, list] = {}
     for r in rows:
-        mask = tuple(sorted(k for k, v in r.items() if v is not None))
-        by_mask.setdefault(mask, []).append(r)
+        key = tuple(sorted((k, isinstance(r[k], Lit))
+                           for k in r if r[k] is not None))
+        by_mask.setdefault(key, []).append(r)
     out: DataFrame | None = None
-    for mask, rws in by_mask.items():
+    for key, rws in by_mask.items():
+        mask = [k for k, _ in key]
+        lit_vars = [k for k, is_lit in key if is_lit]
+        for v in lit_vars:
+            if v not in sol_cols:
+                raise ValueError(
+                    f"tagged/typed literal for ?{v} in VALUES, but the "
+                    "group does not bind it — term-exact VALUES can "
+                    "only CONSTRAIN a bound variable (extend with the "
+                    "bare lexical form and FILTER instead)")
+            if f"{v}__kind" not in sol_cols:
+                raise ValueError(
+                    f"tagged/typed literal for ?{v} in VALUES needs "
+                    f"its term-metadata companions — pass "
+                    f"meta_vars={{{v!r}}} to bgp_match")
         # the trailing literal keeps an all-UNDEF mask a valid 1-column
-        # frame (pure multiplicity row, joins everything)
-        schema = ", ".join([f"`{v}` string" for v in mask]
-                           + ["`_undef` int"])
-        data = spark.createDataFrame(
-            [tuple(r[v] for v in mask) + (1,) for r in rws], schema)
-        shared = [v for v in mask if v in solution.columns]
-        part = (solution.join(F.broadcast(data), on=shared, how="inner")
-                if shared else solution.crossJoin(F.broadcast(data)))
+        # frame (pure multiplicity row, joins everything); Lit columns
+        # carry their normalized tag/datatype as companion keys
+        fields, datarows = [], []
+        for v in mask:
+            fields.append(f"`{v}` string")
+            if v in lit_vars:
+                fields += [f"`__{v}_lang` string", f"`__{v}_dt` string"]
+        for r in rws:
+            row = []
+            for v in mask:
+                x = r[v]
+                if isinstance(x, Lit):
+                    row += [x.lex,
+                            x.lang.lower() if x.lang else None,
+                            None if x.datatype in (None, _XSD_STRING)
+                            else x.datatype]
+                else:
+                    row.append(x)
+            datarows.append(tuple(row) + (1,))
+        schema = ", ".join(fields + ["`_undef` int"])
+        data = F.broadcast(spark.createDataFrame(datarows, schema))
+        shared = [v for v in mask if v in sol_cols
+                  and v not in lit_vars]
+        if lit_vars:
+            d = data.alias("_vdata")
+            s = solution.alias("_vsol")
+            cond = F.lit(True)
+            for v in shared:
+                cond &= F.col(f"_vsol.{v}") == F.col(f"_vdata.{v}")
+            for v in lit_vars:
+                dlang = F.col(f"_vdata.__{v}_lang")
+                cond &= (
+                    (F.col(f"_vsol.{v}") == F.col(f"_vdata.{v}"))
+                    & (F.col(f"_vsol.{v}__kind") == "literal")
+                    & F.lower(F.col(f"_vsol.{v}__lang"))
+                    .eqNullSafe(dlang)
+                    & (dlang.isNotNull()
+                       | (F.coalesce(F.col(f"_vsol.{v}__dt"),
+                                     F.lit(_XSD_STRING))
+                          == F.coalesce(F.col(f"_vdata.__{v}_dt"),
+                                        F.lit(_XSD_STRING)))))
+            part = s.join(d, on=cond, how="inner")
+            dropped = (list(mask)
+                       + [c for v in lit_vars
+                          for c in (f"__{v}_lang", f"__{v}_dt")])
+            part = part.drop(*[d[c] for c in set(dropped)
+                               if c in data.columns])
+        else:
+            part = (solution.join(data, on=shared, how="inner")
+                    if shared else solution.crossJoin(data))
         part = part.drop("_undef")
         for v in all_vars:
             if v not in part.columns:
@@ -964,18 +1029,31 @@ def bgp_construct(solutions: DataFrame, template: list[Pattern],
             return F.lit(dt if suffix == "__dt" else lang).cast("string")
         return F.lit(None).cast("string")
 
+    # QUAD templates: a 4-tuple pattern ``(s, p, o, g)`` targets a named
+    # graph (variable or IRI); when any pattern carries one, EVERY
+    # output row gets a ``graph`` column (3-tuples emit NULL = the
+    # default graph), so the result unions cleanly into a quads table.
+    has_graph = any(len(pat) == 4 for pat in template)
     out: DataFrame | None = None
-    for s, p, o in template:
+    for pat in template:
+        s, p, o = pat[0], pat[1], pat[2]
         sv, pv, ov = term(s), term(p), term(o)
         part = (solutions
-                .filter(sv.isNotNull() & pv.isNotNull() & ov.isNotNull())
-                .select(sv.alias("subj"),
-                        kind(s, sv).alias("subj_kind"),
-                        pv.alias("pred"),
-                        ov.alias("obj_value"),
-                        kind(o, ov).alias("obj_kind"),
-                        obj_meta(o, "__dt").alias("obj_datatype"),
-                        obj_meta(o, "__lang").alias("obj_lang")))
+                .filter(sv.isNotNull() & pv.isNotNull() & ov.isNotNull()))
+        sel = [sv.alias("subj"),
+               kind(s, sv).alias("subj_kind"),
+               pv.alias("pred"),
+               ov.alias("obj_value"),
+               kind(o, ov).alias("obj_kind"),
+               obj_meta(o, "__dt").alias("obj_datatype"),
+               obj_meta(o, "__lang").alias("obj_lang")]
+        if has_graph:
+            g = pat[3] if len(pat) == 4 else None
+            gv = (F.lit(None).cast("string") if g is None else term(g))
+            if g is not None and _is_var(g):
+                part = part.filter(gv.isNotNull())
+            sel.append(gv.alias("graph"))
+        part = part.select(*sel)
         out = part if out is None else out.unionByName(part)
     return out
 

@@ -107,6 +107,24 @@ def fuzzy_entity_dictionary(spark: SparkSession,
     return entity_dictionary(spark, names)
 
 
+def _del1_keys_expr(col: str) -> str:
+    """Deletion-1 neighborhood of a string column as a SQL array
+    expression: the string itself plus every single-character deletion
+    (FastSS / SymSpell blocking keys).  Two strings with Levenshtein
+    distance ≤ 1 ALWAYS share at least one such key (equal → identity
+    key; substitution at i → both i-deletions equal; insert/delete →
+    one side's deletion equals the other's identity), so an equi-join
+    on the key is a complete candidate generator; sharing a key does
+    NOT bound the distance ("ab"/"ba" share "a"), so the Levenshtein
+    post-filter stays.  ``array_union`` dedups repeated keys (deleting
+    either of two equal adjacent chars yields the same string)."""
+    return (f"case when length({col}) = 0 then array({col}) else "
+            f"array_union(array({col}), "
+            f"transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i-1), "
+            f"substring({col}, i+1)))) end")
+
+
 def fuzzy_link_entities(docs: DataFrame, dictionary: DataFrame,
                         max_edits: int = 1, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
@@ -118,21 +136,51 @@ def fuzzy_link_entities(docs: DataFrame, dictionary: DataFrame,
     Per (doc, entity): ``n_mentions``, ``min_edits`` (0 = an exact hit
     exists), ``n_exact``.
 
-    Scale shape: the gazetteer is small and **broadcast**, so the
-    fuzzy match is a broadcast nested-loop join evaluated JVM-side
-    (codegen ``levenshtein``) — each token row scans ≤ |gazetteer|
-    names, never a shuffle of the big side; the length-band
-    pre-filter (|len(tok) − len(name)| ≤ max_edits, a lower bound on
-    edit distance) prunes most evaluations before the O(n·m) DP.  The
-    only Exchange is the per-doc aggregation, like exact linking."""
-    mentions = detect_mentions(docs, id_col, text_col)
-    cond = (
-        (F.abs(F.length(mentions.token) - F.length(dictionary.name))
-         <= max_edits)
-        & (F.levenshtein(mentions.token, dictionary.name) <= max_edits))
-    cand = (mentions.join(F.broadcast(dictionary), cond)
-            .select("id", "entity_iri", "name",
-                    F.levenshtein("token", "name").alias("dist")))
+    Scale shape (``max_edits=1``, the default): deletion-neighborhood
+    BLOCKING — both sides explode into their deletion-1 key sets
+    (:func:`_del1_keys_expr`; a map-only ≈(len+1)× row expansion, the
+    same shape as LSH shingling) and candidates come from a plain
+    **equi-join** on the key, so Levenshtein runs only on blocked
+    pairs: O(matches), never O(tokens × gazetteer).  The big side
+    still never shuffles — the exploded gazetteer keys broadcast (a
+    10^6-entry gazetteer is ~10^7 short keys; beyond broadcast reach,
+    drop the hint and let AQE pick a shuffle join of the SMALL key
+    table — the equi-join stays an equi-join either way, which is the
+    point).  A key-sharing pair can match on several keys, so matched
+    candidates dedup per occurrence before counting — one Exchange
+    over MATCHES only, then the per-doc aggregation as in exact
+    linking.
+
+    ``max_edits > 1`` falls back to the broadcast nested-loop join
+    with the length-band prefilter (|Δlen| ≤ k lower-bounds the edit
+    distance): correct at any k, but O(tokens × gazetteer) predicate
+    work — fine for small gazetteers only."""
+    if max_edits == 1:
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), " "))
+            .alias("pos", "token"))
+        tkeys = toks.select(
+            "id", "pos", "token",
+            F.explode(F.expr(_del1_keys_expr("token"))).alias("bkey"))
+        gkeys = dictionary.select(
+            "name", "entity_iri",
+            F.explode(F.expr(_del1_keys_expr("name"))).alias("bkey"))
+        cand = (tkeys.join(F.broadcast(gkeys), "bkey")
+                .select("id", "pos", "token", "name", "entity_iri")
+                .distinct()
+                .withColumn("dist", F.levenshtein("token", "name"))
+                .filter(F.col("dist") <= max_edits))
+    else:
+        mentions = detect_mentions(docs, id_col, text_col)
+        cond = (
+            (F.abs(F.length(mentions.token)
+                   - F.length(dictionary.name)) <= max_edits)
+            & (F.levenshtein(mentions.token, dictionary.name)
+               <= max_edits))
+        cand = (mentions.join(F.broadcast(dictionary), cond)
+                .select("id", "entity_iri", "name",
+                        F.levenshtein("token", "name").alias("dist")))
     return (cand.groupBy("id", "entity_iri", "name")
             .agg(F.count(F.lit(1)).alias("n_mentions"),
                  F.min("dist").cast("long").alias("min_edits"),

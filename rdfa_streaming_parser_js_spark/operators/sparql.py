@@ -60,8 +60,12 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   contained pattern — a constant graph is a pushed scan filter, a
   shared ``?g`` an equi-join.  Patterns outside GRAPH match across all
   graphs (union default graph) with the table's own multiplicity.
-  GRAPH blocks hold triple patterns, property paths, and plain
-  FILTERs; a path under a VARIABLE graph evaluates once over
+  GRAPH blocks hold triple patterns, property paths, plain FILTERs,
+  and NESTED GRAPH blocks (§13.3 — the inner block re-scopes its own
+  patterns to its graph term; deviation: an outer GRAPH variable left
+  with NOTHING to scope — every contained pattern re-scoped by a
+  nested block — binds nothing, where the algebra would still range
+  it over every graph name).  A path under a VARIABLE graph evaluates once over
   graph-prefixed node ids (paths cannot cross graphs, so the prefix
   partitions the closure per graph) and binds the variable from the
   prefix.
@@ -71,10 +75,15 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
 
 - SPARQL 1.1 Update, one operation per call (:func:`sparql_update` —
   returns the NEW graph, nothing mutates): ``INSERT DATA`` / ``DELETE
-  DATA`` (ground triples; the one place typed/tagged literal constants
-  are accepted), ``DELETE WHERE``, and ``DELETE {} INSERT {} WHERE {}``
-  — compiled onto :mod:`operators.update` (lexical-identity deletes,
-  metadata-preserving inserts, set-semantics result); plus the §3.2
+  DATA`` (ground triples; typed/tagged literal constants accepted),
+  ``DELETE WHERE``, and ``DELETE {} INSERT {} WHERE {}`` — compiled
+  onto :mod:`operators.update` (lexical-identity deletes,
+  metadata-preserving inserts, set-semantics result).  All four forms
+  are QUADS-aware: ``GRAPH <g> { ... }`` wrappers in DATA blocks
+  (§3.1.1 QuadData, ground graph IRIs only) and ``GRAPH ?g/<iri>
+  { ... }`` wrappers in DELETE/INSERT templates (§3.1.3 QuadPattern)
+  scope their triples to a named graph over a quads table — bare
+  triples target the default graph (NULL); plus the §3.2
   graph-management operations over a QUADS table — ``CLEAR`` / ``DROP``
   (``GRAPH <g>`` / ``DEFAULT`` / ``NAMED`` / ``ALL``), ``ADD`` /
   ``MOVE`` / ``COPY`` (``TO``-pairs of graph-or-DEFAULT), and
@@ -106,7 +115,10 @@ Documented deviations (each raises or is noted, never silent):
 - Plain STRING constants in patterns match the LEXICAL value (the
   engine-wide identity documented on bgp_match) — only tagged/typed
   constants get strict term equality.  Tagged/typed literals in
-  VALUES raise (VALUES joins on lexical solution columns).
+  VALUES are term-exact too (they join on the variable's metadata
+  companion columns) and can only CONSTRAIN a variable the group
+  binds — a Lit entry for an unbound variable raises (extend with
+  the bare lexical form instead).
 - Term constructors are only valid as the entire BIND expression;
   STRDT's datatype and STRLANG's tag must be constants; ``BNODE()``
   raises (fresh per-solution labels are non-deterministic under
@@ -506,6 +518,14 @@ class _Parser:
             return iri
         if t.kind == "NAME" and t.text == "a":
             return RDF_TYPE
+        if t.kind == "NAME" and t.text.lower() in ("true", "false"):
+            # boolean RDF term literal (§19.8 BooleanLiteral); matching
+            # is lexical, and in a template the marking map stamps the
+            # xsd:boolean datatype on instantiation
+            lex = t.text.lower()
+            if self.in_template:
+                self.template_literals[lex] = (f"{_XSD}boolean", None)
+            return lex
         if t.kind == "BNODE":
             return t.text
         if t.kind == "NUMBER":
@@ -694,13 +714,16 @@ class _Parser:
                         "groups at the DataFrame level")
                 if not sub.patterns:
                     self.fail("GRAPH block contains no triple pattern")
-                if any(len(pat) > 3 for pat in sub.patterns):
-                    self.fail("nested GRAPH blocks are not supported")
                 # stamp the graph term onto each contained pattern; the
                 # compiler treats it as a 4th match position (a FILTER
                 # inside GRAPH scopes to the enclosing group, per
-                # SPARQL's group-level filter semantics)
-                g.patterns.extend(pat + (gterm,) for pat in sub.patterns)
+                # SPARQL's group-level filter semantics).  A NESTED
+                # GRAPH block re-scopes its own patterns (§13.3: the
+                # inner block changes the active graph), so patterns
+                # already carrying a graph term pass through unstamped.
+                g.patterns.extend(pat if len(pat) == 4
+                                  else pat + (gterm,)
+                                  for pat in sub.patterns)
                 g.filters.extend(sub.filters)
             elif self.take_kw("bind"):
                 self.expect_op("(")
@@ -761,15 +784,15 @@ class _Parser:
                 return
 
     def _parse_values(self) -> list[dict]:
-        def value():
+        def value(var):
             if self.take_kw("undef"):
                 return None
             v = self.parse_term()
             if isinstance(v, Lit):
-                raise SparqlSyntaxError(
-                    "tagged/typed literals in VALUES are not supported "
-                    "— VALUES joins on the lexical solution columns; "
-                    "FILTER on the companion metadata columns instead")
+                # term-exact VALUES entry: the variable joins on its
+                # metadata companion columns too (bgp._join_values);
+                # mark it so the compiler binds them
+                self.meta_vars.add(var)
             return v
 
         if self.peek().kind == "VAR":  # VALUES ?v { v1 v2 }
@@ -777,7 +800,7 @@ class _Parser:
             self.expect_op("{")
             rows = []
             while not self.at_op("}"):
-                rows.append({var: value()})
+                rows.append({var: value(var)})
             self.expect_op("}")
             return rows
         self.expect_op("(")
@@ -788,7 +811,7 @@ class _Parser:
         self.expect_op("{")
         rows = []
         while self.take_op("("):
-            vals = [value() for _ in names]
+            vals = [value(n) for n in names]
             self.expect_op(")")
             rows.append(dict(zip(names, vals)))
         self.expect_op("}")
@@ -1182,12 +1205,57 @@ def _parse_data_term(p: _Parser, position: str):
     p.fail("expected a ground RDF term")
 
 
+def _parse_data_triples(p: _Parser, out: list, graph: "str | None"):
+    """The triple list of one DATA block scope (top level or inside a
+    ``GRAPH <g> { ... }`` wrapper); appends ``(s, p, obj)`` rows, or
+    ``(s, p, obj, graph)`` quads when a graph IRI scopes them."""
+    while not p.at_op("}"):
+        s = _parse_data_term(p, "subj")[0]
+        while True:
+            pr = _parse_data_term(p, "pred")[0]
+            row = (s, pr, _parse_data_term(p, "obj"))
+            out.append(row + (graph,) if graph else row)
+            while p.take_op(","):
+                row = (s, pr, _parse_data_term(p, "obj"))
+                out.append(row + (graph,) if graph else row)
+            if not p.take_op(";"):
+                break
+            if p.at_op(".", "}"):
+                break
+        p.take_op(".")
+
+
 def _parse_data_block(p: _Parser) -> list:
     """``{ ground triples }`` → ``[(s, p, (ov, okind, odt, olang))]``
-    rows for operators.update.insert_data/delete_data."""
+    rows for operators.update.insert_data/delete_data.  ``GRAPH <g>
+    { ... }`` wrappers (§3.1.1 QuadData) emit 4-tuples with the graph
+    IRI — the executing table must then be a quads table."""
     p.expect_op("{")
     out = []
     while not p.at_op("}"):
+        if p.at_kw("graph"):
+            p.next()
+            t = p.peek()
+            if t.kind not in ("IRIREF", "PNAME", "COLON"):
+                p.fail("expected a graph IRI after GRAPH (DATA blocks "
+                       "are ground — no graph variables)")
+            g = p.expand_iri(p.next())
+            p.expect_op("{")
+            _parse_data_triples(p, out, g)
+            p.expect_op("}")
+        else:
+            _parse_data_triples_top(p, out)
+    p.expect_op("}")
+    if not out:
+        p.fail("empty DATA block")
+    return out
+
+
+def _parse_data_triples_top(p: _Parser, out: list) -> None:
+    """One top-level (default-graph) triple group of a DATA block:
+    parse subject..object runs until a GRAPH keyword or the closing
+    brace takes over."""
+    while not p.at_op("}") and not p.at_kw("graph"):
         s = _parse_data_term(p, "subj")[0]
         while True:
             pr = _parse_data_term(p, "pred")[0]
@@ -1199,28 +1267,49 @@ def _parse_data_block(p: _Parser) -> list:
             if p.at_op(".", "}"):
                 break
         p.take_op(".")
-    p.expect_op("}")
-    if not out:
-        p.fail("empty DATA block")
-    return out
 
 
 def _parse_template(p: _Parser) -> list:
     """``{ triples }`` template for DELETE/INSERT: plain patterns only
-    (variables allowed anywhere incl. the predicate; property paths and
-    GRAPH raise, as in CONSTRUCT templates)."""
+    (variables allowed anywhere incl. the predicate; property paths
+    raise, as in CONSTRUCT templates).  ``GRAPH ?g/<iri> { triples }``
+    wrappers (§3.1.3 QuadPattern) emit 4-tuple patterns targeting that
+    named graph — the executing table must then be a quads table; bare
+    triples target the default graph."""
     tmpl = Group()
     p.expect_op("{")
     p.in_template = True
     try:
         while not p.at_op("}"):
-            p._parse_triples_block(tmpl)
-            p.take_op(".")
+            if p.at_kw("graph"):
+                p.next()
+                t = p.peek()
+                if t.kind == "VAR":
+                    gterm = p.next().text
+                elif t.kind in ("IRIREF", "PNAME", "COLON"):
+                    gterm = p.expand_iri(p.next())
+                else:
+                    p.fail("expected a variable or IRI after GRAPH")
+                sub = Group()
+                p.expect_op("{")
+                while not p.at_op("}"):
+                    p._parse_triples_block(sub)
+                    p.take_op(".")
+                p.expect_op("}")
+                if not sub.patterns:
+                    p.fail("GRAPH template block contains no triple "
+                           "pattern")
+                tmpl.patterns.extend(pat + (gterm,)
+                                     for pat in sub.patterns)
+                p.take_op(".")
+            else:
+                p._parse_triples_block(tmpl)
+                p.take_op(".")
     finally:
         p.in_template = False
     p.expect_op("}")
-    for _, pr, _o in tmpl.patterns:
-        if not isinstance(pr, str):
+    for pat in tmpl.patterns:
+        if not isinstance(pat[1], str):
             raise SparqlSyntaxError(
                 "property paths are not allowed in an update template")
     if not tmpl.patterns:

@@ -83,6 +83,18 @@ def apply_update(graph: DataFrame,
         raise ValueError(
             f"graph is missing term columns {missing} — updates need "
             "the full term schema to rebuild the graph")
+    # QUADS mode: templates may scope triples to named graphs with
+    # 4-tuple patterns (the text front-end's ``GRAPH <g> { ... }`` /
+    # ``GRAPH ?g { ... }`` template blocks).  Requires a quads table;
+    # bare 3-tuple template patterns then target the default graph
+    # (NULL).  DELETE keys on (lexical triple, graph) with null-safe
+    # graph equality; the result keeps the ``graph`` column.
+    quads = "graph" in graph.columns
+    if not quads and any(len(pat) == 4 for pat in
+                         (list(delete or ()) + list(insert or ()))):
+        raise ValueError(
+            "GRAPH in an update template needs a QUADS table "
+            "(nullable 'graph' column; NULL = default graph)")
     if where is None:
         if delete is None:
             raise ValueError(
@@ -101,60 +113,107 @@ def apply_update(graph: DataFrame,
     solutions = bgp_match(graph, where, filters=filters,
                           meta_vars=meta, **bgp_kwargs)
     # the result is the 7-column term table (extra input columns like a
-    # provenance url would survive dropDuplicates nondeterministically)
-    out = graph.select(*TERM_COLS)
+    # provenance url would survive dropDuplicates nondeterministically);
+    # in quads mode the graph column is the 8th — a bare 3-tuple
+    # template targets the DEFAULT graph (NULL), per SPARQL Update's
+    # no-WITH reading; GRAPH blocks target named graphs explicitly.
+    out_cols = list(TERM_COLS) + (["graph"] if quads else [])
+    out = graph.select(*out_cols)
     if delete:
-        doomed = (bgp_construct(solutions, delete)
-                  .select(*_LEX_KEY).dropDuplicates())
-        out = out.join(doomed, on=list(_LEX_KEY), how="left_anti")
+        doomed = bgp_construct(solutions, delete)
+        if quads:
+            if "graph" not in doomed.columns:
+                doomed = doomed.withColumn(
+                    "graph", F.lit(None).cast("string"))
+            doomed = (doomed.select(*_LEX_KEY, "graph")
+                      .dropDuplicates().alias("_doomed"))
+            cur = out.alias("_cur")
+            cond = F.col("_cur.graph").eqNullSafe(F.col("_doomed.graph"))
+            for c in _LEX_KEY:
+                cond = cond & (F.col(f"_cur.{c}") == F.col(f"_doomed.{c}"))
+            out = cur.join(doomed, on=cond, how="left_anti")
+        else:
+            doomed = doomed.select(*_LEX_KEY).dropDuplicates()
+            out = out.join(doomed, on=list(_LEX_KEY), how="left_anti")
     if insert:
         added = bgp_construct(solutions, insert, use_meta=True,
                               literal_consts=literal_consts)
-        out = out.unionByName(added.select(*TERM_COLS))
-    return out.dropDuplicates(list(TERM_COLS))
+        if quads and "graph" not in added.columns:
+            added = added.withColumn("graph", F.lit(None).cast("string"))
+        out = out.unionByName(added.select(*out_cols))
+    return out.dropDuplicates(out_cols)
 
 
-def _ground_rows(spark, triples):
+def _ground_rows(spark, triples, quads: bool = False):
     """Ground triples → a term-schema DataFrame.  The object is either
     a bare string (kind by shape: ``_:`` prefix = bnode, a ``:``
     anywhere = IRI, else plain literal) or an explicit term tuple
     ``(value, kind[, datatype[, lang]])``.  Subjects: ``_:`` = bnode,
-    else IRI."""
+    else IRI.  With ``quads=True`` each entry may carry a 4th element —
+    the graph IRI, or ``None`` for the default graph — and the result
+    has a ``graph`` column."""
     rows = []
-    for s, p, o in triples:
+    for t in triples:
+        s, p, o = t[0], t[1], t[2]
+        g = t[3] if len(t) > 3 else None
         if isinstance(o, tuple):
             ov, okind, odt, olang = (tuple(o) + (None, None))[:4]
         else:
             ov, odt, olang = o, None, None
             okind = ("bnode" if o.startswith("_:")
                      else "iri" if ":" in o else "literal")
-        rows.append((s, "bnode" if s.startswith("_:") else "iri",
-                     p, ov, okind, odt, olang))
-    return spark.createDataFrame(
-        rows, "subj string, subj_kind string, pred string, "
+        row = (s, "bnode" if s.startswith("_:") else "iri",
+               p, ov, okind, odt, olang)
+        rows.append(row + (g,) if quads else row)
+    schema = ("subj string, subj_kind string, pred string, "
               "obj_value string, obj_kind string, obj_datatype string, "
               "obj_lang string")
+    if quads:
+        schema += ", graph string"
+    return spark.createDataFrame(rows, schema)
+
+
+def _data_quads(graph: DataFrame, triples) -> bool:
+    """True when a ground DATA block targets named graphs (any 4-tuple
+    entry).  Requires a quads table; a triples-only table with quad
+    data raises early with the standard quads message."""
+    has_g = any(len(t) > 3 and t[3] is not None for t in triples)
+    if has_g:
+        _require_quads(graph)
+    return "graph" in graph.columns
 
 
 def insert_data(graph: DataFrame, triples) -> DataFrame:
     """``INSERT DATA`` (§3.1.1): add ground triples to the graph.  See
-    :func:`_ground_rows` for the accepted object forms."""
+    :func:`_ground_rows` for the accepted object forms; entries with a
+    4th (graph) element insert into that named graph — the table must
+    then be a quads table."""
     if not triples:
         raise ValueError("insert_data needs at least one triple")
-    added = _ground_rows(graph.sparkSession, triples)
-    return (graph.select(*TERM_COLS).unionByName(added)
-            .dropDuplicates(list(TERM_COLS)))
+    quads = _data_quads(graph, triples)
+    cols = list(TERM_COLS) + (["graph"] if quads else [])
+    added = _ground_rows(graph.sparkSession, triples, quads=quads)
+    return (graph.select(*cols).unionByName(added.select(*cols))
+            .dropDuplicates(cols))
 
 
 def delete_data(graph: DataFrame, triples) -> DataFrame:
     """``DELETE DATA`` (§3.1.2): remove ground triples by lexical
-    identity.  The tiny constant side broadcasts."""
+    identity (plus null-safe graph identity for 4-tuple entries over a
+    quads table).  The tiny constant side broadcasts."""
     if not triples:
         raise ValueError("delete_data needs at least one triple")
-    doomed = (_ground_rows(graph.sparkSession, triples)
-              .select(*_LEX_KEY))
-    return graph.join(F.broadcast(doomed), on=list(_LEX_KEY),
-                      how="left_anti")
+    quads = _data_quads(graph, triples)
+    doomed = _ground_rows(graph.sparkSession, triples, quads=quads)
+    if not quads:
+        return graph.join(F.broadcast(doomed.select(*_LEX_KEY)),
+                          on=list(_LEX_KEY), how="left_anti")
+    doomed = doomed.select(*_LEX_KEY, "graph").alias("_doomed")
+    cur = graph.alias("_cur")
+    cond = F.col("_cur.graph").eqNullSafe(F.col("_doomed.graph"))
+    for c in _LEX_KEY:
+        cond = cond & (F.col(f"_cur.{c}") == F.col(f"_doomed.{c}"))
+    return cur.join(F.broadcast(doomed), on=cond, how="left_anti")
 
 
 # --------------------------------------------------------------------

@@ -671,3 +671,70 @@ def test_fuzzy_entity_link_against_python(spark):
                 expect[(did, n)] = (len(hits), min(hits),
                                     sum(1 for h in hits if h == 0))
     assert got == expect and (1, "tables") in got
+
+
+@st.composite
+def _fuzzy_corpus(draw):
+    # tiny alphabet → dense edit-distance collisions; include empty
+    # tokens (split artifacts), duplicate/adjacent-equal chars (dup
+    # deletion keys), and names shorter/longer than tokens
+    word = st.text(alphabet="abc", min_size=0, max_size=5)
+    texts = draw(st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=4))
+    names = draw(st.lists(st.text(alphabet="abc", min_size=1,
+                                  max_size=5),
+                          min_size=1, max_size=4, unique=True))
+    return texts, names
+
+
+@given(_fuzzy_corpus())
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_link_blocking_equivalence_fuzz(spark, case):
+    """The deletion-neighborhood BLOCKED join (max_edits=1) must be
+    exactly equivalent to the unblocked O(tokens × gazetteer) nested
+    loop — the FastSS completeness guarantee, fuzzed over a collision-
+    dense alphabet with empty tokens and repeated characters."""
+    from rdfa_streaming_parser_js_spark.operators.entity_link import (
+        entity_dictionary, fuzzy_link_entities)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts, names = case
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r.id, r.name): (r.n_mentions, r.min_edits, r.n_exact)
+           for r in fuzzy_link_entities(
+               docs, entity_dictionary(spark, names)).collect()}
+    expect = {}
+    for did, text in enumerate(texts):
+        for n in names:
+            hits = [lev(t, n) for t in text.split(" ") if lev(t, n) <= 1]
+            if hits:
+                expect[(did, n)] = (len(hits), min(hits),
+                                    sum(1 for h in hits if h == 0))
+    assert got == expect
+
+
+def test_fuzzy_link_plan_is_equijoin_blocked(spark):
+    """Scale gate: the default fuzzy-link plan must generate candidates
+    with an EQUI-join on the deletion key (BroadcastHashJoin), not a
+    BroadcastNestedLoopJoin evaluating Levenshtein per (token, name)
+    pair — edit distance may only run AFTER blocking."""
+    from rdfa_streaming_parser_js_spark.operators.entity_link import (
+        entity_dictionary, fuzzy_link_entities)
+    docs = spark.createDataFrame([(1, "tables tble")],
+                                 "doc_id long, text string")
+    plan = fuzzy_link_entities(
+        docs, entity_dictionary(spark, ("tables",)))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

@@ -812,10 +812,15 @@ def test_exec_construct_group_by_rejected(spark):
             ?d schema:name ?c } GROUP BY ?d""")
 
 
-def test_parse_nested_graph_rejected():
-    with pytest.raises(SparqlSyntaxError, match="nested GRAPH"):
-        parse_sparql(PFX + """SELECT ?s WHERE {
-            GRAPH ?g { GRAPH ?h { ?s ?p ?o } } }""")
+def test_parse_nested_graph_variable_rescopes():
+    # §13.3: the inner GRAPH changes the active graph — its patterns
+    # carry the INNER term.  Degenerate outer block (nothing left to
+    # scope): the outer variable binds nothing — a documented
+    # deviation from the algebra's "?g still ranges over every graph
+    # name" multiplicity (sparql.py header)
+    q = parse_sparql(PFX + """SELECT ?s WHERE {
+        GRAPH ?g { GRAPH ?h { ?s ?p ?o } } }""")
+    assert q.where.patterns == [("?s", "?p", "?o", "?h")]
 
 
 def test_parse_non_integer_limit_rejected():
@@ -1094,3 +1099,106 @@ def test_construct_where_shorthand_rejects_rich_bodies(spark):
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
             parse_sparql(PFX + text)
+
+
+# --------------------------------------------------------------------
+# tagged/typed literal constants in VALUES (term-exact entries)
+# --------------------------------------------------------------------
+
+def test_values_language_tagged_literal(spark):
+    # "alpha"@en must match d1's en-tagged name but NOT an untagged or
+    # differently-tagged "alpha" (term equality, not lexical)
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?n WHERE {
+            ?x a schema:Article ; schema:name ?n .
+            VALUES ?n { "alpha"@en "gamma"@en }
+        }""")
+    assert {(r.x, r.n) for r in got.collect()} == {("d1", "alpha")}
+
+
+def test_values_typed_literal_and_mixed_rows(spark):
+    # typed entry constrains on datatype; a bare entry in another row
+    # of the same VALUES stays lexical; UNDEF keeps multiplicity
+    got = sparql_query(_kgm(spark), PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x ?v WHERE {
+            ?x schema:wordCount ?v .
+            VALUES ?v { "120"^^xsd:integer "999"^^xsd:integer }
+        }""")
+    assert {(r.x, r.v) for r in got.collect()} == {("d1", "120")}
+    got2 = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?n WHERE {
+            ?x schema:name ?n .
+            VALUES ?n { "gamma" "beta"@en-gb }
+        }""")
+    # "gamma" (bare) matches lexically; "beta"@en-GB tag-insensitively
+    assert {(r.x, r.n) for r in got2.collect()} == {
+        ("d3", "gamma"), ("d2", "beta")}
+
+
+def test_values_tagged_literal_simple_vs_string(spark):
+    # "gamma" with an explicit ^^xsd:string is the SAME term as the
+    # stored simple literal (RDF 1.1) and must NOT match d1's tagged
+    # "alpha"@en; the BARE "alpha" entry keeps the engine-wide lexical
+    # identity and does (documented bare-string convention)
+    got = sparql_query(_kgm(spark), PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x WHERE {
+            ?x schema:name ?n .
+            VALUES ?n { "gamma"^^xsd:string "alpha" }
+        }""")
+    assert sorted(r.x for r in got.collect()) == ["d1", "d3"]
+    got2 = sparql_query(_kgm(spark), PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x WHERE {
+            ?x schema:name ?n .
+            VALUES ?n { "alpha"^^xsd:string }
+        }""")
+    assert got2.count() == 0
+
+
+def test_values_tagged_literal_extension_rejected(spark):
+    # a Lit entry for a variable the group does NOT bind is a clear
+    # error (term-exact VALUES can only constrain)
+    with pytest.raises(Exception, match="CONSTRAIN"):
+        sparql_query(_kgm(spark), PFX + """
+            SELECT * WHERE {
+                ?x a schema:Article .
+                VALUES ?label { "hi"@en }
+            }""").collect()
+
+
+# --------------------------------------------------------------------
+# nested GRAPH groups (§13.3: the inner block re-scopes)
+# --------------------------------------------------------------------
+
+def test_parse_nested_graph_groups():
+    q = parse_sparql(PFX + """
+        SELECT * WHERE {
+            GRAPH ?g {
+                ?x a schema:Article .
+                GRAPH <http://g/meta> { ?x schema:name ?n }
+            }
+        }""")
+    assert q.where.patterns == [
+        ("?x", RDF_TYPE, f"{S}Article", "?g"),
+        ("?x", f"{S}name", "?n", "http://g/meta"),
+    ]
+
+
+def test_exec_nested_graph_groups(spark):
+    quads = spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article", "http://g/1"),
+        ("d2", RDF_TYPE, f"{S}Article", "http://g/2"),
+        ("d1", f"{S}name", "alpha", "http://g/meta"),
+        ("d2", f"{S}name", "WRONG", "http://g/2"),  # not in meta graph
+    ], ["subj", "pred", "obj_value", "graph"])
+    got = sparql_query(quads, PFX + """
+        SELECT ?g ?x ?n WHERE {
+            GRAPH ?g {
+                ?x a schema:Article .
+                GRAPH <http://g/meta> { ?x schema:name ?n }
+            }
+        }""")
+    assert {(r.g, r.x, r.n) for r in got.collect()} == {
+        ("http://g/1", "d1", "alpha")}

@@ -86,3 +86,89 @@ def test_modifier_roundtrip(limit, offset, distinct, key, asc):
     assert q.limit == limit and q.offset == offset
     assert q.distinct is distinct
     assert q.order_by == [(key[1:], asc)]
+
+
+# --------------------------------------------------------------------
+# VALUES entries (incl. tagged/typed literal constants) round-trip
+# --------------------------------------------------------------------
+
+from rdfa_streaming_parser_js_spark.operators.bgp import Lit  # noqa: E402
+from rdfa_streaming_parser_js_spark.operators.sparql import (  # noqa: E402
+    parse_update)
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_LEX = st.text(alphabet="abxyz09", min_size=1, max_size=6)
+
+
+def _values_entry():
+    return st.one_of(
+        st.none(),                                   # UNDEF
+        _LEX,                                        # bare lexical
+        st.tuples(_LEX, st.sampled_from(["en", "en-GB", "de"])).map(
+            lambda t: Lit(t[0], lang=t[1].lower())),
+        st.tuples(_LEX, st.sampled_from(
+            [f"{_XSD}integer", f"{_XSD}date"])).map(
+            lambda t: Lit(t[0], datatype=t[1])),
+    )
+
+
+def _render_entry(v) -> str:
+    if v is None:
+        return "UNDEF"
+    if isinstance(v, Lit):
+        if v.lang:
+            return f'"{v.lex}"@{v.lang}'
+        return f'"{v.lex}"^^<{v.datatype}>'
+    return f'"{v}"'
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_values_entry(), _values_entry()),
+                min_size=1, max_size=4))
+def test_values_entries_roundtrip(rows):
+    block = " ".join(
+        "(" + " ".join(_render_entry(v) for v in r) + ")" for r in rows)
+    q = parse_sparql(
+        "SELECT * WHERE { ?u ?v <http://example.org/o> . "
+        f"VALUES (?u ?v) {{ {block} }} }}")
+    got = q.where.values
+    expect = [{"u": r[0], "v": r[1]} for r in rows]
+    assert got == expect
+    for r in rows:
+        for var, val in zip(("u", "v"), r):
+            if isinstance(val, Lit):
+                assert var in q.meta_vars
+
+
+# --------------------------------------------------------------------
+# quad templates (GRAPH wrappers in DELETE/INSERT) round-trip
+# --------------------------------------------------------------------
+
+_TERM = st.sampled_from(["?x", "?n", "<http://example.org/s>",
+                         "<http://example.org/o>"])
+_PRED = st.sampled_from(["<http://example.org/p>",
+                         "<http://example.org/q>"])
+_GRAPH = st.one_of(st.none(), st.sampled_from(
+    ["?g", "<http://example.org/g1>", "<http://example.org/g2>"]))
+
+
+def _strip(t):
+    return t[1:-1] if t.startswith("<") else t
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_TERM, _PRED, _TERM, _GRAPH),
+                min_size=1, max_size=4))
+def test_update_quad_template_roundtrip(trips):
+    parts = []
+    for s, p, o, g in trips:
+        body = f"{s} {p} {o} ."
+        parts.append(f"GRAPH {g} {{ {body} }}" if g else body)
+    text = ("DELETE { " + " ".join(parts)
+            + " } WHERE { ?x <http://example.org/p> ?n }")
+    u = parse_update(text)
+    expect = []
+    for s, p, o, g in trips:
+        pat = (_strip(s), _strip(p), _strip(o))
+        expect.append(pat + (_strip(g),) if g else pat)
+    assert u.delete == expect

@@ -111,10 +111,14 @@ def test_lit_path_endpoint_raises(spark):
                     Lit("x", lang="en"))]).collect()
 
 
-def test_lit_in_values_raises():
-    with pytest.raises(SparqlSyntaxError, match="VALUES"):
-        parse_sparql(PFX + """SELECT ?s WHERE {
-            ?s schema:name ?n . VALUES ?n { "chat"@fr } }""")
+def test_lit_in_values_parses_and_marks_meta():
+    # round 5: tagged/typed literals in VALUES are term-exact entries
+    # (bgp._join_values joins the metadata companions; full exec
+    # coverage in test_sparql.py's VALUES section)
+    q = parse_sparql(PFX + """SELECT ?s WHERE {
+        ?s schema:name ?n . VALUES ?n { "chat"@fr } }""")
+    assert q.where.values == [{"n": Lit("chat", lang="fr")}]
+    assert "n" in q.meta_vars
 
 
 # --------------------------------------------------------------------

@@ -328,3 +328,134 @@ def test_parse_graph_mgmt_forms():
         parse_update("CREATE GRAPH ?g")
     with pytest.raises(SparqlSyntaxError, match="DEFAULT or a graph"):
         parse_update("ADD NAMED TO DEFAULT")
+
+
+# ---------------------------------------------------------------------
+# quads-aware templates and DATA blocks (SPARQL 1.1 Update §3.1.1
+# QuadData / §3.1.3 QuadPattern) — GRAPH wrappers in the text front-end
+# ---------------------------------------------------------------------
+
+def _quads_terms(spark):
+    """A quads table with full term metadata (the QUAD_SCHEMA above is
+    the management-ops fixture; templates need real kinds/langs)."""
+    return spark.createDataFrame([
+        ("d1", "iri", RDF_TYPE, f"{S}Article", "iri", None, None,
+         "http://g/1"),
+        ("d1", "iri", f"{S}name", "alpha", "literal", None, "en",
+         "http://g/1"),
+        ("d2", "iri", RDF_TYPE, f"{S}Article", "iri", None, None,
+         "http://g/2"),
+        ("d2", "iri", f"{S}name", "beta", "literal", None, "de",
+         "http://g/2"),
+        ("d0", "iri", f"{S}name", "zero", "literal", None, None,
+         None),                                   # default graph
+    ], SCHEMA + ", graph string")
+
+
+def _qrows(df):
+    cols = list(TERM_COLS) + ["graph"]
+    return sorted((tuple(r[c] for c in cols) for r in df.collect()),
+                  key=lambda t: tuple(x or "" for x in t))
+
+
+def test_insert_delete_data_graph_wrappers(spark):
+    g = _quads_terms(spark)
+    g2 = sparql_update(g, PFX + """
+        INSERT DATA {
+            <d9> a schema:Dataset .
+            GRAPH <http://g/1> { <d9> schema:name "neu"@de }
+        }""")
+    rows = _qrows(g2)
+    assert g2.count() == 7
+    assert ("d9", "iri", RDF_TYPE, f"{S}Dataset", "iri", None, None,
+            None) in rows                         # bare triple → default
+    assert ("d9", "iri", f"{S}name", "neu", "literal", None, "de",
+            "http://g/1") in rows
+    g3 = sparql_update(g2, PFX + """
+        DELETE DATA {
+            <d9> a schema:Dataset .
+            GRAPH <http://g/1> { <d9> schema:name "neu"@de }
+        }""")
+    assert _qrows(g3) == _qrows(g)
+
+
+def test_delete_data_graph_is_graph_scoped(spark):
+    # same lexical triple exists in g/1 only; deleting it FROM g/2
+    # must remove nothing (graph identity is part of the delete key)
+    g = _quads_terms(spark)
+    out = sparql_update(g, PFX + """
+        DELETE DATA { GRAPH <http://g/2> { <d1> schema:name "alpha" } }
+    """)
+    assert out.count() == g.count()
+    out2 = sparql_update(g, PFX + """
+        DELETE DATA { GRAPH <http://g/1> { <d1> schema:name "alpha" } }
+    """)
+    assert out2.count() == g.count() - 1
+
+
+def test_modify_quad_templates_graph_variable(spark):
+    # migrate name → headline INSIDE each named graph; the default-graph
+    # name row has no GRAPH binding and must survive untouched
+    g = _quads_terms(spark)
+    out = sparql_update(g, PFX + """
+        DELETE { GRAPH ?g { ?x schema:name ?n } }
+        INSERT { GRAPH ?g { ?x schema:headline ?n }
+                 GRAPH <http://g/audit> { ?g schema:touched true } }
+        WHERE  { GRAPH ?g { ?x a schema:Article ; schema:name ?n } }
+    """)
+    rows = _qrows(out)
+    assert ("d1", "iri", f"{S}headline", "alpha", "literal", None, "en",
+            "http://g/1") in rows                 # lang preserved
+    assert ("d2", "iri", f"{S}headline", "beta", "literal", None, "de",
+            "http://g/2") in rows
+    assert ("d0", "iri", f"{S}name", "zero", "literal", None, None,
+            None) in rows                         # default graph kept
+    assert ("http://g/1", "iri", f"{S}touched", "true", "literal",
+            f"{XSD}boolean", None, "http://g/audit") in rows
+    assert not any(r[2] == f"{S}name" and r[7] is not None
+                   for r in rows)
+
+
+def test_modify_bare_template_targets_default_graph(spark):
+    # a 3-tuple INSERT template over a quads table writes to the
+    # DEFAULT graph (NULL), per the no-WITH reading
+    g = _quads_terms(spark)
+    out = sparql_update(g, PFX + """
+        INSERT { ?x schema:seen "y" }
+        WHERE  { GRAPH ?g { ?x a schema:Article } }
+    """)
+    rows = _qrows(out)
+    assert ("d1", "iri", f"{S}seen", "y", "literal", None, None,
+            None) in rows
+    assert ("d2", "iri", f"{S}seen", "y", "literal", None, None,
+            None) in rows
+
+
+def test_delete_where_shorthand_with_graph(spark):
+    g = _quads_terms(spark)
+    out = sparql_update(g, PFX + """
+        DELETE WHERE { GRAPH <http://g/1> { ?x schema:name ?n } }
+    """)
+    rows = _qrows(out)
+    assert out.count() == g.count() - 1
+    assert not any(r[2] == f"{S}name" and r[7] == "http://g/1"
+                   for r in rows)
+
+
+def test_quad_template_requires_quads_table(spark):
+    with pytest.raises(ValueError, match="QUADS table"):
+        sparql_update(_g(spark), PFX + """
+            INSERT { GRAPH <http://g/1> { ?x schema:seen "y" } }
+            WHERE  { ?x a schema:Article }
+        """).count()
+
+
+def test_quad_parse_errors():
+    with pytest.raises(SparqlSyntaxError, match="ground"):
+        parse_update(PFX + "INSERT DATA { GRAPH ?g { <a> <b> <c> } }")
+    with pytest.raises(SparqlSyntaxError, match="no triple"):
+        parse_update(PFX + """
+            DELETE { GRAPH ?g { } } WHERE { ?s ?p ?o }""")
+    with pytest.raises(SparqlSyntaxError, match="variable or IRI"):
+        parse_update(PFX + """
+            DELETE { GRAPH "lit" { <a> <b> <c> } } WHERE { ?s ?p ?o }""")
