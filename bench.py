@@ -39,6 +39,115 @@ def force(df) -> int:
     return df.count()
 
 
+def skew_main() -> None:
+    """``bench.py --skew``: hub-heavy stress for the skew-sensitive
+    operators.  The per-round bench corpus is UNIFORM (every page
+    contributes the same 7 triples), so AQE skew handling and the
+    star-shaped CC/resolution paths are plan-asserted but never
+    data-stressed; this mode times each probe on two SAME-SIZE inputs
+    — uniform vs one hub entity owning ~10% of all rows — and reports
+    ``skew_ratio = t(hub)/t(uniform)`` (≈1 = skew-immune; a blowup
+    here is the regression the uniform bench cannot see).  Probes:
+
+    - ``cc_star``: alternating large/small-star CC over 2M edges;
+      hub variant wires 10% of all edges into one giant star.
+    - ``degree_agg``: groupBy-count over the same edges (the classic
+      skewed aggregation; partial aggregation must absorb the hub).
+    - ``sameas_resolution``: graph rewrite onto canonical ids where
+      one sameAs cluster holds 10% of all aliases.
+
+    Writes BENCH_SKEW.json and prints one compact JSON line."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_edges = int(os.environ.get("SPARK_GRAFT_SKEW_EDGES", "2000000"))
+
+    from pyspark.sql import functions as F
+
+    from rdfa_streaming_parser_js_spark.operators.components import (
+        connected_components_star)
+    from rdfa_streaming_parser_js_spark.operators.resolution import (
+        resolve_same_as)
+    from rdfa_streaming_parser_js_spark.operators.storage import (
+        release_tracked)
+    from rdfa_streaming_parser_js_spark.session import get_spark
+
+    spark = get_spark("bench-skew", parallelism=cpus,
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Both variants are unions of STARS (diameter ≤ 2 before
+    # symmetrization), so the star-CC round count is identical and the
+    # ONLY difference is key balance: uniform = n/100 clusters of 100
+    # (node i links its cluster center), hub = the same topology with
+    # 10% of all edges rewired onto one center.  A diameter-varying
+    # "uniform" (rings, random permutations) would measure round count,
+    # not skew.
+    def edges(hub: bool):
+        center = F.col("id") - F.col("id") % 100
+        if hub:
+            center = (F.when(F.col("id") % 10 == 0, F.lit(0))
+                      .otherwise(center))
+        return spark.range(n_edges).select(
+            F.concat(F.lit("n"), F.col("id")).alias("id_a"),
+            F.concat(F.lit("n"), center).alias("id_b"))
+
+    def sameas(hub: bool):
+        # alias stars: every subject aliases its cluster canonical id;
+        # hub variant points 10% of all subjects at ONE canonical
+        # entity; plus one data row per subject the rewrite must
+        # relabel
+        pred = "http://www.w3.org/2002/07/owl#sameAs"
+        canon = F.col("id") - F.col("id") % 100
+        if hub:
+            canon = (F.when(F.col("id") % 10 == 0, F.lit(0))
+                     .otherwise(canon))
+        base = spark.range(n_edges // 10).select(
+            F.concat(F.lit("e"), "id").alias("subj"),
+            F.lit("iri").alias("subj_kind"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit("e"), canon).alias("obj_value"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"))
+        data = spark.range(n_edges // 10).select(
+            F.concat(F.lit("e"), "id").alias("subj"),
+            F.lit("iri").alias("subj_kind"),
+            F.lit("http://example.org/p").alias("pred"),
+            F.concat(F.lit("v"), "id").alias("obj_value"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"))
+        return base.unionByName(data)
+
+    probes = {
+        "cc_star": lambda hub: connected_components_star(edges(hub)),
+        "degree_agg": lambda hub: (edges(hub).groupBy("id_a")
+                                   .count()),
+        "sameas_resolution": lambda hub: resolve_same_as(sameas(hub)),
+    }
+    out = {"metric": "skew stress (hub=10% of rows) t(hub)/t(uniform)",
+           "n_edges": n_edges, "parallelism": cpus,
+           "loadavg": round(os.getloadavg()[0], 1), "probes": {}}
+    for name, fn in probes.items():
+        times = {}
+        for variant in ("uniform", "hub"):
+            trials = []
+            for _ in range(TRIALS):
+                t0 = time.time()
+                force(fn(variant == "hub"))
+                trials.append(time.time() - t0)
+                release_tracked()
+            times[variant] = round(statistics.median(trials), 3)
+        out["probes"][name] = {
+            **times,
+            "skew_ratio": round(times["hub"]
+                                / max(times["uniform"], 1e-9), 2)}
+    spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SKEW.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -143,6 +252,9 @@ def main() -> None:
         "kg_term_constructors", "kg_sparql_nested",
         "kg_graph_fingerprint", "dedup_exact_spans",
         "kg_shape_induction",
+        # round-5 additions
+        "kg_sparql_update_graph", "kg_sparql_values_term",
+        "json_nodes_roundtrip", "entity_link_fuzzy",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)
@@ -248,4 +360,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv[1:]:
+        skew_main()
+    else:
+        main()

@@ -3,7 +3,7 @@
 The reference's conformance layer runs the rdfa.info manifests over the
 network (/root/reference/package.json:47-79, spec/parser.js:1-8), which
 is impossible in this sandbox.  This module vendors a curated subset of
-those public W3C test cases as offline fixtures (91 cases)
+those public W3C test cases as offline fixtures (127 cases)
 (tests/fixtures/w3c_cases.json): each case records its test-suite
 ``source`` URL, the markup is recreated offline from the published
 cases (byte-exact vendoring would require network access — see
@@ -14,9 +14,13 @@ Coverage: html5 (@property, @rel+@rev, @content, @datatype, <link>/
 <meta>, @typeof with and without @about, @vocab + rdfa:usesVocabulary,
 @inlist rdf:List, @lang inheritance, <time>/@datetime sniffing),
 xhtml5 (bare @rel terms from the XHTML initial context), svg
-(xmlns-prefix mapping, xml:base) — the three profiles the reference's
-CI `spec` job exercises — plus, since round 4, the role-attribute
-suite (the CI `spec-role` job) and the rdfa:copy/rdfa:Pattern family;
+(xmlns-prefix mapping, xml:base) — plus, since round 4, the
+role-attribute suite (the CI `spec-role` job) and the
+rdfa:copy/rdfa:Pattern family, and since round 5 the rdfa1.0 manifests
+(xhtml1/svg/xml, processed with the 1.1 rules under the xhtml/xml
+profiles exactly as the reference CI's `spec-1-*` jobs do) and a
+deeper svg/xml-profile slab asserting the xml feature-flag deltas
+both positively and negatively;
 those cases also cite their reference jest anchors
 (test/RdfParser-test.ts:3349-3414 and :1682-2194) in a `reference`
 field.  See FIXTURES.md §7 for the full case list and honesty note.
