@@ -70,8 +70,16 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   partitions the closure per graph) and binds the variable from the
   prefix.
 - Solution modifiers: ``GROUP BY`` + aggregates (COUNT / SUM / MIN /
-  MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING``, ``ORDER BY [ASC|
-  DESC]``, ``LIMIT`` / ``OFFSET``.
+  MAX / AVG / SAMPLE / GROUP_CONCAT), ``HAVING`` (one or more
+  conditions; each may reference a SELECT aggregate alias OR contain
+  aggregate calls directly — the latter compile as hidden aggregate
+  columns inside the same grouping), ``ORDER BY [ASC|DESC]``,
+  ``LIMIT`` / ``OFFSET``.  ``GROUP BY`` / ``HAVING`` also work on
+  CONSTRUCT (§16.2 + §11: grouping acts on the solution sequence
+  before template instantiation — every template variable must be a
+  group key since templates cannot project aggregates; a grouped
+  key's term-metadata companions are carried as one co-observed
+  struct so a copied literal stays the same literal).
 
 - SPARQL 1.1 Update, one operation per call (:func:`sparql_update` —
   returns the NEW graph, nothing mutates): ``INSERT DATA`` / ``DELETE
@@ -275,7 +283,8 @@ class ParsedQuery:
     select: list[SelectItem] | None = None   # None = SELECT *
     distinct: bool = False
     group_by: list[str] = field(default_factory=list)
-    having: list[str] = field(default_factory=list)
+    # (sql, contains_aggregate) per HAVING condition
+    having: list[tuple[str, bool]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
@@ -428,6 +437,11 @@ class _Parser:
         # shape heuristic and be emitted as an IRI.
         self.in_template = False
         self.template_literals: dict[str, tuple] = {}
+        # HAVING bodies may contain aggregate calls (§11.1) — the flag
+        # gates _primary's aggregate branch, the counter records that
+        # the current condition actually used one
+        self._allow_agg = False
+        self._saw_agg = False
         self.template_iris: set[str] = set()
 
     # -- token helpers ------------------------------------------------
@@ -1045,9 +1059,14 @@ class _Parser:
                     "term metadata can be carried as companion columns "
                     f"(offset {t.pos})")
             if word in _AGG_FNS:
+                if self._allow_agg:
+                    self.next()
+                    self._saw_agg = True
+                    return self._agg_call(word), "other"
                 raise SparqlSyntaxError(
                     f"aggregate {t.text.upper()}() is only allowed in "
-                    f"SELECT expressions (offset {t.pos})")
+                    f"SELECT expressions and HAVING conditions "
+                    f"(offset {t.pos})")
             if word in _SCALAR_FNS:
                 self.next()
                 self.expect_op("(")
@@ -1080,35 +1099,40 @@ class _Parser:
         t = self.peek()
         if t.kind == "NAME" and t.text.lower() in _AGG_FNS:
             fn = self.next().text.lower()
-            self.expect_op("(")
-            distinct = self.take_kw("distinct")
-            if fn == "count" and self.take_op("*"):
-                if distinct:
-                    raise SparqlSyntaxError(
-                        "COUNT(DISTINCT *) is not supported — project "
-                        "the variables and COUNT(DISTINCT ?v) instead")
-                self.expect_op(")")
-                return "count(1)", True
-            arg = self.parse_expr()
-            sep = " "
-            if fn == "group_concat" and self.take_op(";"):
-                self.expect_kw("separator")
-                self.expect_op("=")
-                s = self.next()
-                if s.kind != "STRING":
-                    self.fail("expected string SEPARATOR value")
-                sep = _unquote(s.text)
-            self.expect_op(")")
-            d = "DISTINCT " if distinct else ""
-            if fn == "group_concat":
-                inner = (f"collect_set({arg})" if distinct
-                         else f"collect_list({arg})")
-                return (f"array_join(array_sort({inner}), "
-                        f"{_sql_str(sep)})"), True
-            if fn == "sample":
-                return f"min({d}{arg})", True
-            return f"{fn}({d}{arg})", True
+            return self._agg_call(fn), True
         return self.parse_expr(), False
+
+    def _agg_call(self, fn: str) -> str:
+        """Parse the parenthesized body of an aggregate call (the name
+        token is already consumed) and return its Spark SQL."""
+        self.expect_op("(")
+        distinct = self.take_kw("distinct")
+        if fn == "count" and self.take_op("*"):
+            if distinct:
+                raise SparqlSyntaxError(
+                    "COUNT(DISTINCT *) is not supported — project "
+                    "the variables and COUNT(DISTINCT ?v) instead")
+            self.expect_op(")")
+            return "count(1)"
+        arg = self.parse_expr()
+        sep = " "
+        if fn == "group_concat" and self.take_op(";"):
+            self.expect_kw("separator")
+            self.expect_op("=")
+            s = self.next()
+            if s.kind != "STRING":
+                self.fail("expected string SEPARATOR value")
+            sep = _unquote(s.text)
+        self.expect_op(")")
+        d = "DISTINCT " if distinct else ""
+        if fn == "group_concat":
+            inner = (f"collect_set({arg})" if distinct
+                     else f"collect_list({arg})")
+            return (f"array_join(array_sort({inner}), "
+                    f"{_sql_str(sep)})")
+        if fn == "sample":
+            return f"min({d}{arg})"
+        return f"{fn}({d}{arg})"
 
     def _parse_select_body(self) -> ParsedQuery:
         """Everything after the SELECT keyword (shared by the top-level
@@ -1579,7 +1603,18 @@ def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
         if not q.group_by:
             p.fail("GROUP BY needs at least one variable")
     if p.take_kw("having"):
-        q.having.append(p.parse_expr_or_call())
+        # HavingCondition+ (§11.1): each condition may contain
+        # aggregate calls directly — compiled later as hidden agg
+        # columns — or reference SELECT aggregate aliases (?n).
+        p._allow_agg = True
+        try:
+            while True:
+                p._saw_agg = False
+                q.having.append((p.parse_expr_or_call(), p._saw_agg))
+                if not p.at_op("("):
+                    break
+        finally:
+            p._allow_agg = False
     if p.take_kw("order"):
         p.expect_kw("by")
         while True:
@@ -1690,10 +1725,55 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
     # the constructed triple bag (SPARQL 1.1 §16.2: template
     # instantiation happens after ORDER/LIMIT/OFFSET) — slicing the
     # output triples would truncate to an arbitrary subset of a graph.
-    if q.group_by or q.having:
-        raise SparqlSyntaxError(
-            "GROUP BY/HAVING in CONSTRUCT is not supported — aggregate "
-            "in a sub-SELECT inside the WHERE group instead")
+    if q.having and not q.group_by:
+        raise SparqlSyntaxError("HAVING requires GROUP BY")
+    if q.group_by:
+        # §16.2 + §11: grouping acts on the solution sequence BEFORE
+        # template instantiation.  The grouped solution binds only the
+        # group keys (CONSTRUCT templates have no AS, so aggregates
+        # can't be projected — they may only appear in HAVING), so
+        # every template variable must be a group key.
+        tvars = {term[1:] for pat in q.template for term in pat
+                 if term.startswith("?")}
+        bad = sorted(tvars - set(q.group_by))
+        if bad:
+            raise SparqlSyntaxError(
+                "CONSTRUCT template variable(s) ?" + " ?".join(bad)
+                + " must appear in GROUP BY (aggregates cannot be "
+                "projected into a template)")
+        # carry each key's term-metadata companions through the
+        # grouping as one co-observed (kind, lang, dt) tuple — min of
+        # the struct is deterministic and never mixes columns from
+        # different source terms
+        meta_aggs = []
+        for v in q.group_by:
+            comps = [v + sfx for sfx in META_SUFFIXES]
+            if all(c in sol.columns for c in comps):
+                meta_aggs.append((v, comps))
+        hidden = [F.expr(expr).alias(f"__having_{i}")
+                  for i, (expr, has_agg) in enumerate(q.having)
+                  if has_agg]
+        carried = [F.min(F.struct(*[F.col(c) for c in comps]))
+                   .alias(f"__meta_{v}")
+                   for v, comps in meta_aggs]
+        if hidden or carried:
+            sol = sol.groupBy(*q.group_by).agg(*hidden, *carried)
+        else:
+            sol = sol.select(*q.group_by).dropDuplicates()
+        for i, (expr, has_agg) in enumerate(q.having):
+            if not has_agg:
+                raise SparqlSyntaxError(
+                    "HAVING in CONSTRUCT must be an aggregate "
+                    "condition (there are no SELECT aliases to "
+                    "reference)")
+            sol = sol.filter(F.col(f"__having_{i}"))
+        sol = sol.drop(*[f"__having_{i}"
+                         for i in range(len(q.having))])
+        for v, comps in meta_aggs:
+            for c in comps:
+                sol = sol.withColumn(
+                    c, F.col(f"__meta_{v}.{c}"))
+            sol = sol.drop(f"__meta_{v}")
     if q.order_by:
         sol = _order(sol, q.order_by)
     sol = _slice(sol, q)
@@ -1728,10 +1808,18 @@ def _execute_select(triples: DataFrame, q: ParsedQuery) -> DataFrame:
         if not aggs:
             raise SparqlSyntaxError(
                 "GROUP BY without any aggregate in SELECT")
-        sol = (sol.groupBy(*q.group_by).agg(*aggs)
-               if q.group_by else sol.agg(*aggs))
-        for expr in q.having:
-            sol = sol.filter(F.expr(expr))
+        # HAVING conditions that contain aggregates evaluate IN the
+        # grouping (hidden boolean agg columns, filtered then
+        # projected away); aggregate-free ones reference SELECT
+        # aliases and filter the grouped solution directly.
+        hidden = [F.expr(expr).alias(f"__having_{i}")
+                  for i, (expr, has_agg) in enumerate(q.having)
+                  if has_agg]
+        sol = (sol.groupBy(*q.group_by).agg(*aggs, *hidden)
+               if q.group_by else sol.agg(*aggs, *hidden))
+        for i, (expr, has_agg) in enumerate(q.having):
+            sol = sol.filter(F.col(f"__having_{i}") if has_agg
+                             else F.expr(expr))
         sol = sol.select(*[it.var for it in items])
     else:
         for it in items or []:

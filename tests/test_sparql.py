@@ -124,7 +124,7 @@ def test_parse_aggregates():
     # the bare-var-vs-number cast heuristic applies in HAVING too
     # (harmless on the already-numeric aggregate column)
     assert q.group_by == ["s"]
-    assert q.having == ["((CAST(n AS DOUBLE) > 1))"]
+    assert q.having == [("((CAST(n AS DOUBLE) > 1))", False)]
 
 
 def test_parse_rejects_term_constructors():
@@ -805,11 +805,71 @@ def test_exec_construct_limit_applies_to_solutions(spark):
     ]
 
 
-def test_exec_construct_group_by_rejected(spark):
-    with pytest.raises(SparqlSyntaxError, match="GROUP BY/HAVING"):
+def test_exec_construct_group_by_rejects_nonkey_template_var(spark):
+    # §16.2+§11: after grouping only the group keys are in scope — a
+    # template variable outside GROUP BY is a parse-time error, never
+    # a silent mis-evaluation
+    with pytest.raises(SparqlSyntaxError, match="must appear in GROUP BY"):
         sparql_query(_kg(spark), PFX + """
             CONSTRUCT { ?d schema:n ?c } WHERE {
             ?d schema:name ?c } GROUP BY ?d""")
+
+
+def test_exec_construct_group_by_having(spark):
+    # one output triple per GROUP, kept only when the group passes the
+    # aggregate HAVING condition (d1+d2 are isPartOf srcA; no other
+    # subject reaches two values)
+    out = sparql_query(_kg(spark), PFX + """
+        CONSTRUCT { ?s a schema:Hub } WHERE {
+            ?d schema:isPartOf ?s }
+        GROUP BY ?s HAVING(COUNT(?d) >= 2)""")
+    rows = sorted((r.subj, r.pred, r.obj_value) for r in out.collect())
+    assert rows == [("srcA", RDF_TYPE, f"{S}Hub")]
+
+
+def test_exec_construct_group_by_no_having(spark):
+    # grouping without HAVING collapses each multi-row group to ONE
+    # solution before instantiation — one triple per distinct subject
+    out = sparql_query(_kg(spark), PFX + """
+        CONSTRUCT { ?d a schema:Thing } WHERE {
+            ?d ?p ?o } GROUP BY ?d""")
+    rows = sorted(r.subj for r in out.collect())
+    assert rows == ["a1", "a2", "d1", "d2", "d3", "srcA"]
+
+
+def test_exec_construct_group_by_carries_term_metadata(spark):
+    # a grouped key variable with term-metadata companions keeps its
+    # source language/datatype through the grouping (struct-min carry)
+    out = sparql_query(_kgm(spark), PFX + """
+        CONSTRUCT { ?d schema:label ?n } WHERE {
+            ?d schema:name ?n FILTER(isLiteral(?n)) }
+        GROUP BY ?d ?n""")
+    rows = sorted((r.subj, r.obj_value, r.obj_kind, r.obj_lang or "")
+                  for r in out.collect())
+    assert rows == [
+        ("_:b1", "carol", "literal", "de"),
+        ("d1", "alpha", "literal", "en"),
+        ("d2", "beta", "literal", "en-GB"),
+        ("d3", "gamma", "literal", ""),
+    ]
+
+
+def test_exec_construct_having_must_aggregate(spark):
+    with pytest.raises(SparqlSyntaxError, match="aggregate"):
+        sparql_query(_kg(spark), PFX + """
+            CONSTRUCT { ?s a schema:Hub } WHERE {
+                ?d schema:isPartOf ?s }
+            GROUP BY ?s HAVING(?s > 1)""")
+
+
+def test_exec_select_having_with_aggregate_expr(spark):
+    # aggregate calls directly in HAVING (no SELECT alias needed)
+    out = sparql_query(_kg(spark), PFX + """
+        SELECT ?s (COUNT(?d) AS ?n) WHERE {
+            ?d schema:isPartOf ?s }
+        GROUP BY ?s HAVING(COUNT(?d) >= 2)""")
+    rows = [(r.s, r.n) for r in out.collect()]
+    assert rows == [("srcA", 2)]
 
 
 def test_parse_nested_graph_variable_rescopes():
