@@ -1080,64 +1080,59 @@ def describe(triples: DataFrame, seeds: DataFrame,
 
     ``seeds`` is a one-column ``node`` DataFrame.  Frontier loop: each
     round joins the (tiny, broadcastable) frontier against the triple
-    table's subject and harvests newly reached bnodes, anti-joined
-    against the seen set — rounds = bnode nesting depth (bounded by DOM
-    depth for RDFa-minted bnodes), ONE action per round.  The instance
-    table is only ever filtered by join, never shuffled.
+    table's subject and COLLECTS the newly reached bnode ids — anti-
+    joined against the seed set in the same job, de-duplicated against
+    earlier rounds driver-side — in ONE Spark action per round; rounds
+    = bnode nesting depth (bounded by DOM depth for RDFa-minted
+    bnodes).  The instance table is only ever filtered by join, never
+    shuffled.
 
-    Storage: superseded ``seen`` generations are released each round
-    (the cumulative set, the only frame that grows); the per-round
-    frontier checkpoints stay persisted because the returned lazy union
-    broadcasts them — they are bnode-id lists, not graph-sized.  On the
-    error path everything this call persisted is released.
+    Driver state is the cumulative reached-bnode id set: the SAME rows
+    the previous design materialized per round via localCheckpoint and
+    shipped to every executor as a broadcast — holding the one driver
+    copy is no new scale assumption, and it removes the 2 extra jobs
+    per round (emptiness probe + seen-set checkpoint) that dominated
+    this operator's wall time at sandbox scale.  The returned lazy
+    union references only the seed projection and literal local
+    relations of those ids, so re-evaluation by the caller re-runs no
+    frontier jobs and there is nothing persisted to release.
 
     Minimal three-column graphs (``subj``/``pred``/``obj_value`` only,
     no ``obj_kind``) carry no term-kind information, so bnodes cannot
     be identified; the CBD degrades to the plain subject slice of the
     seeds (zero expansion rounds).
     """
-    from rdfa_streaming_parser_js_spark.operators.storage import release
-
+    seeds_d = seeds.select("node").distinct()
     if "obj_kind" not in triples.columns:
-        seeds_bc = F.broadcast(seeds.select("node").distinct())
-        return (triples.join(seeds_bc, triples.subj == F.col("node"))
+        return (triples.join(F.broadcast(seeds_d),
+                             triples.subj == F.col("node"))
                 .drop("node"))
 
-    seeds_ck = seeds.select("node").distinct().localCheckpoint(eager=True)
-    seen = seeds_ck
-    frontier = seeds_ck
-    frontiers = [seeds_ck]  # persisted frames the output may reference
+    spark = triples.sparkSession
+    seen: set[str] = set()  # bnodes expanded in earlier rounds
+    frontier = seeds_d
     out: DataFrame | None = None
-    try:
-        for _ in range(max_rounds):
-            hop = (triples.join(F.broadcast(frontier),
-                                triples.subj == F.col("node"))
-                   .drop("node"))
-            out = hop if out is None else out.unionByName(hop)
-            reached = (hop.filter(F.col("obj_kind") == "bnode")
-                       .select(F.col("obj_value").alias("node"))
-                       .distinct())
-            frontier = (reached.join(seen, "node", "left_anti")
-                        .localCheckpoint(eager=True))
-            if not frontier.take(1):  # one action: frontier drained?
-                release(frontier)  # empty — no hop was built from it
-                if seen is not seeds_ck:
-                    release(seen)  # the returned union never reads it
-                return out
-            frontiers.append(frontier)
-            new_seen = seen.union(frontier).localCheckpoint(eager=True)
-            if seen is not seeds_ck:
-                release(seen)  # superseded generation
-            seen = new_seen
-        raise RuntimeError(
-            f"describe did not drain its bnode frontier in {max_rounds} "
-            "rounds; raise max_rounds for deeper bnode nesting")
-    except Exception:
-        for f in frontiers:
-            release(f)
-        if seen is not seeds_ck:
-            release(seen)
-        raise
+    for _ in range(max_rounds):
+        hop = (triples.join(F.broadcast(frontier),
+                            triples.subj == F.col("node"))
+               .drop("node"))
+        out = hop if out is None else out.unionByName(hop)
+        # one action: materialize the next frontier's ids (bnode seeds
+        # are already expanded by hop 0 — the anti-join runs in-job)
+        reached = (hop.filter(F.col("obj_kind") == "bnode")
+                   .select(F.col("obj_value").alias("node"))
+                   .distinct()
+                   .join(seeds_d, "node", "left_anti"))
+        fresh = [r["node"] for r in reached.collect()
+                 if r["node"] not in seen]
+        if not fresh:
+            return out
+        seen.update(fresh)
+        frontier = spark.createDataFrame(
+            [(n,) for n in fresh], "node string")
+    raise RuntimeError(
+        f"describe did not drain its bnode frontier in {max_rounds} "
+        "rounds; raise max_rounds for deeper bnode nesting")
 
 
 def entity_table(triples: DataFrame, type_iri: str,
