@@ -157,9 +157,15 @@ Documented deviations (each raises or is noted, never silent):
   beyond the 2^4 fan-out cap, and for maybe-unbound correlation in
   EXISTS/NOT EXISTS groups (substitution semantics — correlate on
   required variables).
-  Sub-SELECTs stay top-level only, and a group containing one cannot
-  also contain OPTIONAL/MINUS/EXISTS (compose at the DataFrame
-  level).
+  Sub-SELECTs stay top-level only (not inside an OPTIONAL/MINUS/
+  EXISTS body).  A group may contain BOTH a sub-SELECT and OPTIONAL/
+  MINUS/EXISTS when the join orders provably commute — every variable
+  those blocks touch that also appears in the sub-SELECT's projection
+  must be certain (bound by the group's own triple patterns); a
+  maybe-unbound shared variable makes §18.2's left-to-right order
+  semantically significant, and the compiler raises rather than pick
+  one (compose at the DataFrame level).  The group must also keep at
+  least one triple pattern of its own.
 """
 
 from __future__ import annotations
@@ -763,11 +769,13 @@ class _Parser:
         self.expect_op("}")
         if g.union and (g.patterns or g.filters):
             self.fail("UNION must be the entire group body")
-        if g.subselects and (g.optionals or g.minus or g.exists
-                             or g.not_exists):
-            self.fail("a group with a sub-SELECT cannot also contain "
-                      "OPTIONAL/MINUS/EXISTS — compose at the "
-                      "DataFrame level")
+        if (g.subselects and not g.patterns
+                and (g.optionals or g.minus or g.exists
+                     or g.not_exists)):
+            self.fail("a group whose only relation is a sub-SELECT "
+                      "cannot take OPTIONAL/MINUS/EXISTS — add a "
+                      "triple pattern or compose at the DataFrame "
+                      "level")
         return g
 
     def _parse_filter(self, g: Group, top: bool) -> None:
@@ -1652,6 +1660,69 @@ def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
 # execution
 # --------------------------------------------------------------------
 
+_SQL_IDENT = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+
+def _entry_vars(entry) -> set:
+    """Over-approximate every variable a compiled OPTIONAL/MINUS/
+    EXISTS entry can bind or reference: pattern variables, BIND names
+    + expression identifiers, VALUES keys, filter-SQL identifiers
+    (which over-count — function names match the identifier regex —
+    but an over-approximation can only RAISE more, never silently
+    mis-evaluate), recursing through nested :class:`bgp.GroupSpec`."""
+    out = set()
+    if isinstance(entry, GroupSpec):
+        parts = (entry.patterns, entry.filters, entry.binds,
+                 entry.values)
+        for sub in ((entry.optionals or []) + (entry.minus or [])
+                    + (entry.exists or []) + (entry.not_exists or [])
+                    + (entry.union or [])):
+            out |= _entry_vars(sub)
+    else:  # OptionalGroup tuple: (patterns, filters[, binds, values])
+        parts = tuple(entry) + (None,) * (4 - len(entry))
+    patterns, filters, binds, values = parts[0], parts[1], parts[2], parts[3]
+    for pat in patterns or ():
+        out |= {t[1:] for t in pat
+                if isinstance(t, str) and t.startswith("?")}
+    for f in filters or ():
+        out |= set(_SQL_IDENT.findall(f))
+    for name, expr in binds or ():
+        out.add(name)
+        out |= set(_SQL_IDENT.findall(expr))
+    for row in values or ():
+        out |= set(row)
+    return out
+
+
+def _check_subselect_commutes(g: Group, subs: list) -> None:
+    """§18.2 composition guard: the compiled plan joins sub-SELECT
+    relations AFTER bgp_match applies the group's OPTIONAL/MINUS/
+    EXISTS, i.e. it evaluates ``Join(LeftJoin(P, O), S)``.  SPARQL's
+    left-to-right group algebra can instead mean
+    ``LeftJoin(Join(P, S), O)`` — the two commute exactly when every
+    variable an O-entry touches that also appears in a sub-SELECT's
+    projection is CERTAIN in the group's own patterns (bound in every
+    P solution, so the left join can neither mint nor rewrite it —
+    rewriting happens only for maybe-unbound shared variables under
+    the §18.3 mask machinery).  Anything else raises rather than
+    silently picking an order."""
+    if not subs:
+        return
+    sub_cols = set()
+    for s in subs:
+        sub_cols |= set(s.columns)
+    certain = {t[1:] for pat in g.patterns for t in pat
+               if isinstance(t, str) and t.startswith("?")}
+    for entry in (g.optionals + g.minus + g.exists + g.not_exists):
+        clash = (_entry_vars(entry) & sub_cols) - certain
+        if clash:
+            raise SparqlSyntaxError(
+                "sub-SELECT and OPTIONAL/MINUS/EXISTS in one group "
+                f"share maybe-unbound variable(s) {sorted(clash)} — "
+                "join order is semantically significant here; "
+                "compose at the DataFrame level")
+
+
 def _compile_where(triples: DataFrame, g: Group,
                    meta_vars: frozenset = frozenset()) -> DataFrame:
     if g.union:
@@ -1659,6 +1730,7 @@ def _compile_where(triples: DataFrame, g: Group,
             *[_compile_where(triples, b, meta_vars) for b in g.union])
     subs = [_execute_select(triples, sq) for sq in g.subselects]
     if g.patterns:
+        _check_subselect_commutes(g, subs)
         sol = bgp_match(
             triples, g.patterns,
             meta_vars=meta_vars,

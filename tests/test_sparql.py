@@ -313,11 +313,52 @@ def test_exec_subselect_as_only_relation(spark):
 
 
 def test_parse_rejects_subselect_with_optional():
+    # pattern-less group: nothing for the OPTIONAL to left-join onto
     with pytest.raises(SparqlSyntaxError, match="sub-SELECT"):
         parse_sparql(PFX + """SELECT ?s WHERE {
             { SELECT ?s WHERE { ?d schema:isPartOf ?s } }
             OPTIONAL { ?s schema:name ?n }
         }""")
+
+
+def test_exec_subselect_with_optional_commuting(spark):
+    # OPTIONAL's variables ∩ sub-SELECT projection = {?src}, certain
+    # in the group's own pattern → join orders commute, so both are
+    # allowed in one group (§18.2 composition guard).
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?src ?name ?n ?lang WHERE {
+            ?src schema:name ?name .
+            { SELECT ?src (COUNT(?d) AS ?n)
+              WHERE { ?d schema:isPartOf ?src } GROUP BY ?src }
+            OPTIONAL { ?src schema:inLanguage ?lang }
+        } ORDER BY ?src""")
+    assert ([tuple(r) for r in got.collect()]
+            == [("srcA", "Source A", 2, None)])
+
+
+def test_exec_subselect_with_minus_commuting(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?src ?n WHERE {
+            ?src schema:name ?name .
+            { SELECT ?src (COUNT(?d) AS ?n)
+              WHERE { ?d schema:isPartOf ?src } GROUP BY ?src }
+            MINUS { ?src schema:name "Source A" }
+        }""")
+    assert got.collect() == []
+
+
+def test_subselect_optional_shared_unbound_raises(spark):
+    # ?n is minted by the OPTIONAL (maybe-unbound) AND projected by
+    # the sub-SELECT: §18.2's left-to-right order is significant, so
+    # the compiler must refuse rather than pick an order.
+    with pytest.raises(SparqlSyntaxError, match="join order"):
+        sparql_query(_kg(spark), PFX + """
+            SELECT * WHERE {
+                ?src schema:name ?name .
+                OPTIONAL { ?src schema:inLanguage ?n }
+                { SELECT ?src (COUNT(?d) AS ?n)
+                  WHERE { ?d schema:isPartOf ?src } GROUP BY ?src }
+            }""")
 
 
 def test_exec_select_expr_projection(spark):
