@@ -1236,6 +1236,36 @@ def q_kg_sparql_select(spark, sf_dir):
     return sparql_query(t, SPARQL_SELECT_TEXT)
 
 
+SPARQL_SUBSELECT_TEXT = """
+    PREFIX schema: <http://schema.org/>
+    SELECT ?doc ?name ?src ?n ?lang WHERE {
+        ?doc a schema:Article ;
+             schema:name ?name ;
+             schema:isPartOf ?src .
+        { SELECT ?src (COUNT(?d) AS ?n)
+          WHERE { ?d schema:isPartOf ?src } GROUP BY ?src }
+        OPTIONAL { ?doc schema:inLanguage ?lang . FILTER(?lang = "en") }
+        MINUS { ?doc schema:inLanguage "zh" }
+        FILTER(?n >= 20)
+    } ORDER BY ?doc
+"""
+
+
+def q_kg_sparql_subselect(spark, sf_dir):
+    """§18.2 composition from query text: a mid-group sub-SELECT
+    (per-source doc counts) in the SAME group as an OPTIONAL (with a
+    group-local filter) and a MINUS, plus a deferred group FILTER on
+    the subquery's aggregate — allowed because every variable the
+    OPTIONAL/MINUS touch that the sub-SELECT projects is certain in
+    the group's own patterns (operators/sparql.py
+    _check_subselect_commutes); the ambiguous overlap case raises.
+    ``?doc`` is unique per solution, so ORDER BY is deterministic."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    t = _triples_cut(spark, sf_dir)
+    return sparql_query(t, SPARQL_SUBSELECT_TEXT)
+
+
 SPARQL_LANG_DT_TEXT = """
     PREFIX schema: <http://schema.org/>
     PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
@@ -2117,6 +2147,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_hasparts": q_kg_construct_hasparts,  # retired r05
         # (green r03+r04; CONSTRUCT templating stays in-window via the
         # SPARQL text front-end + kg_sparql_update_graph quad templates)
+        "kg_sparql_subselect": q_kg_sparql_subselect,  # late-r05
+        # addition (sub-SELECT composed with OPTIONAL/MINUS in one
+        # group); window full — oracle-gated via check_oracles
         "streaming_extract": q_streaming_extract,  # retired late-r04
         "streaming_windowed_counts": q_streaming_windowed_counts,
         # (both green r02+r03; streaming stays gated in-window by
@@ -2505,6 +2538,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc, name, wc, lang
             FROM req LEFT JOIN opt USING (doc)
             ORDER BY doc LIMIT 100
+        """,
+        # Mirror of the sub-SELECT composition query (§18.2): cnt =
+        # the sub-SELECT (per-source doc counts), joined into the
+        # required patterns on the certain ?src; opt/minus apply on
+        # the certain ?doc, so the join orders commute exactly as the
+        # engine's _check_subselect_commutes guard demands; the group
+        # FILTER on the aggregate applies after the join.
+        "kg_sparql_subselect": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            req AS (
+                SELECT t.subj AS doc, n.obj_value AS name,
+                       s.obj_value AS src
+                FROM exp t
+                JOIN exp n ON n.subj = t.subj
+                          AND n.pred = '{SCHEMA_ORG}name'
+                JOIN exp s ON s.subj = t.subj
+                          AND s.pred = '{SCHEMA_ORG}isPartOf'
+                WHERE t.pred = '{RDF_TYPE}'
+                  AND t.obj_value = '{SCHEMA_ORG}Article'),
+            cnt AS (SELECT obj_value AS src, COUNT(*) AS n FROM exp
+                    WHERE pred = '{SCHEMA_ORG}isPartOf'
+                    GROUP BY obj_value),
+            opt AS (SELECT subj AS doc, obj_value AS lang FROM exp
+                    WHERE pred = '{SCHEMA_ORG}inLanguage'
+                      AND obj_value = 'en'),
+            zh AS (SELECT subj AS doc FROM exp
+                   WHERE pred = '{SCHEMA_ORG}inLanguage'
+                     AND obj_value = 'zh')
+            SELECT req.doc, req.name, req.src, cnt.n, opt.lang
+            FROM req
+            JOIN cnt USING (src)
+            LEFT JOIN opt USING (doc)
+            WHERE req.doc NOT IN (SELECT doc FROM zh)
+              AND cnt.n >= 20
+            ORDER BY req.doc
         """,
         # Mirror of the nested-group SPARQL query (SPARQL 18.5
         # bottom-up): opt1 = the OPTIONAL group with its group-local
