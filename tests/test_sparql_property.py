@@ -172,3 +172,73 @@ def test_update_quad_template_roundtrip(trips):
         pat = (_strip(s), _strip(p), _strip(o))
         expect.append(pat + (_strip(g),) if g else pat)
     assert u.delete == expect
+
+
+# --------------------------------------------------------------------
+# §18.2 sub-SELECT composed with OPTIONAL/MINUS in one group: the
+# compiled Join(LeftJoin(P,O),S) plan must agree — bag semantics,
+# multiplicities included — with a naive evaluator of the commuting
+# algebra over random small graphs (the guard admits exactly the
+# shapes where the two join orders agree, so ONE naive order is the
+# full reference).
+# --------------------------------------------------------------------
+
+_N = ["n0", "n1", "n2", "n3"]
+
+
+@st.composite
+def _subsel_case(draw):
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(_N),
+                  st.sampled_from(["p0", "p1", "p2"]),
+                  st.sampled_from(_N)),
+        min_size=1, max_size=16))
+    kind = draw(st.sampled_from(["optional", "minus"]))
+    const = draw(st.sampled_from(_N))
+    return triples, kind, const
+
+
+def _naive_subsel(triples, kind, const):
+    from collections import Counter
+    base = [(s, o) for s, p, o in triples if p == "p0"]
+    counts = Counter()
+    for s, p, o in triples:
+        if p == "p1":
+            counts[o] += 1
+    rows = []
+    for x, y in base:
+        if x not in counts:
+            continue  # inner join with the sub-SELECT
+        n = counts[x]
+        if kind == "optional":
+            ws = [o for s, p, o in triples if s == x and p == "p2"]
+            rows.extend((x, y, n, w) for w in ws or [None])
+        else:  # MINUS { ?x <p2> <const> }
+            if not any(s == x and o == const
+                       for s, p, o in triples if p == "p2"):
+                rows.append((x, y, n))
+    return Counter(rows)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_subsel_case())
+def test_subselect_composition_agrees_with_naive(spark, case):
+    from collections import Counter
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    triples, kind, const = case
+    df = spark.createDataFrame(
+        triples or [("zz", "p9", "zz")],
+        "subj string, pred string, obj_value string")
+    block = ("OPTIONAL { ?x <p2> ?w }" if kind == "optional"
+             else f"MINUS {{ ?x <p2> <{const}> }}")
+    proj = "?x ?y ?cnt ?w" if kind == "optional" else "?x ?y ?cnt"
+    got = sparql_query(df, f"""
+        SELECT {proj} WHERE {{
+            ?x <p0> ?y .
+            {{ SELECT ?x (COUNT(?z) AS ?cnt)
+               WHERE {{ ?z <p1> ?x }} GROUP BY ?x }}
+            {block}
+        }}""")
+    assert Counter(tuple(r) for r in got.collect()) == \
+        _naive_subsel(triples, kind, const)
