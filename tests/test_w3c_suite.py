@@ -3,14 +3,18 @@
 The reference's conformance layer runs the rdfa.info manifests over the
 network (/root/reference/package.json:47-79, spec/parser.js:1-8), which
 is impossible in this sandbox.  This module vendors a curated subset of
-those public W3C test cases as offline fixtures (127 cases)
+those public W3C test cases as offline fixtures (142 cases)
 (tests/fixtures/w3c_cases.json): each case records its test-suite
 ``source`` URL, the markup is recreated offline from the published
 cases (byte-exact vendoring would require network access — see
 FIXTURES.md §7 for the honesty note), and the expected triples follow
 RDFa Core 1.1 / HTML+RDFa 1.1 processing rules.
 
-Coverage: html5 (@property, @rel+@rev, @content, @datatype, <link>/
+Coverage: html5 + html4 (the `spec-html4` job: same-numbered
+cases under the HTML 4.01 doctype plus html4-flavored wrinkles —
+<base href>, @lang (not xml:lang), safe-CURIE bnodes, hanging-@rel
+completion, core-context @rel terms, and the RDFa 1.1 @src-is-object
+rule) (@property, @rel+@rev, @content, @datatype, <link>/
 <meta>, @typeof with and without @about, @vocab + rdfa:usesVocabulary,
 @inlist rdf:List, @lang inheritance, <time>/@datetime sniffing),
 xhtml5 (bare @rel terms from the XHTML initial context), svg
