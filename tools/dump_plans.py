@@ -70,8 +70,11 @@ NOTES = {
     "kg_describe_entities": (
         "CBD frontier loop: the (tiny) bnode frontier is broadcast "
         "against the subject column each round — rounds = bnode nesting "
-        "depth (DOM-bounded), one action per round, and the triple "
-        "table is only ever filtered by join."),
+        "depth (DOM-bounded), ONE job per round (the hop's reached-bnode "
+        "ids are collected in the job that computes it; the seen set is "
+        "driver-side, so round 2+ frontiers are literal LocalTableScans "
+        "and the returned union re-runs no frontier jobs), and the "
+        "triple table is only ever filtered by join."),
     "kg_asof_snapshot": (
         "Time travel in one Exchange: cutoff filter pushed to the scan "
         "(partition-prunable on a day-partitioned Iceberg table), then "
