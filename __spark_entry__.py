@@ -1298,17 +1298,18 @@ def q_kg_sparql_lang_datatype(spark, sf_dir):
 SPARQL_TERMS_TEXT = f"""
     PREFIX schema: <{SCHEMA_ORG}>
     PREFIX xsd: <{XSD}>
-    SELECT ?doc ?name ?mirror ?wcdt ?midnight WHERE {{
+    SELECT ?doc ?name ?mirror ?anchor ?wcdt ?midnight WHERE {{
         ?doc a schema:Article ;
              schema:inLanguage "en"@en ;
              schema:name ?name ;
              schema:wordCount ?wc .
         BIND(IRI(CONCAT(STR(?doc), "/mirror")) AS ?mirror)
+        BIND(BNODE(?doc) AS ?anchor)
         BIND(STRDT(?wc, xsd:decimal) AS ?wcd)
         BIND(DATATYPE(?wcd) AS ?wcdt)
         OPTIONAL {{ ?doc schema:dateCreated ?d .
                     BIND(CONCAT(?d, "T00:00:00") AS ?midnight) }}
-        FILTER(isIRI(?mirror))
+        FILTER(isIRI(?mirror) && isBlank(?anchor))
     }}
 """
 
@@ -1319,11 +1320,13 @@ def q_kg_term_constructors(spark, sf_dir):
     (``schema:inLanguage "en"@en`` → an exact-term pushed scan filter
     on obj_value+obj_kind+obj_lang, bgp.Lit), term constructors as
     BIND expressions (``IRI`` builds a mirror IRI per doc — its minted
-    companion metadata satisfies the ``isIRI`` filter; ``STRDT`` types
-    the word count and ``DATATYPE`` reads the constructed type back),
-    and a BIND scoped INSIDE an OPTIONAL group (previously a silent
-    drop).  All pure projections over one predicate-pruned BGP join —
-    the constructors add zero shuffles."""
+    companion metadata satisfies the ``isIRI`` filter; ``BNODE(?doc)``
+    mints a deterministic skolem-style blank node whose companion kind
+    satisfies ``isBlank``, oracle-mirrored bit-exactly as DuckDB
+    ``sha256``; ``STRDT`` types the word count and ``DATATYPE`` reads
+    the constructed type back), and a BIND scoped INSIDE an OPTIONAL
+    group (previously a silent drop).  All pure projections over one
+    predicate-pruned BGP join — the constructors add zero shuffles."""
     from rdfa_streaming_parser_js_spark.operators.sparql import (
         sparql_query)
     t = _triples_cut(spark, sf_dir)
@@ -2916,6 +2919,7 @@ def oracle_sql() -> dict[str, str]:
                   WHERE pred = '{SCHEMA_ORG}dateCreated')
             SELECT ty.subj AS doc, n.name AS name,
                    ty.subj || '/mirror' AS mirror,
+                   '_:fn' || substr(sha256(ty.subj), 1, 40) AS anchor,
                    '{XSD}decimal' AS wcdt,
                    d.dc || 'T00:00:00' AS midnight
             FROM ty JOIN lg USING (subj) JOIN n USING (subj)

@@ -51,9 +51,11 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
 - Term constructors as the entire BIND expression: ``BIND(IRI(expr)
   AS ?v)`` (scheme-less values resolve against ``BASE`` by
   concatenation), ``BIND(STRDT(expr, <dt>) AS ?v)``,
-  ``BIND(STRLANG(expr, "tag") AS ?v)`` — the constructed term's
-  metadata is minted as companion columns, so LANG / DATATYPE /
-  isIRI / SAMETERM and metadata-faithful templates see it.
+  ``BIND(STRLANG(expr, "tag") AS ?v)``, ``BIND(BNODE(expr) AS ?v)``
+  (deterministic skolem-style labels — see deviations) — the
+  constructed term's metadata is minted as companion columns, so
+  LANG / DATATYPE / isIRI / isBlank / SAMETERM and metadata-faithful
+  templates see it.
 - ``GRAPH ?g {...}`` / ``GRAPH <iri> {...}`` (§13) over a QUADS table
   (a ``graph`` column, e.g. extraction output with ``url`` aliased to
   ``graph``): the graph term becomes a 4th match position on each
@@ -128,10 +130,14 @@ Documented deviations (each raises or is noted, never silent):
   binds — a Lit entry for an unbound variable raises (extend with
   the bare lexical form instead).
 - Term constructors are only valid as the entire BIND expression;
-  STRDT's datatype and STRLANG's tag must be constants; ``BNODE()``
-  raises (fresh per-solution labels are non-deterministic under
-  distributed re-evaluation — skolemize instead); nested anywhere
-  else they raise.
+  STRDT's datatype and STRLANG's tag must be constants; nested
+  anywhere else they raise.  ``BNODE(expr)`` mints a deterministic
+  skolem-style label (sha2 of the argument, ``_:fn…``) — the same
+  argument yields the SAME bnode in every solution, deviating from
+  §17.4.2.9's per-solution freshness (the deterministic distributed
+  choice, same convention as GROUP_CONCAT/SAMPLE below); zero-arg
+  ``BNODE()`` raises (fresh per-solution labels are non-deterministic
+  under distributed re-evaluation — skolemize instead).
 - ``GROUP_CONCAT`` concatenates in sorted value order (SPARQL leaves
   the order undefined; sorted is the only deterministic distributed
   choice) and ``SAMPLE`` returns the minimum.
@@ -847,9 +853,12 @@ class _Parser:
         when the next tokens are not a constructor call.  STRDT's
         datatype and STRLANG's tag must be constants in this engine
         (the metadata rides in literal companion columns, one value
-        per BIND).  BNODE() raises: fresh per-solution blank-node
-        labels are non-deterministic under distributed re-evaluation —
-        skolemize (functions/skolem.py) instead."""
+        per BIND).  BNODE(expr) mints a deterministic skolem-style
+        label (same argument → same bnode across solutions, the
+        documented deviation); zero-arg BNODE() raises: fresh
+        per-solution blank-node labels are non-deterministic under
+        distributed re-evaluation — skolemize (functions/skolem.py)
+        instead."""
         t = self.peek()
         if (t.kind != "NAME" or t.text.lower() not in _CONSTRUCTOR_FNS
                 or self.peek(1).kind != "OP"
@@ -859,11 +868,24 @@ class _Parser:
         self.next()
         self.next()
         if word == "bnode":
-            raise SparqlSyntaxError(
-                "BNODE() is not supported — fresh per-solution blank-"
-                "node labels are non-deterministic across distributed "
-                "re-evaluation; skolemize the graph instead "
-                f"(offset {t.pos})")
+            if self.at_op(")"):
+                raise SparqlSyntaxError(
+                    "BNODE() with no argument is not supported — fresh "
+                    "per-solution blank-node labels are non-"
+                    "deterministic across distributed re-evaluation; "
+                    "use BNODE(expr) (deterministic skolem-style "
+                    "labels) or skolemize the graph instead "
+                    f"(offset {t.pos})")
+            sql = self.parse_expr()
+            self.expect_op(")")
+            # deterministic skolem-style label: a pure function of the
+            # argument, so the same argument yields the SAME bnode in
+            # every solution (documented deviation from §17.4.2.9's
+            # per-solution freshness — the deterministic distributed
+            # choice).  The '_:fn' prefix keeps minted labels disjoint
+            # from extractor/serializer labels ('_:b…').
+            return (f"concat('_:fn', substr(sha2(CAST({sql} AS STRING)"
+                    ", 256), 1, 40))", "bnode", None, None)
         if word in ("iri", "uri"):
             sql = self.parse_expr()
             self.expect_op(")")

@@ -188,10 +188,52 @@ def test_nested_constructor_raises():
             ?s ?p ?o . BIND(CONCAT(IRI(?o)) AS ?v) }""")
 
 
-def test_bnode_constructor_raises():
+def test_bnode_zero_arg_raises():
+    # zero-arg BNODE() is the one genuinely non-deterministic form
+    # (fresh label per solution) — it still raises
     with pytest.raises(SparqlSyntaxError, match="BNODE"):
         parse_sparql(PFX + """SELECT ?s WHERE {
             ?s ?p ?o . BIND(BNODE() AS ?v) }""")
+
+
+def test_bnode_constructor_deterministic_skolem(spark):
+    out = sparql_query(_typed_kg(spark), PFX + """
+        SELECT ?s ?b WHERE {
+            ?s schema:name ?n .
+            BIND(BNODE(?s) AS ?b)
+            FILTER(isBlank(?b))
+        }""")
+    rows = {r.s: r.b for r in out.collect()}
+    # distinct arguments → distinct labels, all in the minted space
+    assert set(rows) == {"d1", "d2", "d3", "d4"}
+    assert all(b.startswith("_:fn") for b in rows.values())
+    assert len(set(rows.values())) == 4
+    # deterministic: a re-evaluation mints identical labels
+    again = {r.s: r.b for r in sparql_query(_typed_kg(spark), PFX + """
+        SELECT ?s ?b WHERE {
+            ?s schema:name ?n . BIND(BNODE(?s) AS ?b) }""").collect()}
+    assert again == rows
+
+
+def test_bnode_constructor_same_arg_coincides(spark):
+    # the documented deviation: same argument → SAME bnode across
+    # solutions (skolem-style), not §17.4.2.9 per-solution freshness
+    out = sparql_query(_typed_kg(spark), PFX + """
+        SELECT ?s ?b WHERE {
+            ?s schema:name ?n . BIND(BNODE("k") AS ?b) }""")
+    assert len({r.b for r in out.collect()}) == 1
+
+
+def test_bnode_constructed_subject_in_construct(spark):
+    # metadata-faithful CONSTRUCT: the constructed bnode keeps kind
+    # 'bnode' in subject position of the emitted triple
+    out = sparql_query(_typed_kg(spark), PFX + """
+        CONSTRUCT { ?b schema:label ?src } WHERE {
+            ?s schema:isPartOf ?src . BIND(BNODE(?src) AS ?b) }""")
+    [row] = out.collect()
+    assert row.subj_kind == "bnode"
+    assert row.subj.startswith("_:fn")
+    assert row.obj_value == "srcA"
 
 
 def test_strdt_nonconstant_datatype_raises():
