@@ -64,10 +64,11 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   graphs (union default graph) with the table's own multiplicity.
   GRAPH blocks hold triple patterns, property paths, plain FILTERs,
   and NESTED GRAPH blocks (§13.3 — the inner block re-scopes its own
-  patterns to its graph term; deviation: an outer GRAPH variable left
-  with NOTHING to scope — every contained pattern re-scoped by a
-  nested block — binds nothing, where the algebra would still range
-  it over every graph name).  A path under a VARIABLE graph evaluates once over
+  patterns to its graph term; an outer GRAPH variable left with
+  NOTHING to scope — every contained pattern re-scoped by a nested
+  block — ranges over every graph name per the algebra, compiled as a
+  broadcast join with the distinct graph-name dimension; top-level
+  WHERE only).  A path under a VARIABLE graph evaluates once over
   graph-prefixed node ids (paths cannot cross graphs, so the prefix
   partitions the closure per graph) and binds the variable from the
   prefix.
@@ -255,6 +256,11 @@ class Group:
     not_exists: list = field(default_factory=list)
     union: list = field(default_factory=list)  # list[Group] if UNION
     subselects: list = field(default_factory=list)  # list[ParsedQuery]
+    # outer GRAPH variables left with NOTHING to scope (every contained
+    # pattern re-scoped by a nested GRAPH block): the algebra still
+    # ranges them over every graph name (§13.3) — compiled as a join /
+    # broadcast cross-join with the distinct graph-name dimension
+    graph_ranges: list = field(default_factory=list)
 
 
 def _group_to_spec(sub: Group) -> GroupSpec:
@@ -266,6 +272,11 @@ def _group_to_spec(sub: Group) -> GroupSpec:
     if sub.subselects:
         raise SparqlSyntaxError(
             "sub-SELECT inside a nested group is not supported")
+    if sub.graph_ranges:
+        raise SparqlSyntaxError(
+            "a GRAPH variable with nothing to scope (every pattern "
+            "re-scoped by nested GRAPH blocks) is only supported at "
+            "the top level of WHERE")
     if sub.union:
         if sub.patterns or sub.filters:
             raise SparqlSyntaxError("UNION must be the entire group body")
@@ -747,10 +758,17 @@ class _Parser:
                 # GRAPH block re-scopes its own patterns (§13.3: the
                 # inner block changes the active graph), so patterns
                 # already carrying a graph term pass through unstamped.
-                g.patterns.extend(pat if len(pat) == 4
-                                  else pat + (gterm,)
-                                  for pat in sub.patterns)
+                stamped = [pat if len(pat) == 4 else pat + (gterm,)
+                           for pat in sub.patterns]
+                g.patterns.extend(stamped)
                 g.filters.extend(sub.filters)
+                if (gterm.startswith("?")
+                        and not any(pat[3] == gterm for pat in stamped)):
+                    # the variable scoped NOTHING (every pattern was
+                    # re-scoped by a nested GRAPH block): §13.3 still
+                    # ranges it over every graph name — record it for
+                    # the distinct-graph-name join in _compile_where
+                    g.graph_ranges.append(gterm[1:])
             elif self.take_kw("bind"):
                 self.expect_op("(")
                 expr = self._parse_constructor()
@@ -922,6 +940,11 @@ class _Parser:
         nests OPTIONAL/MINUS/EXISTS/UNION; group-scoped BIND/VALUES
         ride in the optional tail elements (they used to be silently
         dropped)."""
+        if sub.graph_ranges:
+            raise SparqlSyntaxError(
+                "a GRAPH variable with nothing to scope (every pattern "
+                "re-scoped by nested GRAPH blocks) is only supported "
+                "at the top level of WHERE")
         if (sub.optionals or sub.minus or sub.exists or sub.not_exists
                 or sub.union):
             return _group_to_spec(sub)
@@ -1496,10 +1519,11 @@ def sparql_update(graph: DataFrame, text: str) -> DataFrame:
     if u.form == "delete_data":
         return U.delete_data(graph, u.data)
     g = u.where
-    if g.union or g.subselects:
+    if g.union or g.subselects or g.graph_ranges:
         raise SparqlSyntaxError(
-            "UNION / sub-SELECT in an update WHERE is not supported — "
-            "compose at the DataFrame level with apply_update")
+            "UNION / sub-SELECT / an all-rescoped GRAPH variable in an "
+            "update WHERE is not supported — compose at the DataFrame "
+            "level with apply_update")
     return U.apply_update(
         graph, delete=u.delete, insert=u.insert,
         literal_consts=u.template_literals or None,
@@ -1783,6 +1807,19 @@ def _compile_where(triples: DataFrame, g: Group,
     if g.subselects and g.filters:
         for expr in g.filters:
             sol = sol.filter(F.expr(expr))
+    for var in g.graph_ranges:
+        # an outer GRAPH variable that scoped nothing (§13.3): range it
+        # over every graph name.  The distinct-name dimension is tiny
+        # relative to the quads table — broadcast, never a shuffle.
+        if "graph" not in triples.columns:
+            raise SparqlSyntaxError(
+                f"GRAPH ?{var} ranges over graph names, but the input "
+                "is a triples table with no 'graph' column — query a "
+                "quads table")
+        names = triples.select(F.col("graph").alias(var)).distinct()
+        sol = (sol.join(F.broadcast(names), on=var, how="inner")
+               if var in sol.columns
+               else sol.crossJoin(F.broadcast(names)))
     return sol
 
 

@@ -1303,3 +1303,37 @@ def test_exec_nested_graph_groups(spark):
         }""")
     assert {(r.g, r.x, r.n) for r in got.collect()} == {
         ("http://g/1", "d1", "alpha")}
+
+
+def test_exec_graph_var_with_nothing_to_scope_ranges_names(spark):
+    # §13.3: every contained pattern re-scoped by the nested block, so
+    # the outer ?g ranges over EVERY graph name (once per name) — was
+    # a documented bind-nothing deviation until round 5
+    got = sparql_query(_quads(spark), PFX + """
+        SELECT ?g ?n WHERE {
+            GRAPH ?g { GRAPH <g3> { ?x schema:name ?n } }
+        }""")
+    assert {(r.g, r.n) for r in got.collect()} == {
+        (g, "carol") for g in ("g1", "g2", "g3")}
+    # multiplicity: one row per (name, graph-name) pair, names distinct
+    assert got.count() == 3
+
+
+def test_parse_graph_var_nothing_to_scope_marks_range():
+    q = parse_sparql(PFX + """SELECT * WHERE {
+        GRAPH ?g { GRAPH <g3> { ?x schema:name ?n } } }""")
+    assert q.where.graph_ranges == ["g"]
+    assert q.where.patterns == [("?x", f"{S}name", "?n", "g3")]
+    # same-var nested block: ?g DOES scope the inner patterns — no range
+    q2 = parse_sparql(PFX + """SELECT * WHERE {
+        GRAPH ?g { GRAPH ?g { ?x schema:name ?n } } }""")
+    assert q2.where.graph_ranges == []
+
+
+def test_graph_var_nothing_to_scope_rejected_in_nested_group():
+    with pytest.raises(SparqlSyntaxError, match="nothing to scope"):
+        parse_sparql(PFX + """SELECT * WHERE {
+            ?s schema:name ?n .
+            OPTIONAL { ?s schema:isPartOf ?src .
+                       GRAPH ?g { GRAPH <g3> { ?x a schema:Person } } }
+        }""")
