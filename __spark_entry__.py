@@ -1664,6 +1664,33 @@ def q_kg_sparql_values_term(spark, sf_dir):
                         SPARQL_VALUES_TERM_TEXT)
 
 
+SPARQL_GRAPH_RANGE_TEXT = f"""
+    PREFIX schema: <{SCHEMA_ORG}>
+    SELECT ?g (COUNT(?doc) AS ?n_docs) WHERE {{
+        GRAPH ?g {{
+            GRAPH <{PAGE_URL_PREFIX}0> {{ ?doc a schema:Article }}
+        }}
+    }} GROUP BY ?g
+"""
+
+
+def q_kg_sparql_graph_range(spark, sf_dir):
+    """SPARQL §13.3 all-rescoped GRAPH variable, from query text (the
+    last nested-GRAPH deviation, closed round 5): the inner constant
+    block re-scopes the ONLY pattern to page 0's graph, so the outer
+    ``GRAPH ?g`` is left with nothing to scope — the algebra still
+    ranges ?g over EVERY graph name, one solution per (inner match,
+    name) pair.  Compiled as a broadcast cross-join with the distinct
+    graph-name dimension (tiny vs the quads table — never a shuffle)
+    on top of the inner block's pushed graph-constant scan filter; the
+    aggregate then proves the exact multiplicity: one row per page
+    url, each counting page 0's Article subjects."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    return sparql_query(_quads_cut(spark, sf_dir),
+                        SPARQL_GRAPH_RANGE_TEXT)
+
+
 def q_kg_bind_expr(spark, sf_dir):
     """SPARQL BIND (§18.4 Extend): each solution gains a
     ``lang:name`` display label and an integer word-count decade,
@@ -2074,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nested GRAPH groups + term-exact VALUES literals) -----------
         "kg_sparql_update_graph": q_kg_sparql_update_graph,
         "kg_sparql_values_term": q_kg_sparql_values_term,
+        "kg_sparql_graph_range": q_kg_sparql_graph_range,
         # -- first driver row in round 4 -------------------------------
         "kg_term_constructors": q_kg_term_constructors,
         "kg_graph_provenance": q_kg_graph_provenance,
@@ -2107,7 +2135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_spans": q_dedup_exact_spans,
         "kg_shape_induction": q_kg_shape_induction,
         "kg_recrawl_merge": q_kg_recrawl_merge,
-        "turtle_roundtrip": q_turtle_roundtrip,
         "kg_sparql_nested": q_kg_sparql_nested,
         "kg_graph_fingerprint": q_kg_graph_fingerprint,
         # -- round-3 SPARQL/KG slab (first driver rows this round) ----
@@ -2153,6 +2180,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subselect": q_kg_sparql_subselect,  # late-r05
         # addition (sub-SELECT composed with OPTIONAL/MINUS in one
         # group); window full — oracle-gated via check_oracles
+        "turtle_roundtrip": q_turtle_roundtrip,  # retired round 5
+        # (green r03+r04; Turtle serialization stays in-window via
+        # turtle_sink, interchange reader roundtrips via
+        # nquads_roundtrip) — made room for kg_sparql_graph_range
         "streaming_extract": q_streaming_extract,  # retired late-r04
         "streaming_windowed_counts": q_streaming_windowed_counts,
         # (both green r02+r03; streaming stays gated in-window by
@@ -2750,6 +2781,20 @@ def oracle_sql() -> dict[str, str]:
         # the outer graph, inLanguage to the inner (same page graph —
         # emitted twice to pin ?g = ?g2); "de"@en contributes NOTHING
         # (stored tag is @de) even though lexical "de" rows exist.
+        # §13.3 all-rescoped GRAPH variable: ?g ranges over every
+        # graph name (every page url) — the oracle crosses the
+        # distinct-name dimension with page 0's Article count, exactly
+        # the broadcast cross-join the compiled plan performs.
+        "kg_sparql_graph_range": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            names AS (SELECT DISTINCT url AS g FROM exp),
+            d AS (SELECT count(*) AS n_docs FROM exp
+                  WHERE url = '{PAGE_URL_PREFIX}0'
+                    AND pred = '{RDF_TYPE}'
+                    AND obj_value = '{SCHEMA_ORG}Article')
+            SELECT names.g AS g, d.n_docs AS n_docs
+            FROM names CROSS JOIN d
+        """,
         "kg_sparql_values_term": f"""
             WITH exp AS ({expected_triples_sql()}),
             a AS (SELECT url, subj FROM exp
