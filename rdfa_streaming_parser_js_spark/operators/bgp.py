@@ -75,7 +75,21 @@ class GroupSpec:
     partition per mask pair, merged per §18.3 (an unbound side takes
     the other side's value).  It raises only when the total mask
     fan-out would exceed 2^{_MASK_CAP} partitions — never silently
-    computing non-SPARQL answers."""
+    computing non-SPARQL answers.
+
+    ``relations`` holds pre-compiled solution relations joined INTO
+    the spec's own solution (the §18.2 sub-SELECT composition, e.g. a
+    ``{ SELECT ... }`` block inside an OPTIONAL/MINUS/EXISTS body):
+    each entry is ``(thunk, certain, cols)`` — ``thunk(triples)``
+    yields the relation DataFrame lazily at evaluation time,
+    ``certain`` the frozenset of its columns that are bound in every
+    row, ``cols`` its full column tuple (used by composition guards
+    without evaluating).  Relations join LAST (after the spec's own
+    OPTIONAL/MINUS/FILTER/EXISTS — the same order the top-level
+    compiler uses; callers must guard that the orders commute), via
+    §18.3-exact :func:`_compat_inner_join` when a shared variable is
+    maybe-unbound on either side.  A spec may consist of relations
+    only (``OPTIONAL { { SELECT ... } }``)."""
     patterns: "list[Pattern]" = None
     filters: "list[str] | None" = None
     binds: "list[tuple] | None" = None
@@ -85,16 +99,26 @@ class GroupSpec:
     exists: "list | None" = None
     not_exists: "list | None" = None
     union: "list[GroupSpec] | None" = None
+    relations: "list | None" = None      # entries: (thunk, certain, cols)
 
     def __post_init__(self):
         if self.union and (self.patterns or self.filters or self.binds
                            or self.values or self.optionals or self.minus
-                           or self.exists or self.not_exists):
+                           or self.exists or self.not_exists
+                           or self.relations):
             raise ValueError(
                 "a UNION GroupSpec holds only its branches — SPARQL "
                 "makes UNION the entire group body")
-        if not self.union and not self.patterns:
-            raise ValueError("GroupSpec needs patterns or union branches")
+        if not self.union and not self.patterns and not self.relations:
+            raise ValueError(
+                "GroupSpec needs patterns, relations or union branches")
+        if self.relations and not self.patterns and (
+                self.binds or self.values or self.optionals
+                or self.minus or self.exists or self.not_exists):
+            raise ValueError(
+                "a relations-only GroupSpec supports FILTER only — "
+                "BIND/VALUES/OPTIONAL/MINUS/EXISTS need the group's "
+                "own patterns to anchor join order (§18.2)")
 
 
 def _pattern_vars(patterns) -> set:
@@ -121,7 +145,12 @@ def _certain_vars(grp) -> set:
             for s in sets[1:]:
                 out &= s
             return out
-        return _pattern_vars(grp.patterns)
+        out = _pattern_vars(grp.patterns)
+        # relations are inner-joined into the spec's solution, so
+        # their own certain columns are certain here too
+        for _thunk, cert, _cols in grp.relations or ():
+            out |= set(cert)
+        return out
     return _pattern_vars(grp[0])
 
 
@@ -866,6 +895,76 @@ def _compat_minus(solution: DataFrame, group: DataFrame,
     return out
 
 
+def _compat_inner_join(solution: DataFrame, group: DataFrame,
+                       shared: list, unc_sol: list,
+                       unc_grp: list) -> DataFrame:
+    """SPARQL §18.3-exact Join when shared variables may be unbound on
+    EITHER side — the sub-SELECT composition path (§18.2 joins the
+    sub-query's multiset into the group).  Identical mask-pair
+    decomposition to :func:`_compat_left_join`, minus the Diff half:
+    a solution compatible with no group row is dropped (Join, not
+    LeftJoin).  Every pair is an equi join on the variables bound on
+    BOTH sides; an empty key set is the SPARQL-mandated compatibility
+    cross join (an unbound variable constrains nothing), merged per
+    §18.3 — a variable unbound on one side takes the other side's
+    value, one unbound on both stays NULL."""
+    from rdfa_streaming_parser_js_spark.operators.storage import (
+        constraints_disabled, track)
+    with constraints_disabled(solution.sparkSession):
+        solution = track(solution.localCheckpoint(eager=True))
+        group = track(group.localCheckpoint(eager=True))
+    group_only = [c for c in group.columns if c not in solution.columns]
+    out_cols = solution.columns + group_only
+    parts = []
+    for s_nulls, sol_s in _masks(solution, unc_sol):
+        for g_nulls, grp_g in _masks(group, unc_grp):
+            grp_g = grp_g.drop(*g_nulls)
+            keys = [v for v in shared
+                    if v not in s_nulls and v not in g_nulls]
+            left = sol_s.drop(*[v for v in s_nulls
+                                if v not in g_nulls])
+            j = (left.join(grp_g, on=keys, how="inner") if keys
+                 else left.crossJoin(grp_g))
+            for v in s_nulls:  # unbound on BOTH sides stays NULL
+                if v in g_nulls:
+                    j = j.withColumn(
+                        v, F.lit(None).cast(group.schema[v].dataType))
+            parts.append(j.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def join_relation(solution: DataFrame, rel: DataFrame,
+                  certain_sol, certain_rel,
+                  what: str = "sub-SELECT") -> DataFrame:
+    """Join a pre-compiled solution relation (a §18.2 sub-SELECT
+    multiset) into ``solution`` with exact SPARQL §18.3 semantics.
+    ``certain_sol`` / ``certain_rel`` are the variables bound in every
+    row of each side; a shared variable outside them is maybe-unbound
+    and routes the join through the bound-mask machinery
+    (:func:`_compat_inner_join`) instead of a plain equi join.  No
+    shared variable at all is the SPARQL-mandated cross join.  Raises
+    beyond the 2^{_MASK_CAP} mask fan-out, like every compat join."""
+    shared = [c for c in rel.columns if c in solution.columns
+              and not c.endswith(META_SUFFIXES)]
+    if not shared:
+        return solution.crossJoin(rel)
+    unc_s = [v for v in shared if v not in certain_sol]
+    unc_g = [v for v in shared if v not in certain_rel]
+    if not unc_s and not unc_g:
+        return solution.join(rel, on=shared, how="inner")
+    if len(unc_s) + len(unc_g) > _MASK_CAP:
+        raise ValueError(
+            f"{what} shares {len(unc_s) + len(unc_g)} maybe-unbound "
+            f"variable sides (enclosing {sorted(unc_s)}, relation "
+            f"{sorted(unc_g)}) — the bound-mask decomposition fans "
+            f"out 2^k joins and is capped at k={_MASK_CAP}; bind some "
+            "in required patterns or rename")
+    return _compat_inner_join(solution, rel, shared, unc_s, unc_g)
+
+
 def _eval_spec(triples: DataFrame, spec: GroupSpec,
                meta_vars: frozenset,
                constant_only_ok: bool = False) -> DataFrame:
@@ -881,6 +980,20 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
     if spec.union:
         return bgp_union(*[_eval_spec(triples, b, meta_vars)
                            for b in spec.union])
+    if not spec.patterns:
+        # relations-only spec (``OPTIONAL { { SELECT ... } }``): the
+        # first relation IS the solution; the rest join below.  The
+        # constructor guarantees no BIND/VALUES/OPTIONAL/MINUS/EXISTS.
+        (thunk, cert, _cols), *rest = spec.relations
+        solution = thunk(triples)
+        certain = set(cert)
+        for thunk, cert, _cols in rest:
+            solution = join_relation(solution, thunk(triples),
+                                     certain, cert)
+            certain |= set(cert)
+        for expr in spec.filters or ():
+            solution = solution.filter(F.expr(expr))
+        return solution
     solution = _compile_group(triples, spec.patterns, None,
                               constant_only_ok=constant_only_ok,
                               meta_vars=meta_vars)
@@ -945,14 +1058,29 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
             else:
                 solution = solution.join(group.select(*shared),
                                          on=shared, how="left_anti")
-    for expr in spec.filters or ():
-        solution = solution.filter(F.expr(expr))
+    if not spec.relations:
+        for expr in spec.filters or ():
+            solution = solution.filter(F.expr(expr))
     if spec.exists:
         solution = _apply_exists(triples, solution, spec.exists,
                                  negate=False, meta_vars=meta_vars)
     if spec.not_exists:
         solution = _apply_exists(triples, solution, spec.not_exists,
                                  negate=True, meta_vars=meta_vars)
+    # §18.2 sub-SELECT relations join LAST — the same order the
+    # top-level compiler uses (callers guard that the join orders
+    # commute: every variable the spec's O-entries share with a
+    # relation's columns must be certain in the spec's own patterns).
+    # Group FILTERs may reference relation variables (§8.3 scopes them
+    # to the whole group), so with relations present they apply here;
+    # filters commute with the semi/anti EXISTS joins above.
+    if spec.relations:
+        for thunk, cert, _cols in spec.relations:
+            solution = join_relation(solution, thunk(triples),
+                                     certain, cert)
+            certain |= set(cert)
+        for expr in spec.filters or ():
+            solution = solution.filter(F.expr(expr))
     return solution
 
 

@@ -38,7 +38,14 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   ``MINUS``, ``BIND (expr AS ?v)``, ``VALUES``, ``{...} UNION
   {...}`` as the entire group body, and mid-group ``{ SELECT ... }``
   sub-queries (§18.2) joined into the group on their shared
-  variables.  ``BIND`` / ``VALUES`` also work INSIDE an OPTIONAL /
+  variables — at the top level AND inside OPTIONAL / MINUS / EXISTS
+  bodies (compiled as lazy GroupSpec relations; a body may even be a
+  sub-SELECT alone, ``OPTIONAL { { SELECT ... } }``).  The join is
+  §18.3-exact: a shared variable that is maybe-unbound on either
+  side (an OPTIONAL/BIND projection of the sub-query, or an
+  OPTIONAL/BIND/VALUES variable of the group) routes through the
+  bound-mask compatibility machinery instead of a plain equi join.
+  ``BIND`` / ``VALUES`` also work INSIDE an OPTIONAL /
   MINUS / EXISTS group (applied after the group's patterns, before
   its filters), and those groups NEST: ``OPTIONAL { P1 OPTIONAL
   { P2 } }``, ``OPTIONAL { {A} UNION {B} }``, ``MINUS { P FILTER
@@ -164,15 +171,16 @@ Documented deviations (each raises or is noted, never silent):
   beyond the 2^4 fan-out cap, and for maybe-unbound correlation in
   EXISTS/NOT EXISTS groups (substitution semantics — correlate on
   required variables).
-  Sub-SELECTs stay top-level only (not inside an OPTIONAL/MINUS/
-  EXISTS body).  A group may contain BOTH a sub-SELECT and OPTIONAL/
-  MINUS/EXISTS when the join orders provably commute — every variable
-  those blocks touch that also appears in the sub-SELECT's projection
-  must be certain (bound by the group's own triple patterns); a
-  maybe-unbound shared variable makes §18.2's left-to-right order
-  semantically significant, and the compiler raises rather than pick
-  one (compose at the DataFrame level).  The group must also keep at
-  least one triple pattern of its own.
+  A group (top-level or nested) may contain BOTH a sub-SELECT and
+  OPTIONAL/MINUS/EXISTS when the join orders provably commute —
+  every variable those blocks touch that also appears in the
+  sub-SELECT's projection must be certain (bound by the group's own
+  triple patterns); a maybe-unbound shared variable makes §18.2's
+  left-to-right order semantically significant, and the compiler
+  raises rather than pick one (compose at the DataFrame level).  A
+  group combining a sub-SELECT with BIND/VALUES/OPTIONAL/MINUS/
+  EXISTS must keep at least one triple pattern of its own to anchor
+  the order.
 """
 
 from __future__ import annotations
@@ -185,8 +193,8 @@ from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators import paths as P
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    META_SUFFIXES, GroupSpec, Lit, bgp_construct, bgp_match, bgp_union,
-    describe)
+    META_SUFFIXES, GroupSpec, Lit, _certain_vars, bgp_construct,
+    bgp_match, bgp_union, describe, join_relation)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -263,33 +271,52 @@ class Group:
     graph_ranges: list = field(default_factory=list)
 
 
+def _relation_entry(sq: "ParsedQuery"):
+    """A nested sub-SELECT → the ``(thunk, certain, cols)`` relation
+    entry :class:`bgp.GroupSpec` evaluates lazily.  The thunk defers
+    to :func:`_execute_select` at evaluation time, when the triples
+    DataFrame exists and meta-variable stamping has completed."""
+    return (lambda triples, _sq=sq: _execute_select(triples, _sq),
+            _certain_out_vars(sq), tuple(sorted(_projected_vars(sq))))
+
+
 def _group_to_spec(sub: Group) -> GroupSpec:
     """A nested OPTIONAL/MINUS/EXISTS group that itself nests further
     groups → the recursive :class:`bgp.GroupSpec` the algebra evaluates
     bottom-up.  Entries in sub.optionals/minus/exists/not_exists were
     already converted (tuple or GroupSpec) as they were parsed; UNION
-    branches are parser Groups and convert here."""
-    if sub.subselects:
-        raise SparqlSyntaxError(
-            "sub-SELECT inside a nested group is not supported")
+    branches are parser Groups and convert here; sub-SELECT blocks
+    become lazy relation entries, guarded by the same §18.2
+    commutation check as the top level."""
     if sub.graph_ranges:
         raise SparqlSyntaxError(
             "a GRAPH variable with nothing to scope (every pattern "
             "re-scoped by nested GRAPH blocks) is only supported at "
             "the top level of WHERE")
     if sub.union:
-        if sub.patterns or sub.filters:
+        if sub.patterns or sub.filters or sub.subselects:
             raise SparqlSyntaxError("UNION must be the entire group body")
         return GroupSpec(union=[
             b if isinstance(b, GroupSpec) else _group_to_spec(b)
             for b in sub.union])
-    if not sub.patterns:
+    relations = None
+    if sub.subselects:
+        _check_subselect_commutes(
+            sub, [_projected_vars(sq) for sq in sub.subselects])
+        if not sub.patterns and (sub.binds or sub.values):
+            raise SparqlSyntaxError(
+                "VALUES/BIND in a group whose only relation is a "
+                "sub-SELECT is not supported — add a triple pattern "
+                "or compose at the DataFrame level")
+        relations = [_relation_entry(sq) for sq in sub.subselects]
+    if not sub.patterns and not relations:
         raise SparqlSyntaxError("empty group pattern")
     return GroupSpec(
-        patterns=sub.patterns, filters=sub.filters or None,
+        patterns=sub.patterns or None, filters=sub.filters or None,
         binds=sub.binds or None, values=sub.values or None,
         optionals=sub.optionals or None, minus=sub.minus or None,
-        exists=sub.exists or None, not_exists=sub.not_exists or None)
+        exists=sub.exists or None, not_exists=sub.not_exists or None,
+        relations=relations)
 
 
 @dataclass
@@ -460,6 +487,11 @@ class _Parser:
         # shape heuristic and be emitted as an IRI.
         self.in_template = False
         self.template_literals: dict[str, tuple] = {}
+        # every sub-SELECT body parsed anywhere in the query (top-level
+        # groups AND nested OPTIONAL/MINUS/EXISTS bodies, where the
+        # ParsedQuery hides inside a GroupSpec relation thunk): kept
+        # flat so meta-variable stamping reaches all of them
+        self.all_subqueries: list = []
         # HAVING bodies may contain aggregate calls (§11.1) — the flag
         # gates _primary's aggregate branch, the counter records that
         # the current condition actually used one
@@ -713,17 +745,18 @@ class _Parser:
             return g
         while not self.at_op("}"):
             if self.at_op("{"):
-                # mid-group braced block: a sub-SELECT (§18.2)
-                if not top:
-                    self.fail("sub-SELECT inside a nested group is "
-                              "not supported")
+                # mid-group braced block: a sub-SELECT (§18.2) — at
+                # the top level or inside an OPTIONAL/MINUS/EXISTS
+                # body (where it compiles to a GroupSpec relation)
                 self.next()
                 if not self.at_kw("select"):
                     self.fail("expected SELECT (only sub-SELECT blocks "
                               "may appear mid-group; UNION must be the "
                               "entire group body)")
                 self.next()
-                g.subselects.append(self._parse_select_body())
+                sq = self._parse_select_body()
+                g.subselects.append(sq)
+                self.all_subqueries.append(sq)
                 self.expect_op("}")
             elif self.take_kw("filter"):
                 self._parse_filter(g, top)
@@ -946,7 +979,7 @@ class _Parser:
                 "re-scoped by nested GRAPH blocks) is only supported "
                 "at the top level of WHERE")
         if (sub.optionals or sub.minus or sub.exists or sub.not_exists
-                or sub.union):
+                or sub.union or sub.subselects):
             return _group_to_spec(sub)
         if sub.binds or sub.values:
             return (sub.patterns, sub.filters or None,
@@ -1605,7 +1638,7 @@ def parse_sparql(text: str) -> ParsedQuery:
             _parse_modifiers(p, q)
             if p.peek().kind != "EOF":
                 p.fail("trailing input after query")
-            _stamp_meta(q, frozenset(p.meta_vars))
+            _stamp_meta(q, frozenset(p.meta_vars), p)
             return q
         tmpl = Group()
         p.expect_op("{")
@@ -1630,23 +1663,29 @@ def parse_sparql(text: str) -> ParsedQuery:
         p.fail("expected SELECT, ASK or CONSTRUCT")
     if p.peek().kind != "EOF":
         p.fail("trailing input after query")
-    _stamp_meta(q, frozenset(p.meta_vars))
+    _stamp_meta(q, frozenset(p.meta_vars), p)
     _check_template_collisions(p)
     q.template_literals = dict(p.template_literals)
     return q
 
 
-def _stamp_meta(q: ParsedQuery, mv: frozenset) -> None:
+def _stamp_meta(q: ParsedQuery, mv: frozenset,
+                p: "_Parser | None" = None) -> None:
     """Record the term-metadata variable set on the query and every
     nested sub-SELECT (the set is parser-global; a variable only gains
-    companion columns in groups that actually bind it)."""
+    companion columns in groups that actually bind it).  Sub-SELECTs
+    inside OPTIONAL/MINUS/EXISTS bodies are hidden behind GroupSpec
+    relation thunks by stamping time, so the parser's flat
+    ``all_subqueries`` registry covers them."""
     q.meta_vars = mv
     stack = [q.where]
     while stack:
         g = stack.pop()
-        stack.extend(g.union)
+        stack.extend(b for b in g.union if isinstance(b, Group))
         for sq in g.subselects:
             _stamp_meta(sq, mv)
+    for sq in (p.all_subqueries if p is not None else ()):
+        _stamp_meta(sq, mv)
 
 
 def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
@@ -1737,10 +1776,84 @@ def _entry_vars(entry) -> set:
         out |= set(_SQL_IDENT.findall(expr))
     for row in values or ():
         out |= set(row)
+    if isinstance(entry, GroupSpec):
+        for _thunk, _cert, cols in entry.relations or ():
+            out |= set(cols)
     return out
 
 
-def _check_subselect_commutes(g: Group, subs: list) -> None:
+def _projected_vars(q: "ParsedQuery") -> set:
+    """The variables a sub-SELECT's solution relation binds, computed
+    at parse time (no DataFrame yet).  Explicit projections are exact;
+    ``SELECT *`` over-approximates via the group's variable walk —
+    over-counting only makes the composition guard raise MORE, never
+    silently mis-evaluate."""
+    if q.select is not None:
+        return {it.var for it in q.select}
+    return _group_vars(q.where)
+
+
+def _group_vars(g: Group) -> set:
+    """Over-approximate the variables visible in a parser Group's own
+    solution (pattern vars, BIND/VALUES names, graph-range names,
+    OPTIONAL/MINUS-introduced vars, nested sub-SELECT projections).
+    FILTER/EXISTS identifiers ride along via :func:`_entry_vars` —
+    an over-approximation, harmless for guards."""
+    out = {t[1:] for pat in g.patterns for t in pat
+           if isinstance(t, str) and t.startswith("?")}
+    for name, _expr in g.binds:
+        out.add(name)
+    for row in g.values:
+        out |= set(row)
+    out |= set(g.graph_ranges)
+    for b in g.union:
+        out |= (_entry_vars(b) if isinstance(b, GroupSpec)
+                else _group_vars(b))
+    for entry in g.optionals + g.minus:
+        out |= _entry_vars(entry)
+    for sq in g.subselects:
+        out |= _projected_vars(sq)
+    return out
+
+
+def _certain_out_vars(q: "ParsedQuery") -> frozenset:
+    """The sub-SELECT projections bound in EVERY solution row — the
+    sound under-approximation the §18.3 mask machinery needs (claiming
+    certainty for a NULL-able column would compute wrong answers, the
+    reverse only costs extra mask partitions).  A plain projected
+    variable is certain iff certain in the WHERE group; every
+    expression/aggregate projection counts as maybe-unbound (COUNT
+    never is, but conservatism is free here)."""
+    cert = _group_certain(q.where)
+    if q.select is None:
+        return frozenset(cert)
+    return frozenset(it.var for it in q.select
+                     if it.sql is None and not it.is_agg
+                     and it.var in cert)
+
+
+def _group_certain(g: Group) -> set:
+    """Variables bound in every solution of a parser Group: its own
+    pattern vars, the certain projections of its sub-SELECTs (inner
+    joins), and graph-range names (non-NULL by construction); a UNION
+    is the intersection of its branches.  OPTIONAL/MINUS/BIND/VALUES
+    never add certainty."""
+    if g.union:
+        sets = [(_certain_vars(b) if isinstance(b, GroupSpec)
+                 else _group_certain(b)) for b in g.union]
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return set(out)
+    cert = {t[1:] for pat in g.patterns for t in pat
+            if isinstance(t, str) and t.startswith("?")}
+    for sq in g.subselects:
+        cert |= _certain_out_vars(sq)
+    cert |= set(g.graph_ranges)
+    return cert
+
+
+def _check_subselect_commutes(g: Group, sub_cols: list) -> None:
     """§18.2 composition guard: the compiled plan joins sub-SELECT
     relations AFTER bgp_match applies the group's OPTIONAL/MINUS/
     EXISTS, i.e. it evaluates ``Join(LeftJoin(P, O), S)``.  SPARQL's
@@ -1751,16 +1864,18 @@ def _check_subselect_commutes(g: Group, subs: list) -> None:
     P solution, so the left join can neither mint nor rewrite it —
     rewriting happens only for maybe-unbound shared variables under
     the §18.3 mask machinery).  Anything else raises rather than
-    silently picking an order."""
-    if not subs:
+    silently picking an order.  ``sub_cols`` is a list of per-sub
+    column-name sets (parse-time projections for nested groups,
+    actual DataFrame columns at the top level)."""
+    if not sub_cols:
         return
-    sub_cols = set()
-    for s in subs:
-        sub_cols |= set(s.columns)
+    all_cols = set()
+    for s in sub_cols:
+        all_cols |= set(s)
     certain = {t[1:] for pat in g.patterns for t in pat
                if isinstance(t, str) and t.startswith("?")}
     for entry in (g.optionals + g.minus + g.exists + g.not_exists):
-        clash = (_entry_vars(entry) & sub_cols) - certain
+        clash = (_entry_vars(entry) & all_cols) - certain
         if clash:
             raise SparqlSyntaxError(
                 "sub-SELECT and OPTIONAL/MINUS/EXISTS in one group "
@@ -1774,9 +1889,12 @@ def _compile_where(triples: DataFrame, g: Group,
     if g.union:
         return bgp_union(
             *[_compile_where(triples, b, meta_vars) for b in g.union])
-    subs = [_execute_select(triples, sq) for sq in g.subselects]
+    subs = [(_execute_select(triples, sq), _certain_out_vars(sq))
+            for sq in g.subselects]
+    certain = {t[1:] for pat in g.patterns for t in pat
+               if isinstance(t, str) and t.startswith("?")}
     if g.patterns:
-        _check_subselect_commutes(g, subs)
+        _check_subselect_commutes(g, [s.columns for s, _c in subs])
         sol = bgp_match(
             triples, g.patterns,
             meta_vars=meta_vars,
@@ -1797,13 +1915,18 @@ def _compile_where(triples: DataFrame, g: Group,
                 "VALUES/BIND in a group whose only relation is a "
                 "sub-SELECT is not supported — add a triple pattern "
                 "or compose at the DataFrame level")
-        sol = subs.pop(0)
+        sol, cert0 = subs.pop(0)
+        certain |= set(cert0)
     else:
         raise SparqlSyntaxError("empty group pattern")
-    for s in subs:
-        shared = [c for c in s.columns if c in sol.columns]
-        sol = (sol.join(s, on=shared, how="inner") if shared
-               else sol.crossJoin(s))
+    for s, cert in subs:
+        # §18.3-exact Join: a shared variable that is maybe-unbound on
+        # either side (an OPTIONAL/BIND projection of the sub-SELECT,
+        # or an OPTIONAL/BIND/VALUES variable of the group) routes
+        # through the bound-mask machinery — a plain equi join would
+        # drop the NULL side, computing non-SPARQL answers.
+        sol = join_relation(sol, s, certain, cert)
+        certain |= set(cert)
     if g.subselects and g.filters:
         for expr in g.filters:
             sol = sol.filter(F.expr(expr))
@@ -1816,7 +1939,11 @@ def _compile_where(triples: DataFrame, g: Group,
                 f"GRAPH ?{var} ranges over graph names, but the input "
                 "is a triples table with no 'graph' column — query a "
                 "quads table")
-        names = triples.select(F.col("graph").alias(var)).distinct()
+        # §13.3 ranges over NAMED graphs only: a quads table may hold
+        # default-graph rows (NULL graph — e.g. after a SPARQL Update
+        # inserting bare triples), which must not mint a NULL name
+        names = (triples.filter(F.col("graph").isNotNull())
+                 .select(F.col("graph").alias(var)).distinct())
         sol = (sol.join(F.broadcast(names), on=var, how="inner")
                if var in sol.columns
                else sol.crossJoin(F.broadcast(names)))

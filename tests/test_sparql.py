@@ -1142,13 +1142,95 @@ def test_two_sided_group_value_fills_unbound_sol_var(spark):
         ("d4", None, None)]    # nothing anywhere
 
 
-def test_nested_subselect_still_raises(spark):
-    with pytest.raises(SparqlSyntaxError):
+def test_nested_subselect_inside_optional(spark):
+    """§18.2 sub-SELECT inside an OPTIONAL body (previously a
+    documented deviation, now compiled as a GroupSpec relation): the
+    optional attaches the subquery's aggregate where the group's own
+    pattern matches, NULL elsewhere."""
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?d ?n WHERE {
+            ?d a schema:Article .
+            OPTIONAL { ?d schema:inLanguage ?l .
+                       { SELECT ?d (COUNT(?w) AS ?n)
+                         WHERE { ?d schema:wordCount ?w }
+                         GROUP BY ?d } }
+        }""").collect()
+    assert sorted((r.d, r.n) for r in got) == [("d1", None), ("d2", 1)]
+
+
+def test_nested_subselect_inside_minus_and_exists(spark):
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?d WHERE {
+            ?d a schema:Article .
+            MINUS { ?d schema:inLanguage ?l .
+                    { SELECT ?d WHERE { ?d schema:wordCount ?w } } }
+        }""").collect()
+    assert [r.d for r in got] == ["d1"]
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?d WHERE {
+            ?d a schema:Article .
+            FILTER EXISTS { ?d schema:isPartOf ?src .
+                            { SELECT ?src WHERE
+                              { ?src schema:name ?n } } }
+        }""").collect()
+    assert sorted(r.d for r in got) == ["d1", "d2"]
+
+
+def test_relations_only_optional(spark):
+    """``OPTIONAL { { SELECT ... } }`` — a relations-only nested
+    group: LeftJoin(P, ToMultiset(sub)) per the §18.2 algebra."""
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?d ?lang WHERE {
+            ?d a schema:Article .
+            OPTIONAL { { SELECT ?d ?lang WHERE
+                         { ?d schema:inLanguage ?lang } } }
+        }""").collect()
+    assert sorted((r.d, r.lang) for r in got) == [
+        ("d1", None), ("d2", "en")]
+
+
+def test_subselect_maybe_unbound_projection_joins_per_18_3(spark):
+    """A sub-SELECT projecting a maybe-unbound variable (bound only
+    under an inner OPTIONAL) shared with the outer patterns: §18.3
+    compatibility — the unbound sub row matches ANY outer value and
+    takes it (a plain equi join would silently drop it)."""
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?d ?l WHERE {
+            ?d schema:inLanguage ?l .
+            { SELECT ?d ?l WHERE {
+                ?d a schema:Article
+                OPTIONAL { ?d schema:inLanguage ?l } } }
+        }""").collect()
+    # only d2 has inLanguage; the sub binds (d2, en) — equal on both
+    # sides — and (d1, NULL) which has no outer d1 row to extend
+    assert sorted((r.d, r.l) for r in got) == [("d2", "en")]
+    got = sparql_query(_kg(spark), PFX + """
+        SELECT ?d ?w WHERE {
+            ?d schema:wordCount ?w .
+            { SELECT ?d ?w WHERE {
+                ?d a schema:Article
+                OPTIONAL { ?d schema:inLanguage ?x .
+                           ?d schema:wordCount ?w } } }
+        }""").collect()
+    # sub rows: (d1, NULL) [no inLanguage], (d2, "80").  Outer rows:
+    # (d1,"120"), (d2,"80").  §18.3: (d1,NULL) is compatible with
+    # (d1,"120") and takes the outer value.
+    assert sorted((r.d, r.w) for r in got) == [("d1", "120"),
+                                               ("d2", "80")]
+
+
+def test_nested_subselect_commute_guard_raises(spark):
+    """Inside a nested group the same §18.2 commutation guard applies:
+    an inner OPTIONAL touching a sub-projected variable that the
+    nested group's own patterns do not bind raises."""
+    with pytest.raises(SparqlSyntaxError, match="maybe-unbound"):
         parse_sparql(PFX + """
             SELECT * WHERE {
                 ?d a schema:Article .
-                OPTIONAL { ?d schema:author ?a .
-                           { SELECT ?a WHERE { ?a schema:name ?n } } }
+                OPTIONAL { ?d schema:isPartOf ?src .
+                           OPTIONAL { ?d schema:name ?n }
+                           { SELECT ?d ?n WHERE
+                             { ?d schema:wordCount ?n } } }
             }""")
 
 

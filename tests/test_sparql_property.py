@@ -242,3 +242,95 @@ def test_subselect_composition_agrees_with_naive(spark, case):
         }}""")
     assert Counter(tuple(r) for r in got.collect()) == \
         _naive_subsel(triples, kind, const)
+
+
+# --------------------------------------------------------------------
+# §18.3-exact sub-SELECT Join: a sub-SELECT projecting a maybe-unbound
+# variable (inner OPTIONAL) shared with the outer patterns must join
+# with SPARQL compatibility semantics — an unbound sub row matches any
+# outer value and takes it.  Reference: a naive bag evaluator of the
+# §18.3 algebra over random small graphs.  Same for the sub-SELECT
+# inside an OPTIONAL body (the round-5 nested-group extension).
+# --------------------------------------------------------------------
+
+
+@st.composite
+def _compat_sub_case(draw):
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(_N),
+                  st.sampled_from(["p0", "p1", "p2", "p3"]),
+                  st.sampled_from(_N)),
+        min_size=1, max_size=18))
+    return triples
+
+
+def _sub_rows(triples):
+    """Naive sub-SELECT bag: SELECT ?x ?w WHERE { ?x <p1> ?z
+    OPTIONAL { ?x <p2> ?w } } — one row per (p1 edge, p2 edge-or-none)."""
+    rows = []
+    for s, p, o in triples:
+        if p != "p1":
+            continue
+        ws = [w for s2, p2, w in triples if s2 == s and p2 == "p2"]
+        rows.extend((s, w) for w in (ws or [None]))
+    return rows
+
+
+@settings(max_examples=12, deadline=None)
+@given(_compat_sub_case())
+def test_subselect_maybe_unbound_join_agrees_with_naive(spark, case):
+    from collections import Counter
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    triples = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    got = sparql_query(df, """
+        SELECT ?x ?y ?w WHERE {
+            ?x <p0> ?y . ?x <p3> ?w .
+            { SELECT ?x ?w WHERE {
+                ?x <p1> ?z OPTIONAL { ?x <p2> ?w } } }
+        }""")
+    want = Counter()
+    outer = [(s, y) for s, p, y in triples if p == "p0"]
+    ws = [(s, w) for s, p, w in triples if p == "p3"]
+    subs = _sub_rows(triples)
+    for x, y in outer:
+        for x2, w in ws:
+            if x2 != x:
+                continue
+            for sx, sw in subs:
+                # shared {x, w}: compatible iff equal-or-unbound; the
+                # merged solution takes the outer (bound) value
+                if sx == x and (sw is None or sw == w):
+                    want[(x, y, w)] += 1
+    assert Counter(tuple(r) for r in got.collect()) == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(_compat_sub_case())
+def test_subselect_inside_optional_agrees_with_naive(spark, case):
+    from collections import Counter
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    triples = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    got = sparql_query(df, """
+        SELECT ?x ?y ?v ?w WHERE {
+            ?x <p0> ?y .
+            OPTIONAL { ?x <p3> ?v .
+                       { SELECT ?x ?w WHERE {
+                           ?x <p1> ?z OPTIONAL { ?x <p2> ?w } } } }
+        }""")
+    want = Counter()
+    subs = _sub_rows(triples)
+    for x, y in [(s, y) for s, p, y in triples if p == "p0"]:
+        grp = [(v, sw) for s, p, v in triples if s == x and p == "p3"
+               for sx, sw in subs if sx == x]
+        if grp:
+            for v, sw in grp:
+                want[(x, y, v, sw)] += 1
+        else:
+            want[(x, y, None, None)] += 1
+    assert Counter(tuple(r) for r in got.collect()) == want
