@@ -1335,10 +1335,18 @@ def q_kg_term_constructors(spark, sf_dir):
 
 SPARQL_NESTED_TEXT = f"""
     PREFIX schema: <{SCHEMA_ORG}>
-    SELECT ?doc ?name ?src ?d ?d2 ?wc ?bucket WHERE {{
+    SELECT ?doc ?name ?src ?d ?d2 ?wc ?bucket ?src2 ?srcn WHERE {{
         ?doc a schema:Article ;
              schema:name ?name ;
              schema:dateCreated ?d2 .
+        OPTIONAL {{
+            ?doc schema:isPartOf ?src2 .
+            {{ SELECT ?src2 (COUNT(?dd) AS ?srcn)
+               WHERE {{ ?dd schema:isPartOf ?src2 ;
+                            schema:inLanguage "en"@en }}
+               GROUP BY ?src2 }}
+            FILTER(?srcn >= 10)
+        }}
         OPTIONAL {{
             ?doc schema:isPartOf ?src .
             FILTER(STRENDS(STR(?src), "1") || STRENDS(STR(?src), "2")
@@ -1380,6 +1388,13 @@ def q_kg_sparql_nested(spark, sf_dir):
     the enclosing join takes the bound-mask §18.3 compatibility path
     (_compat_left_join) — a naive equi-join would drop ?wc for every
     early-month page, so the hash gate proves the exact semantics.
+    Round 5 adds an OPTIONAL whose body holds a SUB-SELECT (§18.2
+    inside a nested group, compiled to a lazy GroupSpec relation —
+    operators/sparql.py _relation_entry): the per-source count of
+    English docs inner-joins into the nested group on the certain
+    ?src2, and the group FILTER on the relation's aggregate applies
+    AFTER the relation join (bgp._eval_spec), keeping only sources
+    with >= 10 — docs from thinner sources get NULL (?src2, ?srcn).
     Every nested group compiles to its own
     predicate-pruned scan slice; the enclosing joins are equi-joins on
     ?doc, which the GroupSpec certainty check proves is bound in every
@@ -2660,13 +2675,34 @@ def oracle_sql() -> dict[str, str]:
                           SELECT 1 FROM exp dc
                           WHERE dc.subj = l.subj
                             AND dc.pred = '{SCHEMA_ORG}dateCreated'
-                            AND dc.obj_value < '2024-03-09'))
+                            AND dc.obj_value < '2024-03-09')),
+            -- the nested-sub-SELECT OPTIONAL (round-5 §18.2-in-
+            -- OPTIONAL extension): per-source count of English docs,
+            -- inner-joined into the nested group on the certain
+            -- ?src2, then the group FILTER (applies AFTER the
+            -- relation join) keeps only sources with >= 10
+            opt3 AS (SELECT s.subj AS doc, s.obj_value AS src2, c.srcn
+                     FROM exp s
+                     JOIN (SELECT p.obj_value AS k,
+                                  COUNT(*) AS srcn
+                           FROM exp p JOIN exp l ON l.subj = p.subj
+                             AND l.pred = '{SCHEMA_ORG}inLanguage'
+                             AND l.obj_kind = 'literal'
+                             AND l.obj_value = 'en'
+                             AND lower(l.obj_lang) = 'en'
+                           WHERE p.pred = '{SCHEMA_ORG}isPartOf'
+                           GROUP BY p.obj_value) c
+                       ON c.k = s.obj_value
+                     WHERE s.pred = '{SCHEMA_ORG}isPartOf'
+                       AND c.srcn >= 10)
             SELECT req.doc AS doc, req.name AS name, opt1.src AS src,
                    opt1.d AS d, req.d2 AS d2, optwc.wc AS wc,
-                   opt2.bucket AS bucket
+                   opt2.bucket AS bucket, opt3.src2 AS src2,
+                   opt3.srcn AS srcn
             FROM req LEFT JOIN opt1 ON opt1.doc = req.doc
                      LEFT JOIN optwc ON optwc.doc = req.doc
                      LEFT JOIN opt2 ON opt2.doc = req.doc
+                     LEFT JOIN opt3 ON opt3.doc = req.doc
             WHERE req.doc NOT IN (SELECT doc FROM minus)
             ORDER BY doc
         """,
