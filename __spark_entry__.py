@@ -1731,18 +1731,33 @@ def q_kg_exists_filters(spark, sf_dir):
     wc ≥ 50} (group-local filter inside the probe) AND NOT EXISTS
     {?doc inLanguage 'en'}.  Both probes correlate on ?doc, so output
     multiplicity is untouched (semi/anti join, never a multiplying
-    inner join)."""
+    inner join).
+
+    A third leg exercises §8.1.1 SUBSTITUTION semantics over a
+    maybe-unbound variable: OPTIONAL binds ?src only for a lexical
+    slice of the sources, and EXISTS {?peer isPartOf ?src . ?peer
+    inLanguage 'de'} then correlates on ?src — a row that binds it
+    demands a German peer in ITS source; a row that leaves it unbound
+    leaves ?src FREE in the group (any German doc anywhere passes it).
+    Compiled via the bound-mask decomposition in
+    ``bgp._subst_exists``; the oracle mirrors the two cases with an
+    explicit CASE over ``src IS NULL``."""
     from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
     t = _triples_cut(spark, sf_dir)
     return bgp_match(
         t,
         [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
          ("?doc", f"{SCHEMA_ORG}name", "?name")],
+        optionals=[([("?doc", f"{SCHEMA_ORG}isPartOf", "?src")],
+                    ["src >= 'http://corpus.example.org/source/src12'"])],
         exists=[([("?doc", f"{SCHEMA_ORG}wordCount", "?wc")],
-                 ["CAST(wc AS INT) >= 50"])],
+                 ["CAST(wc AS INT) >= 50"]),
+                ([("?peer", f"{SCHEMA_ORG}isPartOf", "?src"),
+                  ("?peer", f"{SCHEMA_ORG}inLanguage", "?pl")],
+                 ["pl = 'de'"])],
         not_exists=[([("?doc", f"{SCHEMA_ORG}inLanguage", "?l")],
                      ["l = 'en'"])],
-        select=["doc", "name"])
+        select=["doc", "name", "src"])
 
 
 def q_graph_table_roundtrip(spark, sf_dir):
@@ -3405,16 +3420,38 @@ def oracle_sql() -> dict[str, str]:
                     FROM exp t JOIN exp n ON n.subj = t.subj
                     WHERE t.pred = '{RDF_TYPE}'
                       AND t.obj_value = '{SCHEMA_ORG}Article'
-                      AND n.pred = '{SCHEMA_ORG}name')
-            SELECT doc, name FROM req
+                      AND n.pred = '{SCHEMA_ORG}name'),
+            opt AS (SELECT req.doc, req.name, s.obj_value AS src
+                    FROM req LEFT JOIN exp s
+                      ON s.subj = req.doc
+                     AND s.pred = '{SCHEMA_ORG}isPartOf'
+                     AND s.obj_value >=
+                         'http://corpus.example.org/source/src12')
+            SELECT doc, name, src FROM opt
             WHERE EXISTS (SELECT 1 FROM exp w
-                          WHERE w.subj = req.doc
+                          WHERE w.subj = opt.doc
                             AND w.pred = '{SCHEMA_ORG}wordCount'
                             AND CAST(w.obj_value AS INT) >= 50)
               AND NOT EXISTS (SELECT 1 FROM exp l
-                              WHERE l.subj = req.doc
+                              WHERE l.subj = opt.doc
                                 AND l.pred = '{SCHEMA_ORG}inLanguage'
                                 AND l.obj_value = 'en')
+              -- SPARQL §8.1.1 substitution: bound ?src correlates,
+              -- unbound ?src stays FREE in the EXISTS group
+              AND CASE WHEN opt.src IS NULL THEN
+                    EXISTS (SELECT 1 FROM exp p JOIN exp pl
+                              ON pl.subj = p.subj
+                            WHERE p.pred = '{SCHEMA_ORG}isPartOf'
+                              AND pl.pred = '{SCHEMA_ORG}inLanguage'
+                              AND pl.obj_value = 'de')
+                  ELSE
+                    EXISTS (SELECT 1 FROM exp p JOIN exp pl
+                              ON pl.subj = p.subj
+                            WHERE p.pred = '{SCHEMA_ORG}isPartOf'
+                              AND p.obj_value = opt.src
+                              AND pl.pred = '{SCHEMA_ORG}inLanguage'
+                              AND pl.obj_value = 'de')
+                  END
         """,
         "kg_bgp_minus": f"""
             WITH exp AS ({expected_triples_sql()}),

@@ -583,14 +583,25 @@ def _subgroup(triples: DataFrame, grp, meta_vars: frozenset,
 
 def _apply_exists(triples: DataFrame, solution: DataFrame,
                   groups: "list[OptionalGroup]", negate: bool,
-                  meta_vars: "frozenset[str]" = frozenset()) -> DataFrame:
+                  meta_vars: "frozenset[str]" = frozenset(),
+                  certain: "set | frozenset | None" = None) -> DataFrame:
     """FILTER [NOT] EXISTS: each group keeps (or removes) the solutions
     some group solution is compatible with on the shared variables —
     a semi (anti) join, so multiplicities never change.  A group sharing
     no variable — including a constant-only group — is a global probe:
     EXISTS keeps everything iff the group matches at all, NOT EXISTS
     empties the solution iff it does (the SPARQL §8.3.3 case where
-    NOT EXISTS and MINUS genuinely differ)."""
+    NOT EXISTS and MINUS genuinely differ).
+
+    ``certain`` names the variables bound in EVERY enclosing solution
+    row; a shared variable outside it may be UNBOUND (an OPTIONAL /
+    partial-UNION / BIND / VALUES binding) and routes through
+    :func:`_subst_exists`, which is the EXACT SPARQL §8.1.1
+    substitution semantics for an unbound outer variable: EXISTS
+    substitutes only the variables the row actually binds (§18.6
+    ``substitute()``), so an unbound one stays a FREE variable of the
+    group and constrains nothing for that row.  ``certain=None``
+    means all shared variables are certain (trusted caller)."""
     for grp in groups:
         group = _subgroup(
             triples, grp, constant_only_ok=True,
@@ -602,9 +613,24 @@ def _apply_exists(triples: DataFrame, solution: DataFrame,
         if shared:
             _check_join_keys(grp, shared,
                              "NOT EXISTS" if negate else "EXISTS")
-            solution = solution.join(group.select(*shared), on=shared,
-                                     how="left_anti" if negate
-                                     else "left_semi")
+            unc_s = ([] if certain is None
+                     else [v for v in shared if v not in certain])
+            if unc_s:
+                if len(unc_s) > _MASK_CAP:
+                    raise ValueError(
+                        f"{'NOT EXISTS' if negate else 'EXISTS'} group "
+                        f"correlates on {len(unc_s)} maybe-unbound "
+                        f"enclosing variables {sorted(unc_s)} — the "
+                        f"bound-mask decomposition fans out 2^k joins "
+                        f"and is capped at k={_MASK_CAP}; bind some in "
+                        "required patterns or rename")
+                solution = _subst_exists(solution, group, shared,
+                                         unc_s, negate)
+            else:
+                solution = solution.join(group.select(*shared),
+                                         on=shared,
+                                         how="left_anti" if negate
+                                         else "left_semi")
         else:
             gate = group.limit(1).select(F.lit(1).alias("_exists"))
             if negate:
@@ -614,6 +640,53 @@ def _apply_exists(triples: DataFrame, solution: DataFrame,
                 solution = (solution.crossJoin(F.broadcast(gate))
                             .drop("_exists"))
     return solution
+
+
+def _subst_exists(solution: DataFrame, group: DataFrame,
+                  shared: list, unc_s: list, negate: bool) -> DataFrame:
+    """SPARQL §8.1.1-exact FILTER [NOT] EXISTS when a shared variable
+    may be UNBOUND in the ENCLOSING solution.  EXISTS evaluates the
+    group with the row's bindings substituted in (§18.6) — a variable
+    the row does NOT bind is left free in the group, so it constrains
+    nothing for that row (it is NOT "never matches", and it is NOT the
+    §18.3 compatibility reading either).  That is expressible exactly
+    by partitioning the solution by bound-mask over the maybe-unbound
+    shared variables: each part semi (anti) joins the group on the
+    variables that part actually binds, and the all-unbound part
+    degenerates to the global non-emptiness probe.  Partitions are
+    disjoint, so bag multiplicities are preserved exactly.
+
+    Group-side unboundness is NOT handled here — under substitution
+    the group's own solution relation is not sufficient evidence (a
+    substituted OPTIONAL can never fail the group), so
+    :func:`_check_join_keys` keeps raising for it upstream.
+
+    Both inputs are materialized once: the masks consume the solution
+    O(2^k) times and the group per-mask (tracked; release_tracked()
+    frees the blocks)."""
+    from rdfa_streaming_parser_js_spark.operators.storage import (
+        constraints_disabled, track)
+    with constraints_disabled(solution.sparkSession):
+        solution = track(solution.localCheckpoint(eager=True))
+        group = track(group.localCheckpoint(eager=True))
+    parts = []
+    for s_nulls, sol_s in _masks(solution, unc_s):
+        keys = [v for v in shared if v not in s_nulls]
+        if keys:
+            j = sol_s.join(group.select(*keys), on=keys,
+                           how="left_anti" if negate else "left_semi")
+        else:
+            gate = group.limit(1).select(F.lit(1).alias("_exists"))
+            if negate:
+                j = sol_s.join(F.broadcast(gate), F.lit(True),
+                               "left_anti")
+            else:
+                j = sol_s.crossJoin(F.broadcast(gate)).drop("_exists")
+        parts.append(j)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def bgp_match(triples: DataFrame, patterns: list[Pattern],
@@ -736,9 +809,16 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     sharing no variable — a constant-only group included — acts as a
     GLOBAL probe: ``exists`` keeps all solutions iff the group matches
     at all, ``not_exists`` empties the result iff it does (the §8.3.3
-    case where NOT EXISTS and MINUS differ).  Correlation through an
-    unbound OPTIONAL variable (NULL) never matches — correlate on
-    required variables for exact SPARQL substitution semantics.
+    case where NOT EXISTS and MINUS differ).  Correlation through a
+    maybe-unbound ENCLOSING variable (an OPTIONAL / partial-UNION /
+    BIND / VALUES binding) is exact SPARQL §8.1.1 substitution
+    semantics: a row that binds the variable correlates on it, a row
+    that leaves it unbound leaves it FREE in the group (it constrains
+    nothing for that row) — decomposed by bound-mask in
+    :func:`_subst_exists`, capped at 2^4 partitions.  A shared
+    variable maybe-unbound in the GROUP's own solutions still raises
+    (substitution and compatibility genuinely diverge there — bind it
+    in the group's required patterns).
 
     ``meta_vars``: variable names whose bindings should carry RDF term
     metadata as companion columns ``{var}__kind`` (iri/bnode/literal),
@@ -766,13 +846,17 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
 
 def _check_join_keys(grp, shared: list, kind: str) -> None:
     """Raise when a nested-group equi-join key can be NULL (unbound) in
-    the group's solutions — NULL never equi-joins, but SPARQL says an
+    the GROUP's solutions — NULL never equi-joins, but SPARQL says an
     unbound variable is compatible with ANYTHING, so silently joining
     would compute non-SPARQL answers.  OPTIONAL and MINUS no longer
-    come here (they decompose by bound-mask, :func:`_mask_parts`);
-    EXISTS keeps the guard because its SPARQL semantics is
-    SUBSTITUTION, not compatibility — extending the mask trick there
-    would pick one of two non-equivalent readings silently."""
+    come here (they decompose by bound-mask, :func:`_compat_left_join`
+    / :func:`_compat_minus`); EXISTS keeps the guard for GROUP-side
+    unboundness because its SPARQL semantics is SUBSTITUTION, not
+    compatibility — the group's own solution relation is not
+    sufficient evidence (a substituted OPTIONAL can never fail the
+    group), so masking the group side would pick one of two
+    non-equivalent readings silently.  ENCLOSING-side unboundness is
+    exact under substitution and handled by :func:`_subst_exists`."""
     if not isinstance(grp, GroupSpec):
         return  # flat tuple groups keep their documented semantics
     unsafe = sorted(v for v in shared if v not in _certain_vars(grp))
@@ -1063,10 +1147,12 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
             solution = solution.filter(F.expr(expr))
     if spec.exists:
         solution = _apply_exists(triples, solution, spec.exists,
-                                 negate=False, meta_vars=meta_vars)
+                                 negate=False, meta_vars=meta_vars,
+                                 certain=certain)
     if spec.not_exists:
         solution = _apply_exists(triples, solution, spec.not_exists,
-                                 negate=True, meta_vars=meta_vars)
+                                 negate=True, meta_vars=meta_vars,
+                                 certain=certain)
     # §18.2 sub-SELECT relations join LAST — the same order the
     # top-level compiler uses (callers guard that the join orders
     # commute: every variable the spec's O-entries share with a

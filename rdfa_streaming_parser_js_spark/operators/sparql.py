@@ -167,10 +167,15 @@ Documented deviations (each raises or is noted, never silent):
   maybe-UNBOUND, whether in the group, in the enclosing solution, or
   BOTH — gets exact SPARQL §18.3 compatibility (unbound matches
   anything; an unbound side takes the other side's value) via
-  bound-mask-pair decomposition into equi/anti joins; it raises only
-  beyond the 2^4 fan-out cap, and for maybe-unbound correlation in
-  EXISTS/NOT EXISTS groups (substitution semantics — correlate on
-  required variables).
+  bound-mask-pair decomposition into equi/anti joins.  EXISTS /
+  NOT EXISTS correlation through a maybe-unbound ENCLOSING variable
+  is exact §8.1.1 substitution semantics (a row that binds the
+  variable correlates on it; a row that leaves it unbound leaves it
+  FREE in the group, constraining nothing for that row) via the same
+  bound-mask decomposition.  It raises only beyond the 2^4 fan-out
+  cap, and for a shared variable maybe-unbound in the EXISTS group's
+  OWN solutions (substitution and §18.3 compatibility genuinely
+  diverge there — bind it in the group's required patterns).
   A group (top-level or nested) may contain BOTH a sub-SELECT and
   OPTIONAL/MINUS/EXISTS when the join orders provably commute —
   every variable those blocks touch that also appears in the

@@ -392,6 +392,48 @@ def test_exists_semi_join_never_multiplies(spark):
     assert [r.x for r in got.collect()] == ["d1"]
 
 
+def test_exists_substitution_unbound_outer_var_is_free(spark):
+    """SPARQL §8.1.1 substitution semantics: a solution row that does
+    NOT bind the correlated variable leaves it FREE in the EXISTS
+    group — the group then constrains nothing for that row (it acts
+    as the global non-emptiness probe), it is NOT 'never matches'."""
+    kg = spark.createDataFrame([
+        ("a", f"{S}name", "alpha"),
+        ("b", f"{S}name", "beta"),
+        ("a", f"{S}about", "x1"),             # only a binds ?t
+        ("x1", f"{S}isPartOf", "srcA"),
+    ], COLS)
+    got = bgp_match(kg, [("?x", f"{S}name", "?n")],
+                    optionals=[([("?x", f"{S}about", "?t")], None)],
+                    exists=[([("?t", f"{S}isPartOf", "?s2")], None)])
+    # a correlates (x1 isPartOf srcA); b leaves ?t free -> group
+    # non-empty -> kept
+    assert sorted(r.x for r in got.collect()) == ["a", "b"]
+    got = bgp_match(kg, [("?x", f"{S}name", "?n")],
+                    optionals=[([("?x", f"{S}about", "?t")], None)],
+                    not_exists=[([("?t", f"{S}isPartOf", "?s2")], None)])
+    assert got.count() == 0
+
+
+def test_exists_substitution_bound_outer_var_still_correlates(spark):
+    """The bound-mask split must not weaken correlation for rows that
+    DO bind the variable: a value with no group match is dropped."""
+    kg = spark.createDataFrame([
+        ("a", f"{S}name", "alpha"),
+        ("b", f"{S}name", "beta"),
+        ("a", f"{S}about", "x2"),             # x2 has no isPartOf
+        ("x1", f"{S}isPartOf", "srcA"),
+    ], COLS)
+    got = bgp_match(kg, [("?x", f"{S}name", "?n")],
+                    optionals=[([("?x", f"{S}about", "?t")], None)],
+                    exists=[([("?t", f"{S}isPartOf", "?s2")], None)])
+    assert sorted(r.x for r in got.collect()) == ["b"]
+    got = bgp_match(kg, [("?x", f"{S}name", "?n")],
+                    optionals=[([("?x", f"{S}about", "?t")], None)],
+                    not_exists=[([("?t", f"{S}isPartOf", "?s2")], None)])
+    assert sorted(r.x for r in got.collect()) == ["a"]
+
+
 def test_disjoint_not_exists_differs_from_minus(spark):
     """SPARQL §8.3.3: a negation group sharing no variable is a no-op
     under MINUS but a global gate under NOT EXISTS."""
@@ -417,8 +459,11 @@ def test_constant_only_exists_group_is_global_probe(spark):
 
 
 def test_exists_applies_after_optional(spark):
-    """FILTER placement: EXISTS sees OPTIONAL columns; correlation on
-    an unbound (NULL) optional variable never matches."""
+    """FILTER placement: EXISTS sees OPTIONAL columns.  Every row
+    leaves ?m unbound, so ?m stays FREE in the group (§8.1.1
+    substitution) — and the group matches nothing at all here, so
+    all rows drop (the free variable finds no binding, NOT because
+    unbound 'never matches' — see the substitution tests above)."""
     got = bgp_match(
         _kg(spark), [("?x", RDF_TYPE, f"{S}Article")],
         optionals=[([("?x", f"{S}missing", "?m")], None)],

@@ -429,3 +429,76 @@ def test_two_sided_minus_agrees_with_naive(spark, case):
     expect = Counter((sol["a"], sol["b"], sol.get("x"))
                      for sol in want)
     assert got == expect, (req, flat, outer, inner)
+
+
+# ---------------------------------------------------------------------
+# EXISTS substitution semantics over maybe-unbound ENCLOSING variables
+# ---------------------------------------------------------------------
+
+def _substitute(sol: dict, patterns: list) -> list:
+    """SPARQL §18.6 ``substitute()``: replace each variable the
+    solution binds with its value; unbound variables stay free."""
+    return [tuple(sol[t[1:]]
+                  if t.startswith("?") and sol.get(t[1:]) is not None
+                  else t for t in pat)
+            for pat in patterns]
+
+
+@st.composite
+def graph_exists_uncertain_outer(draw):
+    """Required BGP binds ?a/?b; one or two OPTIONALs introduce
+    maybe-unbound ?c (and sometimes ?d); the EXISTS group correlates
+    on them through its own REQUIRED patterns — so the compiled plan
+    must take the enclosing-side bound-mask substitution path."""
+    triples = draw(st.lists(
+        st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(PREDS),
+                  st.sampled_from(OBJECTS)),
+        min_size=1, max_size=14))
+    req = [("?a", draw(st.sampled_from(PREDS)),
+            draw(st.sampled_from(["?b"] + OBJECTS)))]
+    opt = [("?a", draw(st.sampled_from(PREDS)), "?c")]
+    if draw(st.booleans()):  # two uncertain correlation vars (4 masks)
+        opt2 = [("?a", draw(st.sampled_from(PREDS)), "?d")]
+        group = [("?c", draw(st.sampled_from(PREDS)), "?d")]
+    else:
+        opt2 = None
+        group = [("?c", draw(st.sampled_from(PREDS)),
+                  draw(st.sampled_from(["?e"] + OBJECTS)))]
+    return triples, req, opt, opt2, group
+
+
+@given(graph_exists_uncertain_outer())
+@settings(max_examples=20, deadline=None)
+def test_exists_substitution_agrees_with_naive(spark, case):
+    """FILTER [NOT] EXISTS with maybe-unbound enclosing correlation:
+    per SPARQL §8.1.1 the row's BOUND variables are substituted into
+    the group (§18.6) and unbound ones stay FREE — a row keeping ?c
+    unbound passes EXISTS iff the group matches at all.  Verified
+    against a naive substitution evaluator, bag multiplicities
+    exact."""
+    triples, req, opt, opt2, group = case
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    outer = _left_join(naive_bgp(triples, req), naive_bgp(triples, opt))
+    if opt2:
+        outer = _left_join(outer, naive_bgp(triples, opt2))
+
+    def match(sol):
+        return bool(naive_bgp(triples, _substitute(sol, group)))
+
+    all_vars = sorted({t[1:] for pats in ([req, opt] +
+                                          ([opt2] if opt2 else []))
+                       for pat in pats for t in pat
+                       if t.startswith("?")})
+    optionals = [(opt, None)] + ([(opt2, None)] if opt2 else [])
+    for negate in (False, True):
+        kw = {"not_exists": [(group, None)]} if negate else \
+             {"exists": [(group, None)]}
+        got_rows = bgp_match(df, req, optionals=optionals,
+                             **kw).collect()
+        got = Counter(tuple(getattr(r, v) for v in all_vars)
+                      for r in got_rows)
+        expect = Counter(
+            tuple(sol.get(v) for v in all_vars)
+            for sol in outer if match(sol) != negate)
+        assert got == expect, (req, opt, opt2, group, negate)

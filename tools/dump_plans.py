@@ -84,7 +84,10 @@ NOTES = {
         "hash joins on the correlation variable — solution "
         "multiplicities cannot change, probe sides are predicate-pruned "
         "slices, and AQE broadcasts whichever side is small at "
-        "runtime."),
+        "runtime.  The §8.1.1 substitution leg (maybe-unbound ?src) "
+        "splits the solution by bound-mask: the bound part is one more "
+        "LeftSemi on the key, the unbound part a broadcast "
+        "non-emptiness gate — still never a multiplying join."),
     "dedup_exact_spans": (
         "Winnowing is pure codegen over per-row arrays (gram md5s, "
         "window minima, rightmost-min anchors — no shuffle, no "
