@@ -997,6 +997,40 @@ def test_exists_with_nested_optional_filter(spark):
     assert [r.d for r in rows] == ["d2"]
 
 
+def test_exists_substitution_over_optional_var_from_text(spark):
+    """§8.1.1 substitution through the TEXT front-end: a row that does
+    not bind ?src leaves it free in the EXISTS group — it passes iff
+    the group matches at all; a row that binds it must correlate."""
+    t = spark.createDataFrame([
+        ("d1", RDF_TYPE, f"{S}Article"),
+        ("d2", RDF_TYPE, f"{S}Article"),
+        ("d3", RDF_TYPE, f"{S}Article"),
+        ("d1", f"{S}isPartOf", "srcA"),   # srcA has a German peer
+        ("d3", f"{S}isPartOf", "srcB"),   # srcB has none
+        ("p1", f"{S}isPartOf", "srcA"),
+        ("p1", f"{S}inLanguage", "de"),
+    ], COLS)
+    rows = sparql_query(t, PFX + """
+        SELECT ?d ?src WHERE {
+            ?d a schema:Article .
+            OPTIONAL { ?d schema:isPartOf ?src }
+            FILTER EXISTS { ?p schema:isPartOf ?src ;
+                               schema:inLanguage "de" }
+        }""").collect()
+    # d1 correlates (srcA ok), d2 leaves ?src free (some German doc
+    # exists anywhere), d3 correlates and fails (srcB has none)
+    assert sorted((r.d, r.src) for r in rows) == [
+        ("d1", "srcA"), ("d2", None)]
+    rows = sparql_query(t, PFX + """
+        SELECT ?d ?src WHERE {
+            ?d a schema:Article .
+            OPTIONAL { ?d schema:isPartOf ?src }
+            FILTER NOT EXISTS { ?p schema:isPartOf ?src ;
+                                   schema:inLanguage "de" }
+        }""").collect()
+    assert sorted((r.d, r.src) for r in rows) == [("d3", "srcB")]
+
+
 def test_three_level_nesting(spark):
     t = spark.createDataFrame([
         ("d1", f"{S}author", "a1"),
