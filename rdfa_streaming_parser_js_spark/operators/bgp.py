@@ -525,15 +525,33 @@ def _join_values(solution: DataFrame,
     return out
 
 
+# Sentinel lex_sql for a zero-arg BNODE() constructor: the label is a
+# function of the WHOLE solution row (plus an index among identical
+# rows), not of any single expression, so it cannot be a plain SQL
+# string — _apply_bind special-cases it.
+BNODE_FRESH_SENTINEL = "__bnode_fresh__"
+
+
 def _apply_bind(solution: DataFrame, var: str, expr) -> DataFrame:
     """One SPARQL BIND (``Extend``): ``expr`` is a SQL string, or a
     ``(lex_sql, kind, datatype, lang)`` 4-tuple for the term
-    constructors (IRI/STRDT/STRLANG) — those mint the variable's
+    constructors (IRI/STRDT/STRLANG/BNODE) — those mint the variable's
     term-metadata companion columns alongside the value, so LANG /
     DATATYPE / isIRI / SAMETERM and CONSTRUCT's metadata-faithful
     instantiation work on constructed terms exactly as on matched
     ones.  Companions are NULL where the value expression is NULL
-    (an error in SPARQL leaves the variable unbound)."""
+    (an error in SPARQL leaves the variable unbound).
+
+    ``lex_sql == BNODE_FRESH_SENTINEL`` is zero-arg ``BNODE()``
+    (§17.4.2.9 fresh blank node per solution): the label is
+    ``sha2`` of the ENTIRE row plus a ``row_number`` among identical
+    rows — distinct rows get distinct labels, duplicate rows get
+    distinct labels too, and the OUTPUT MULTISET is deterministic
+    under re-evaluation/retry (rows inside one window partition are
+    identical, so any tie-break yields the same (row, label)
+    multiset).  Costs one Exchange on the full row key; the '_:fr'
+    prefix keeps fresh labels disjoint from extractor ('_:b…'/'_:g…')
+    and skolem-constructor ('_:fn…') labels."""
     if var in solution.columns:
         raise ValueError(
             f"BIND would rebind ?{var} — the variable is already "
@@ -541,7 +559,19 @@ def _apply_bind(solution: DataFrame, var: str, expr) -> DataFrame:
     if not isinstance(expr, tuple):
         return solution.withColumn(var, F.expr(expr))
     lex_sql, knd, dt, lang = expr
-    solution = solution.withColumn(var, F.expr(lex_sql))
+    if lex_sql == BNODE_FRESH_SENTINEL:
+        from pyspark.sql import Window
+        cols = solution.columns
+        fp = F.sha2(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                 F.lit("\x00")) for c in cols]), 256)
+        idx = F.row_number().over(
+            Window.partitionBy(*cols).orderBy(F.lit(1)))
+        solution = solution.withColumn(
+            var, F.concat(F.lit("_:fr"), F.substring(fp, 1, 32),
+                          F.lit("_"), idx.cast("string")))
+    else:
+        solution = solution.withColumn(var, F.expr(lex_sql))
     bound = F.col(var).isNotNull()
     meta = {"__kind": knd, "__dt": dt, "__lang": lang}
     for sfx, val in meta.items():

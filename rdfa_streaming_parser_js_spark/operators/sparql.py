@@ -143,9 +143,12 @@ Documented deviations (each raises or is noted, never silent):
   skolem-style label (sha2 of the argument, ``_:fn…``) — the same
   argument yields the SAME bnode in every solution, deviating from
   §17.4.2.9's per-solution freshness (the deterministic distributed
-  choice, same convention as GROUP_CONCAT/SAMPLE below); zero-arg
-  ``BNODE()`` raises (fresh per-solution labels are non-deterministic
-  under distributed re-evaluation — skolemize instead).
+  choice, same convention as GROUP_CONCAT/SAMPLE below).  Zero-arg
+  ``BNODE()`` IS §17.4.2.9-fresh: one ``_:fr…`` label per solution
+  row (hash of the whole row + an index among identical rows,
+  ``bgp._apply_bind``) — distinct across rows, duplicates included,
+  and deterministic as a multiset under distributed re-evaluation;
+  costs one Exchange on the full row key.
 - ``GROUP_CONCAT`` concatenates in sorted value order (SPARQL leaves
   the order undefined; sorted is the only deterministic distributed
   choice) and ``SAMPLE`` returns the minimum.
@@ -198,8 +201,9 @@ from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.operators import paths as P
 from rdfa_streaming_parser_js_spark.operators.bgp import (
-    META_SUFFIXES, GroupSpec, Lit, _certain_vars, bgp_construct,
-    bgp_match, bgp_union, describe, join_relation)
+    BNODE_FRESH_SENTINEL, META_SUFFIXES, GroupSpec, Lit,
+    _certain_vars, bgp_construct, bgp_match, bgp_union, describe,
+    join_relation)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -911,10 +915,10 @@ class _Parser:
         (the metadata rides in literal companion columns, one value
         per BIND).  BNODE(expr) mints a deterministic skolem-style
         label (same argument → same bnode across solutions, the
-        documented deviation); zero-arg BNODE() raises: fresh
-        per-solution blank-node labels are non-deterministic under
-        distributed re-evaluation — skolemize (functions/skolem.py)
-        instead."""
+        documented deviation); zero-arg BNODE() mints a FRESH label
+        per solution row (§17.4.2.9) — a hash of the whole row plus
+        an index among identical rows, deterministic as a multiset
+        under distributed re-evaluation (bgp._apply_bind)."""
         t = self.peek()
         if (t.kind != "NAME" or t.text.lower() not in _CONSTRUCTOR_FNS
                 or self.peek(1).kind != "OP"
@@ -925,13 +929,13 @@ class _Parser:
         self.next()
         if word == "bnode":
             if self.at_op(")"):
-                raise SparqlSyntaxError(
-                    "BNODE() with no argument is not supported — fresh "
-                    "per-solution blank-node labels are non-"
-                    "deterministic across distributed re-evaluation; "
-                    "use BNODE(expr) (deterministic skolem-style "
-                    "labels) or skolemize the graph instead "
-                    f"(offset {t.pos})")
+                # §17.4.2.9 fresh blank node per solution: the label
+                # is a function of the whole solution row plus an
+                # index among identical rows (bgp._apply_bind) — fresh
+                # per solution AND deterministic as a multiset under
+                # distributed re-evaluation
+                self.expect_op(")")
+                return (BNODE_FRESH_SENTINEL, "bnode", None, None)
             sql = self.parse_expr()
             self.expect_op(")")
             # deterministic skolem-style label: a pure function of the

@@ -188,12 +188,26 @@ def test_nested_constructor_raises():
             ?s ?p ?o . BIND(CONCAT(IRI(?o)) AS ?v) }""")
 
 
-def test_bnode_zero_arg_raises():
-    # zero-arg BNODE() is the one genuinely non-deterministic form
-    # (fresh label per solution) — it still raises
-    with pytest.raises(SparqlSyntaxError, match="BNODE"):
-        parse_sparql(PFX + """SELECT ?s WHERE {
-            ?s ?p ?o . BIND(BNODE() AS ?v) }""")
+def test_bnode_zero_arg_fresh_per_solution(spark):
+    """§17.4.2.9: zero-arg BNODE() mints a FRESH blank node per
+    solution row — distinct across rows (duplicate rows included),
+    isBlank-visible, and deterministic as a multiset across runs."""
+    t = spark.createDataFrame([
+        ("d1", f"{S}name", "alpha"),
+        ("d2", f"{S}name", "beta"),
+        ("d2", f"{S}name", "beta"),      # duplicate row
+    ], ["subj", "pred", "obj_value"])
+    q = PFX + """SELECT ?s ?v WHERE {
+            ?s schema:name ?n . BIND(BNODE() AS ?v)
+            FILTER(isBlank(?v)) }"""
+    rows = sparql_query(t, q).collect()
+    labels = [r.v for r in rows]
+    assert len(rows) == 3                       # multiplicity kept
+    assert len(set(labels)) == 3                # fresh per solution
+    assert all(lb.startswith("_:fr") for lb in labels)
+    # deterministic multiset under re-evaluation
+    again = sorted((r.s, r.v) for r in sparql_query(t, q).collect())
+    assert again == sorted((r.s, r.v) for r in rows)
 
 
 def test_bnode_constructor_deterministic_skolem(spark):
