@@ -178,7 +178,13 @@ Documented deviations (each raises or is noted, never silent):
   bound-mask decomposition.  It raises only beyond the 2^4 fan-out
   cap, and for a shared variable maybe-unbound in the EXISTS group's
   OWN solutions (substitution and §18.3 compatibility genuinely
-  diverge there — bind it in the group's required patterns).
+  diverge there — bind it in the group's required patterns).  An
+  enclosing variable that occurs ONLY inside an EXISTS group's nested
+  OPTIONAL / MINUS / NOT EXISTS bodies (never in the group's required
+  patterns) does not correlate: nested members evaluate bottom-up
+  with group-local scope rather than substituting the outer binding
+  into negation — the area covered by the SPARQL-EXISTS errata
+  (sparql-exists CG), where conformant engines legitimately differ.
   A group (top-level or nested) may contain BOTH a sub-SELECT and
   OPTIONAL/MINUS/EXISTS when the join orders provably commute —
   every variable those blocks touch that also appears in the
