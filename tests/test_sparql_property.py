@@ -334,3 +334,39 @@ def test_subselect_inside_optional_agrees_with_naive(spark, case):
         else:
             want[(x, y, None, None)] += 1
     assert Counter(tuple(r) for r in got.collect()) == want
+
+
+# ---------------------------------------------------------------------
+# zero-arg BNODE(): §17.4.2.9 freshness + deterministic multiset
+# ---------------------------------------------------------------------
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+              st.sampled_from(["p0", "p1"]),
+              st.sampled_from(["o0", "o1", "o2"])),
+    min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None)
+def test_bnode_fresh_labels_property(spark, triples):
+    """On ANY graph (duplicate triples included): one distinct _:fr
+    label per solution row, multiplicity preserved, and the (row,
+    label) multiset reproduces exactly on re-evaluation."""
+    from collections import Counter
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    df = spark.createDataFrame(
+        triples, "subj string, pred string, obj_value string")
+    q = """SELECT ?s ?o ?b WHERE {
+             ?s <p0> ?o . BIND(BNODE() AS ?b)
+             FILTER(isBlank(?b)) }"""
+    rows = sparql_query(df, q).collect()
+    n_expected = sum(1 for _, p, _ in triples if p == "p0")
+    assert len(rows) == n_expected
+    assert len({r.b for r in rows}) == n_expected
+    assert all(r.b.startswith("_:fr") for r in rows)
+    # solution multiset (ignoring labels) matches the plain BGP
+    assert (Counter((r.s, r.o) for r in rows)
+            == Counter((s, o) for s, p, o in triples if p == "p0"))
+    # deterministic multiset across a full re-evaluation
+    again = Counter((r.s, r.o, r.b)
+                    for r in sparql_query(df, q).collect())
+    assert again == Counter((r.s, r.o, r.b) for r in rows)
