@@ -876,6 +876,50 @@ def q_json_nodes_roundtrip(spark, sf_dir):
     return parse_json_nodes(json_graph_nodes(t))
 
 
+def q_sparql_results_roundtrip(spark, sf_dir):
+    """W3C SPARQL 1.1 Query Results interchange (TSV + JSON — the
+    answer formats the reference's SPARQL-consumer stacks exchange):
+    project a three-variable solution table covering every term shape
+    the engine produces — IRI and blank-node subjects (plain + rich
+    corpora), IRI / bnode / language-tagged / typed-literal objects,
+    and a maybe-UNBOUND variable (``?d``, bound only for mid-March
+    dateCreated pages) — serialize it to BOTH formats
+    (functions/results.py: codegen concat / ``to_json``, map-only) and
+    parse each back with the matching distributed reader.  Both round
+    trips must reproduce the solution table exactly, term metadata
+    included, so the oracle recomputes the solutions relationally and
+    crosses them with the two format tags."""
+    from rdfa_streaming_parser_js_spark.functions.results import (
+        parse_results_json, parse_results_tsv, results_json_bindings,
+        results_tsv)
+    from rdfa_streaming_parser_js_spark.sources.pages import (
+        rich_pages_from_documents)
+    allt = (_triples(spark, sf_dir)
+            .unionByName(extract_triples(
+                rich_pages_from_documents(spark, sf_dir), lang_col=None))
+            .localCheckpoint(eager=True))
+    sol = (allt.select(
+        F.col("subj").alias("s"), F.col("subj_kind").alias("s__kind"),
+        F.col("obj_value").alias("o"), F.col("obj_kind").alias("o__kind"),
+        F.col("obj_lang").alias("o__lang"),
+        F.col("obj_datatype").alias("o__dt")).distinct())
+    d = (allt.filter((F.col("pred") == f"{SCHEMA_ORG}dateCreated")
+                     & F.col("obj_value").startswith("2024-03-1"))
+         .select(F.col("subj").alias("s"),
+                 F.col("obj_value").alias("d")).distinct())
+    sol = (sol.join(d, "s", "left")
+           .withColumn("d__kind",
+                       F.when(F.col("d").isNotNull(), "literal"))
+           .withColumn("d__lang", F.lit(None).cast("string"))
+           .withColumn("d__dt", F.when(F.col("d").isNotNull(),
+                                       F.lit(f"{XSD}date"))))
+    vs = ["s", "o", "d"]
+    tsv = parse_results_tsv(results_tsv(sol, vs), vs)
+    js = parse_results_json(results_json_bindings(sol, vs), vs)
+    return (tsv.withColumn("fmt", F.lit("tsv"))
+            .unionByName(js.withColumn("fmt", F.lit("json"))))
+
+
 def q_ntriples_roundtrip(spark, sf_dir):
     """N-Triples interchange pair: serialize the extracted graph to
     canonical lines (codegen concat) and parse the lines back with the
@@ -2128,10 +2172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_nodes_roundtrip": q_json_nodes_roundtrip,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         # -- round-5 additions (quads-aware SPARQL Update from text;
-        # nested GRAPH groups + term-exact VALUES literals) -----------
+        # nested GRAPH groups + term-exact VALUES literals; W3C
+        # results-format interchange) ---------------------------------
         "kg_sparql_update_graph": q_kg_sparql_update_graph,
         "kg_sparql_values_term": q_kg_sparql_values_term,
         "kg_sparql_graph_range": q_kg_sparql_graph_range,
+        "sparql_results_roundtrip": q_sparql_results_roundtrip,
         # -- first driver row in round 4 -------------------------------
         "kg_term_constructors": q_kg_term_constructors,
         "kg_graph_provenance": q_kg_graph_provenance,
@@ -2164,7 +2210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "dedup_exact_spans": q_dedup_exact_spans,
         "kg_shape_induction": q_kg_shape_induction,
-        "kg_recrawl_merge": q_kg_recrawl_merge,
         "kg_sparql_nested": q_kg_sparql_nested,
         "kg_graph_fingerprint": q_kg_graph_fingerprint,
         # -- round-3 SPARQL/KG slab (first driver rows this round) ----
@@ -2196,6 +2241,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracles.py plus pytest."""
     return {
         "kg_degrees": q_kg_degrees,  # retired round 4 (green r03)
+        "kg_recrawl_merge": q_kg_recrawl_merge,  # retired late-r05
+        # (green r03+r04; the full-outer recrawl-delta machinery stays
+        # pytest- and oracle-gated) to admit sparql_results_roundtrip
         "kg_entity_table": q_kg_entity_table,  # retired late-r04
         # (green r03; kg_entity_table_multi in-window gates the same
         # pivot with the faithful multi-value mode)
@@ -3169,6 +3217,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT url AS graph, 'iri' AS graph_kind, subj, subj_kind,
                    pred, obj_value, obj_kind, obj_datatype, obj_lang
             FROM exp
+        """,
+        # Relational recompute of the solution table the results-format
+        # round trip must reproduce (both formats → same solutions,
+        # tagged 'tsv' / 'json'); unbound ?d for pages whose
+        # dateCreated is outside 2024-03-10..19 and for all rich-corpus
+        # subjects.
+        "sparql_results_roundtrip": f"""
+            WITH exp AS ({expected_triples_sql()}),
+            rexp AS ({_rich_sql()}),
+            allt AS (SELECT subj, subj_kind, pred, obj_value, obj_kind,
+                            obj_datatype, obj_lang FROM exp
+                     UNION ALL
+                     SELECT subj, subj_kind, pred, obj_value, obj_kind,
+                            obj_datatype, obj_lang FROM rexp),
+            sol AS (SELECT DISTINCT subj AS s, subj_kind AS s__kind,
+                           obj_value AS o, obj_kind AS o__kind,
+                           obj_lang AS o__lang, obj_datatype AS o__dt
+                    FROM allt),
+            dd AS (SELECT DISTINCT subj AS s, obj_value AS d FROM allt
+                   WHERE pred = '{SCHEMA_ORG}dateCreated'
+                     AND obj_value LIKE '2024-03-1%'),
+            j AS (SELECT sol.s, sol.s__kind,
+                         CAST(NULL AS VARCHAR) AS s__lang,
+                         CAST(NULL AS VARCHAR) AS s__dt,
+                         sol.o, sol.o__kind, sol.o__lang, sol.o__dt,
+                         dd.d,
+                         CASE WHEN dd.d IS NOT NULL THEN 'literal' END
+                             AS d__kind,
+                         CAST(NULL AS VARCHAR) AS d__lang,
+                         CASE WHEN dd.d IS NOT NULL
+                              THEN '{XSD}date' END AS d__dt
+                  FROM sol LEFT JOIN dd ON sol.s = dd.s)
+            SELECT j.*, f.fmt
+            FROM j CROSS JOIN (VALUES ('tsv'), ('json')) AS f(fmt)
         """,
         "kg_property_coverage": f"""
             WITH exp AS ({expected_triples_sql()}),
