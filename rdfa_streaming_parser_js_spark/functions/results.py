@@ -255,6 +255,25 @@ def parse_results_json_sql(line_expr: str, variables: list[str]) -> str:
     return ",".join(out)
 
 
+def ask_results_json(ask_df: DataFrame,
+                     bool_col: str = "ask") -> DataFrame:
+    """§3.2.3 boolean results document from the engine's one-row ASK
+    output (:func:`operators.sparql.sparql_query` ASK form):
+    ``{"head":{},"boolean":true}`` as a ``document`` column."""
+    return ask_df.select(
+        F.concat(F.lit('{"head":{},"boolean":'),
+                 F.when(F.col(bool_col), "true").otherwise("false"),
+                 F.lit("}")).alias("document"))
+
+
+def parse_ask_results_json(docs: DataFrame,
+                           doc_col: str = "document") -> DataFrame:
+    """Inverse of :func:`ask_results_json` → one-row ``ask`` boolean."""
+    schema = T.StructType([T.StructField("boolean", T.BooleanType())])
+    return docs.select(
+        F.from_json(F.col(doc_col), schema)["boolean"].alias("ask"))
+
+
 # --------------------------------------------------------------------------
 # CSV (lossy by spec — serializer only)
 # --------------------------------------------------------------------------

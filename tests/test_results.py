@@ -118,6 +118,18 @@ def test_csv_lossy(spark):
     assert results_csv_header(VS) == "s,o"
 
 
+def test_ask_document_roundtrip(spark):
+    from rdfa_streaming_parser_js_spark.functions.results import (
+        ask_results_json, parse_ask_results_json)
+    for val in (True, False):
+        ask = spark.createDataFrame([(val,)], "ask boolean")
+        doc = ask_results_json(ask).collect()[0].document
+        assert json.loads(doc) == {"head": {}, "boolean": val}
+        back = parse_ask_results_json(
+            spark.createDataFrame([(doc,)], "document string"))
+        assert back.collect()[0].ask is val
+
+
 _text = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40)
 _lang = st.sampled_from([None, "en", "fr", "en-US"])
