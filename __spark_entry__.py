@@ -27,9 +27,9 @@ from rdfa_streaming_parser_js_spark.functions.text import (
     doc_fingerprint, lang_id, quality_score_cols)
 from rdfa_streaming_parser_js_spark.operators.dedup import (
     DEFAULT_BANDS, DEFAULT_NUM_HASHES, MINHASH_PRIME, SIMHASH_BITS,
-    _minhash_params, exact_duplicates, md5_hash60_sql,
-    minhash_lsh_candidates, ngram_jaccard_pairs, simhash64,
-    simhash_bands)
+    _minhash_params, decontaminate_sql, exact_duplicates,
+    md5_hash60_sql, minhash_lsh_candidates, ngram_jaccard_pairs,
+    simhash64, simhash_bands)
 from rdfa_streaming_parser_js_spark.functions.urls import (
     canonical_url_sql as _canon_url_sql)
 from rdfa_streaming_parser_js_spark.functions.chunking import (
@@ -847,6 +847,21 @@ def q_entity_link_fuzzy(spark, sf_dir):
         fuzzy_entity_dictionary, fuzzy_link_entities)
     return fuzzy_link_entities(_docs(spark, sf_dir),
                                fuzzy_entity_dictionary(spark))
+
+
+def q_decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination over the documents table: the
+    held-out evaluation set is the deterministic ``doc_id % 11 == 3``
+    slice, and every training document sharing any distinct word
+    8-gram with it is flagged with its leak count — the GPT-3
+    appendix-C / Llama "dirty document" filter as one broadcast
+    semi-join probe plus one map-side-combinable count (the corpus
+    grams are never shuffled)."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        decontaminate)
+    docs = _docs(spark, sf_dir)
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 11 == 3),
+                         n=8)
 
 
 def q_dedup_exact_spans(spark, sf_dir):
@@ -2178,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values_term": q_kg_sparql_values_term,
         "kg_sparql_graph_range": q_kg_sparql_graph_range,
         "sparql_results_roundtrip": q_sparql_results_roundtrip,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
         # -- first driver row in round 4 -------------------------------
         "kg_term_constructors": q_kg_term_constructors,
         "kg_graph_provenance": q_kg_graph_provenance,
@@ -2215,7 +2231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 SPARQL/KG slab (first driver rows this round) ----
         "kg_path_list_members": q_kg_path_list_members,
         "kg_sameas_resolution": q_kg_sameas_resolution,
-        "kg_bgp_minus": q_kg_bgp_minus,
         "kg_rdfs_entail": q_kg_rdfs_entail,
         "kg_describe_entities": q_kg_describe_entities,
         "kg_shacl_report": q_kg_shacl_report,
@@ -2244,6 +2259,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_recrawl_merge": q_kg_recrawl_merge,  # retired late-r05
         # (green r03+r04; the full-outer recrawl-delta machinery stays
         # pytest- and oracle-gated) to admit sparql_results_roundtrip
+        "kg_bgp_minus": q_kg_bgp_minus,  # retired late-r05 (green
+        # r03+r04; MINUS/anti-join stays in-window via kg_sparql_nested
+        # — FILTER NOT EXISTS inside MINUS — and customers_without_
+        # orders-class anti joins in corpus_curation) to admit
+        # decontaminate_ngrams
         "kg_entity_table": q_kg_entity_table,  # retired late-r04
         # (green r03; kg_entity_table_multi in-window gates the same
         # pivot with the faithful multi-value mode)
@@ -3218,6 +3238,7 @@ def oracle_sql() -> dict[str, str]:
                    pred, obj_value, obj_kind, obj_datatype, obj_lang
             FROM exp
         """,
+        "decontaminate_ngrams": decontaminate_sql(n=8),
         # Relational recompute of the solution table the results-format
         # round trip must reproduce (both formats → same solutions,
         # tagged 'tsv' / 'json'); unbound ?d for pages whose

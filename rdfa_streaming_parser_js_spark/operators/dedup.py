@@ -97,6 +97,67 @@ def shingles(docs: DataFrame, id_col: str = "doc_id",
                         F.explode(F.array_distinct(grams)).alias("shingle")))
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination — flag training documents that share
+    ANY word ``n``-gram with a held-out evaluation set (the GPT-3
+    appendix-C / Llama-style "dirty document" filter; 13-gram overlap
+    in the original, parameterized here because the synthetic docs are
+    short).  Returns one row per corpus document:
+    ``(id, n_contaminated_ngrams, contaminated)`` — the count is over
+    the document's DISTINCT n-grams, so a repeated leaked span counts
+    once.
+
+    Scale shape: both sides reuse :func:`shingles` (pure codegen
+    tokenize + gram explode, zero Python).  The benchmark n-gram set
+    is distinct-reduced and BROADCAST — eval suites are tiny next to a
+    100 TB corpus (10^6–10^8 grams), so the contamination probe is a
+    map-side hash-semi-join with NO shuffle of the corpus grams; the
+    only shuffle is the per-document count aggregation (map-side
+    combinable on the doc id).  For a pathological benchmark too big
+    to broadcast, drop the hint and the same plan degrades to one
+    sort-merge join keyed on the gram — never all-pairs."""
+    grams = shingles(corpus, id_col, text_col, n)
+    bench = (shingles(benchmark, id_col, text_col, n)
+             .select("shingle").distinct())
+    hits = (grams.join(F.broadcast(bench), "shingle", "inner")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams")))
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (ids.join(hits, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_contaminated_ngrams"),
+                               F.lit(0)).alias("n_contaminated_ngrams"),
+                    (F.coalesce(F.col("n_contaminated_ngrams"),
+                                F.lit(0)) > 0).alias("contaminated")))
+
+
+def decontaminate_sql(n: int = 8, table: str = "documents",
+                      bench_filter: str = "doc_id % 11 = 3") -> str:
+    """DuckDB mirror of :func:`decontaminate` with the benchmark as a
+    filtered slice of ``table`` — identical distinct-gram semantics."""
+    gram = f"""
+          SELECT doc_id AS id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                   i -> array_to_string(t[i:i + {n - 1}], ' ')))) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM {table}{{where}})"""
+    return f"""
+        WITH dc_grams AS ({gram.format(where="")}),
+        dc_bench AS (SELECT DISTINCT shingle
+                     FROM ({gram.format(where=" WHERE " + bench_filter)})),
+        dc_hits AS (SELECT id, count(*) AS n_contaminated_ngrams
+                    FROM dc_grams JOIN dc_bench USING (shingle)
+                    GROUP BY id)
+        SELECT d.doc_id AS id,
+               coalesce(h.n_contaminated_ngrams, 0)
+                 AS n_contaminated_ngrams,
+               coalesce(h.n_contaminated_ngrams, 0) > 0 AS contaminated
+        FROM {table} d LEFT JOIN dc_hits h ON d.doc_id = h.id"""
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Content-hash dedup: every doc tagged with its cluster fingerprint,

@@ -583,6 +583,48 @@ def test_duplicate_spans_winnowing_guarantee(spark):
     assert none == []
 
 
+def test_decontaminate_flags_only_leaked_docs(spark):
+    """A training doc sharing one 8-gram with the benchmark is dirty
+    (counted once despite repetition); disjoint docs are clean; the
+    plan probes the benchmark set via a BROADCAST join (the corpus
+    grams are never shuffled)."""
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        decontaminate)
+    leak = " ".join(f"q{i}" for i in range(8))
+    docs = spark.createDataFrame([
+        (1, "lead in words " + leak + " then " + leak),  # leaked twice
+        (2, "totally disjoint text with no overlap at all ok"),
+        (3, "an eval question: " + leak),                # benchmark
+    ], "doc_id long, text string")
+    bench = docs.filter("doc_id = 3")
+    got = {r.id: (r.n_contaminated_ngrams, r.contaminated)
+           for r in decontaminate(docs, bench, n=8).collect()}
+    assert got[1] == (1, True)      # distinct-gram count, not 2
+    assert got[2] == (0, False)
+    assert got[3][1] is True        # benchmark member flags itself
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_matches_duckdb(spark):
+    import duckdb
+    from rdfa_streaming_parser_js_spark.operators.dedup import (
+        decontaminate, decontaminate_sql)
+    leak = " ".join(f"w{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} filler " + (leak if i % 2 == 0 else "clean "
+          "words only here nothing shared between documents at all"))
+         for i in range(8)] + [(14, "eval set holds " + leak)],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in decontaminate(
+        docs, docs.filter("doc_id % 11 = 3"), n=8).collect())
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(map(tuple, con.sql(decontaminate_sql(n=8)).fetchall()))
+    assert got == want
+
+
 def test_duplicate_spans_tie_break_matches_duckdb(spark):
     """Repeated tokens make EQUAL adjacent gram hashes — the
     rightmost-min tie-break must agree between engines."""
