@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from rdfa_streaming_parser_js_spark.functions.text import (
     BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS, bpe_ish_token_count,
-    doc_fingerprint, lang_id, quality_score_cols)
+    doc_fingerprint, lang_id, pii_counts_sql, quality_score_cols,
+    redact_pii_sql)
 from rdfa_streaming_parser_js_spark.operators.dedup import (
     DEFAULT_BANDS, DEFAULT_NUM_HASHES, MINHASH_PRIME, SIMHASH_BITS,
     _minhash_params, decontaminate_sql, exact_duplicates,
@@ -847,6 +848,33 @@ def q_entity_link_fuzzy(spark, sf_dir):
         fuzzy_entity_dictionary, fuzzy_link_entities)
     return fuzzy_link_entities(_docs(spark, sf_dir),
                                fuzzy_entity_dictionary(spark))
+
+
+def q_text_pii_redaction(spark, sf_dir):
+    """PII redaction over the documents table: the synthetic corpus
+    carries no PII, so each doc is salted with a DETERMINISTIC e-mail,
+    phone, IPv4 and card number derived from its doc_id, then scrubbed
+    by the codegen regexp chain (functions/text.redact_pii) with
+    per-detector audit counts on the raw text (detectors are
+    independent, so a card-like digit run is counted by both the card
+    and the phone detector — the standard audit convention).  Pure
+    map-only projection, zero shuffle."""
+    from rdfa_streaming_parser_js_spark.functions.text import (
+        pii_counts, redact_pii)
+    docs = _docs(spark, sf_dir)
+    two = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1-555-86"), two,
+        F.lit("-5309 from 10.0."),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".7 card 4111-1111-1111-11"), two)
+    cnts = pii_counts(dirty)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        redact_pii(dirty).alias("clean_text"),
+        *[c.alias(n) for n, c in cnts.items()])
 
 
 def q_decontaminate_ngrams(spark, sf_dir):
@@ -2194,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph_range": q_kg_sparql_graph_range,
         "sparql_results_roundtrip": q_sparql_results_roundtrip,
         "decontaminate_ngrams": q_decontaminate_ngrams,
+        "text_pii_redaction": q_text_pii_redaction,
         # -- first driver row in round 4 -------------------------------
         "kg_term_constructors": q_kg_term_constructors,
         "kg_graph_provenance": q_kg_graph_provenance,
@@ -2220,7 +2249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_sink": q_turtle_sink,
         # -- first driver row in round 3; second this round ------------
         "sessionize_events": q_sessionize_events,
-        "url_canonical_dedup": q_url_canonical_dedup,
         "warc_ingest_lineage": q_warc_ingest_lineage,
         "embedding_kmeans": q_embedding_kmeans,
         "corpus_curation": q_corpus_curation,
@@ -2264,6 +2292,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — FILTER NOT EXISTS inside MINUS — and customers_without_
         # orders-class anti joins in corpus_curation) to admit
         # decontaminate_ngrams
+        "url_canonical_dedup": q_url_canonical_dedup,  # retired
+        # late-r05 (green r03+r04; string-fn codegen stays in-window
+        # via text_chunking + the curation text stages) to admit
+        # text_pii_redaction
         "kg_entity_table": q_kg_entity_table,  # retired late-r04
         # (green r03; kg_entity_table_multi in-window gates the same
         # pivot with the faithful multi-value mode)
@@ -3239,6 +3271,22 @@ def oracle_sql() -> dict[str, str]:
             FROM exp
         """,
         "decontaminate_ngrams": decontaminate_sql(n=8),
+        "text_pii_redaction": f"""
+            WITH dirty AS (
+              SELECT doc_id AS id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.org or +1-555-86'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       || '-5309 from 10.0.'
+                       || CAST(doc_id % 9 AS VARCHAR)
+                       || '.7 card 4111-1111-1111-11'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       AS t
+              FROM documents)
+            SELECT id, {redact_pii_sql('t')} AS clean_text,
+                   {', '.join(pii_counts_sql('t'))}
+            FROM dirty
+        """,
         # Relational recompute of the solution table the results-format
         # round trip must reproduce (both formats → same solutions,
         # tagged 'tsv' / 'json'); unbound ?d for pages whose

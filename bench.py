@@ -256,6 +256,7 @@ def main() -> None:
         "kg_sparql_update_graph", "kg_sparql_values_term",
         "json_nodes_roundtrip", "entity_link_fuzzy",
         "sparql_results_roundtrip", "decontaminate_ngrams",
+        "text_pii_redaction",
     ]
     from rdfa_streaming_parser_js_spark.operators.dedup import (
         release_persisted)

@@ -72,6 +72,64 @@ def lang_id(text: Column) -> Column:
             .otherwise(F.lit("fr")))
 
 
+# PII patterns (shared verbatim with the DuckDB oracle — RE2/Java
+# common subset: no lookarounds, no backrefs).  Deliberately
+# high-recall/simple: a corpus scrub favors over-redaction, and the
+# value here is the deterministic distributed plumbing; swap in
+# stricter production patterns at the call site.
+PII_PATTERNS = (
+    # e-mail
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # international/US-ish phone: +1-555-867-5309, (555) 867 5309 …
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    # IPv4
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # 13–19 digit card-like runs (with optional - / space groups)
+    (r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}\b", "<CC>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub e-mails, phone numbers, IPv4 addresses and card-like
+    digit runs from a text column — the standard pre-training PII
+    redaction pass — as a chain of ``regexp_replace`` (pure codegen,
+    order matters: e-mail first so its digits never half-match the
+    phone rule, then card runs and IPv4 before the greedy phone
+    rule — a long dotted IP is phone-shaped)."""
+    out = text
+    for pat, tag in (PII_PATTERNS[0], PII_PATTERNS[3],
+                     PII_PATTERNS[2], PII_PATTERNS[1]):
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (long) on the UNREDACTED text — the audit
+    metric reported alongside the scrub."""
+    names = ("n_emails", "n_phones", "n_ips", "n_cards")
+    return {name: F.regexp_count(text, F.lit(pat)).cast("long")
+            for name, (pat, _) in zip(names, PII_PATTERNS)}
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`redact_pii` (same patterns, same
+    order; 'g' flag = Spark's replace-all default)."""
+    out = expr
+    for pat, tag in (PII_PATTERNS[0], PII_PATTERNS[3],
+                     PII_PATTERNS[2], PII_PATTERNS[1]):
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{tag}', 'g')"
+    return out
+
+
+def pii_counts_sql(expr: str) -> list[str]:
+    names = ("n_emails", "n_phones", "n_ips", "n_cards")
+    return [
+        f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT) "
+        f"AS {name}"
+        for name, (pat, _) in zip(names, PII_PATTERNS)]
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Whitespace-normalized lowercase md5 content fingerprint."""
     norm = F.lower(F.regexp_replace(text, r"\s+", " "))

@@ -583,6 +583,52 @@ def test_duplicate_spans_winnowing_guarantee(spark):
     assert none == []
 
 
+def test_redact_pii_chain(spark):
+    """Each detector fires on its own span; ordering protects the
+    IPv4 (phone-shaped when long) and the card run (also phone-shaped)
+    from the greedy phone rule; clean text passes through verbatim."""
+    from pyspark.sql import functions as F
+    from rdfa_streaming_parser_js_spark.functions.text import (
+        pii_counts, redact_pii)
+    rows = [
+        ("mail me at jane.doe+spam@sub.example.co.uk today",),
+        ("call +1 (555) 867-5309 now",),
+        ("server 192.168.100.200 and card 4111 1111 1111 1111",),
+        ("perfectly clean text with digits 42 and 1999",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(redact_pii(F.col("text")).alias("t"),
+                    *[v.alias(k) for k, v in
+                      pii_counts(F.col("text")).items()]).collect()
+    assert out[0].t == "mail me at <EMAIL> today"
+    assert out[1].t == "call <PHONE> now"
+    assert out[2].t == "server <IP> and card <CC>"
+    assert out[3].t == rows[3][0]
+    assert (out[0].n_emails, out[1].n_phones) == (1, 1)
+    assert (out[2].n_ips, out[2].n_cards) == (1, 1)
+    assert (out[3].n_emails, out[3].n_phones,
+            out[3].n_ips, out[3].n_cards) == (0, 0, 0, 0)
+
+
+def test_redact_pii_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+    from rdfa_streaming_parser_js_spark.functions.text import (
+        pii_counts_sql, redact_pii, redact_pii_sql)
+    rows = [("a@b.io or 10.1.2.3 or +44 20 7946 0958 "
+             "or 4111-1111-1111-1234 end",),
+            ("nested bob@x.org,carol@y.net pair",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.t for r in
+           df.select(redact_pii(F.col("text")).alias("t")).collect()]
+    con = duckdb.connect()
+    con.register("tt", df.toPandas())
+    sql = (f"SELECT {redact_pii_sql('text')} AS t, "
+           + ", ".join(pii_counts_sql("text")) + " FROM tt")
+    want = con.sql(sql).fetchall()
+    assert got == [w[0] for w in want]
+
+
 def test_decontaminate_flags_only_leaked_docs(spark):
     """A training doc sharing one 8-gram with the benchmark is dirty
     (counted once despite repetition); disjoint docs are clean; the
