@@ -126,10 +126,14 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
 
 Documented deviations (each raises or is noted, never silent):
 
-- Term-introspection builtins take a plain variable (not a nested
-  expression), and the variable must be bound by a plain triple
-  pattern in scope (property-path endpoints carry no metadata) or by
-  a constructor BIND.
+- Term-introspection builtins take a plain variable or a
+  ``COALESCE(?a, ?b, ...)`` of plain variables (§17.4.1.5: the result
+  is the first BOUND argument's term, compiled as a dispatch-on-
+  boundness CASE onto each variable's own metadata companions —
+  ``LANG(COALESCE(?n, ?alt))`` over OPTIONAL-bound variables works);
+  any other nested argument raises.  Each variable must be bound by a
+  plain triple pattern in scope (property-path endpoints carry no
+  metadata) or by a constructor BIND.
 - Plain STRING constants in patterns match the LEXICAL value (the
   engine-wide identity documented on bgp_match) — only tagged/typed
   constants get strict term equality.  Tagged/typed literals in
@@ -1120,11 +1124,41 @@ class _Parser:
                 self.next()
                 self.expect_op("(")
                 a = self.peek()
+                if a.kind == "NAME" and a.text.lower() == "coalesce":
+                    # LANG(COALESCE(?a, ?b, ...)) — §17.4.1.5 COALESCE
+                    # of plain variables: the result term is the first
+                    # BOUND argument's term, so the introspection
+                    # dispatches on boundness to that variable's own
+                    # metadata companions (an unbound tail → NULL →
+                    # type error, dropped by FILTER per §17.2).
+                    self.next()
+                    self.expect_op("(")
+                    vs = []
+                    while True:
+                        v = self.next()
+                        if v.kind != "VAR":
+                            self.fail(
+                                f"{t.text.upper()}(COALESCE(...)) "
+                                "takes plain variables in this engine "
+                                "(nested expressions carry no term "
+                                "metadata)")
+                        vs.append(v.text[1:])
+                        if self.take_op(","):
+                            continue
+                        break
+                    self.expect_op(")")
+                    self.expect_op(")")
+                    self.meta_vars.update(vs)
+                    branches = " ".join(
+                        f"WHEN {v} IS NOT NULL "
+                        f"THEN {_TERM_FNS[word](v)}" for v in vs)
+                    return f"(CASE {branches} END)", "other"
                 if a.kind != "VAR":
                     self.fail(
-                        f"{t.text.upper()}() takes a plain variable in "
-                        "this engine (nested expressions carry no term "
-                        "metadata)")
+                        f"{t.text.upper()}() takes a plain variable "
+                        "or a COALESCE of plain variables in this "
+                        "engine (other nested expressions carry no "
+                        "term metadata)")
                 self.next()
                 self.expect_op(")")
                 self.meta_vars.add(a.text[1:])

@@ -435,6 +435,46 @@ def test_exec_langmatches_star_excludes_plain(spark):
     assert [r.x for r in got.collect()] == ["d1", "d2"]
 
 
+def test_exec_lang_coalesce_optional_vars(spark):
+    """§17.4.1.5: LANG(COALESCE(?n, ?w)) dispatches on boundness to
+    the first bound variable's own metadata — over OPTIONAL-bound
+    variables (d1 has both → ?n wins with 'en'; d3's plain-literal
+    name → '' fails the match; a doc with neither stays out via the
+    type error)."""
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article .
+            OPTIONAL { ?x schema:name ?n . }
+            OPTIONAL { ?x schema:wordCount ?w . }
+            FILTER(LANGMATCHES(LANG(COALESCE(?n, ?w)), "en")) }
+        ORDER BY ?x""")
+    assert [r.x for r in got.collect()] == ["d1", "d2"]
+
+
+def test_exec_datatype_coalesce_first_bound_wins(spark):
+    """DATATYPE(COALESCE(?w, ?n)): d1 binds both — the FIRST bound
+    argument (?w, xsd:integer) decides, per COALESCE order."""
+    got = sparql_query(_kgm(spark), PFX + f"""
+        SELECT ?x WHERE {{ ?x a schema:Article .
+            OPTIONAL {{ ?x schema:name ?n . }}
+            OPTIONAL {{ ?x schema:wordCount ?w . }}
+            FILTER(DATATYPE(COALESCE(?w, ?n)) = <{XSD}integer>) }}""")
+    assert [r.x for r in got.collect()] == ["d1"]
+
+
+def test_exec_term_fn_nested_non_coalesce_raises(spark):
+    import pytest
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        SparqlSyntaxError)
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(_kgm(spark), PFX + """
+            SELECT ?x WHERE { ?x schema:name ?n .
+                FILTER(LANG(STR(?n)) = "en") }""")
+    with pytest.raises(SparqlSyntaxError):
+        sparql_query(_kgm(spark), PFX + """
+            SELECT ?x WHERE { ?x schema:name ?n .
+                FILTER(LANG(COALESCE(STR(?n))) = "en") }""")
+
+
 def test_exec_datatype_defaults_and_typed(spark):
     got = sparql_query(_kgm(spark), PFX + f"""
         SELECT ?x WHERE {{ ?x schema:wordCount ?w .
