@@ -93,6 +93,12 @@ class GroupSpec:
     patterns: "list[Pattern]" = None
     filters: "list[str] | None" = None
     binds: "list[tuple] | None" = None
+    #: BINDs whose expressions reference OPTIONAL-introduced variables
+    #: (or earlier late binds): applied AFTER the optionals join —
+    #: the ``OPTIONAL {...} BIND(COALESCE(?x, d) AS ?y)`` idiom, where
+    #: §18.2.2.6 puts the Extend after the LeftJoin it follows in
+    #: syntax — and before MINUS / FILTER / EXISTS
+    late_binds: "list[tuple] | None" = None
     values: "list[dict] | None" = None
     optionals: "list | None" = None      # entries: tuple | GroupSpec
     minus: "list | None" = None
@@ -103,6 +109,7 @@ class GroupSpec:
 
     def __post_init__(self):
         if self.union and (self.patterns or self.filters or self.binds
+                           or self.late_binds
                            or self.values or self.optionals or self.minus
                            or self.exists or self.not_exists
                            or self.relations):
@@ -113,7 +120,8 @@ class GroupSpec:
             raise ValueError(
                 "GroupSpec needs patterns, relations or union branches")
         if self.relations and not self.patterns and (
-                self.binds or self.values or self.optionals
+                self.binds or self.late_binds or self.values
+                or self.optionals
                 or self.minus or self.exists or self.not_exists):
             raise ValueError(
                 "a relations-only GroupSpec supports FILTER only — "
@@ -726,6 +734,7 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
               minus: "list[OptionalGroup] | None" = None,
               values: "list[dict[str, str | None]] | None" = None,
               binds: "list[tuple[str, str]] | None" = None,
+              late_binds: "list[tuple[str, str]] | None" = None,
               exists: "list[OptionalGroup] | None" = None,
               not_exists: "list[OptionalGroup] | None" = None,
               meta_vars: "frozenset[str] | set[str]" = frozenset()
@@ -816,6 +825,13 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     introspection builtins and metadata-faithful CONSTRUCT see the
     constructed term's kind/datatype/language.
 
+    ``late_binds``: BINDs applied AFTER the optionals join (and before
+    MINUS / FILTER / EXISTS) — for expressions referencing
+    OPTIONAL-introduced variables, where §18.2.2.6 puts the Extend
+    after the LeftJoin it follows in syntax (the ``OPTIONAL {...}
+    BIND(COALESCE(?x, d) AS ?y)`` idiom).  Same entry forms as
+    ``binds``.
+
     ``optionals`` / ``minus`` / ``exists`` / ``not_exists`` group
     tuples may append two optional elements — ``(patterns, filters,
     binds, values)`` — for BIND / VALUES scoped INSIDE the group; the
@@ -868,6 +884,7 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern],
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
     spec = GroupSpec(patterns=patterns, filters=filters, binds=binds,
+                     late_binds=late_binds,
                      values=values, optionals=optionals, minus=minus,
                      exists=exists, not_exists=not_exists)
     solution = _eval_spec(triples, spec, frozenset(meta_vars))
@@ -1157,6 +1174,12 @@ def _eval_spec(triples: DataFrame, spec: GroupSpec,
                                          *unc)
         else:
             solution = solution.join(group, on=shared, how="left")
+    # BINDs that reference OPTIONAL-introduced variables apply after
+    # the left joins that bind them (§18.2.2.6 syntax order — the
+    # ``OPTIONAL {...} BIND(COALESCE(?x, d) AS ?y)`` idiom), before
+    # MINUS / FILTER / EXISTS
+    for var, expr in spec.late_binds or ():
+        solution = _apply_bind(solution, var, expr)
     for grp in spec.minus or ():
         group = _subgroup(
             triples, grp,

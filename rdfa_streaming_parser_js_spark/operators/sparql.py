@@ -47,7 +47,15 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   bound-mask compatibility machinery instead of a plain equi join.
   ``BIND`` / ``VALUES`` also work INSIDE an OPTIONAL /
   MINUS / EXISTS group (applied after the group's patterns, before
-  its filters), and those groups NEST: ``OPTIONAL { P1 OPTIONAL
+  its filters).  A BIND whose expression references a variable
+  introduced by a PRECEDING OPTIONAL (or by such a bind) applies
+  after the left joins, per §18.2.2.6 syntax order — the ``OPTIONAL
+  {...} BIND(COALESCE(?x, "default") AS ?y)`` idiom works at the top
+  level and inside nested groups; a BIND referencing a variable that
+  only a LATER-written OPTIONAL binds keeps the engine's
+  patterns-then-binds order and fails analysis rather than silently
+  reading the later binding — write the OPTIONAL first.  Those groups
+  NEST: ``OPTIONAL { P1 OPTIONAL
   { P2 } }``, ``OPTIONAL { {A} UNION {B} }``, ``MINUS { P FILTER
   NOT EXISTS {...} }`` — any depth, evaluated bottom-up (§18.5).
 - Language-tagged and datatyped literal CONSTANTS in pattern object
@@ -279,6 +287,10 @@ class Group:
     minus: list = field(default_factory=list)
     values: list = field(default_factory=list)
     binds: list = field(default_factory=list)
+    #: BINDs referencing OPTIONAL-introduced variables (or earlier
+    #: late binds): compiled to bgp's ``late_binds`` — applied after
+    #: the optionals join, per §18.2.2.6 syntax order
+    late_binds: list = field(default_factory=list)
     exists: list = field(default_factory=list)
     not_exists: list = field(default_factory=list)
     union: list = field(default_factory=list)  # list[Group] if UNION
@@ -322,7 +334,8 @@ def _group_to_spec(sub: Group) -> GroupSpec:
     if sub.subselects:
         _check_subselect_commutes(
             sub, [_projected_vars(sq) for sq in sub.subselects])
-        if not sub.patterns and (sub.binds or sub.values):
+        if not sub.patterns and (sub.binds or sub.late_binds
+                                 or sub.values):
             raise SparqlSyntaxError(
                 "VALUES/BIND in a group whose only relation is a "
                 "sub-SELECT is not supported — add a triple pattern "
@@ -332,7 +345,9 @@ def _group_to_spec(sub: Group) -> GroupSpec:
         raise SparqlSyntaxError("empty group pattern")
     return GroupSpec(
         patterns=sub.patterns or None, filters=sub.filters or None,
-        binds=sub.binds or None, values=sub.values or None,
+        binds=sub.binds or None,
+        late_binds=sub.late_binds or None,
+        values=sub.values or None,
         optionals=sub.optionals or None, minus=sub.minus or None,
         exists=sub.exists or None, not_exists=sub.not_exists or None,
         relations=relations)
@@ -795,6 +810,7 @@ class _Parser:
                     self.fail("expected a variable or IRI after GRAPH")
                 sub = self.parse_group(top=False)
                 if (sub.optionals or sub.minus or sub.values or sub.binds
+                        or sub.late_binds
                         or sub.exists or sub.not_exists or sub.union
                         or sub.subselects):
                     self.fail(
@@ -836,7 +852,28 @@ class _Parser:
                     # columns — same lifecycle as introspected vars
                     # (SELECT * drops them, projection hides them)
                     self.meta_vars.add(v.text[1:])
-                g.binds.append((v.text[1:], expr))
+                # §18.2.2.6 syntax order: a BIND whose expression
+                # references a variable introduced by a PRECEDING
+                # OPTIONAL (or by an earlier late bind) must apply
+                # after that left join — route it to late_binds.
+                # Identifier scan over-approximates (same convention
+                # as _entry_vars): a false hit only delays the bind,
+                # which is always safe before MINUS/FILTER/EXISTS.
+                refs = set()
+                for part in (expr if isinstance(expr, tuple)
+                             else (expr,)):
+                    if isinstance(part, str):
+                        refs |= set(_SQL_IDENT.findall(part))
+                req = {t[1:] for pat in g.patterns for t in pat
+                       if isinstance(t, str) and t.startswith("?")}
+                opt = set()
+                for entry in g.optionals:
+                    opt |= _entry_vars(entry)
+                late = {name for name, _ in g.late_binds}
+                if refs & ((opt - req) | late):
+                    g.late_binds.append((v.text[1:], expr))
+                else:
+                    g.binds.append((v.text[1:], expr))
             elif self.take_kw("values"):
                 g.values.extend(self._parse_values())
             else:
@@ -998,7 +1035,7 @@ class _Parser:
                 "re-scoped by nested GRAPH blocks) is only supported "
                 "at the top level of WHERE")
         if (sub.optionals or sub.minus or sub.exists or sub.not_exists
-                or sub.union or sub.subselects):
+                or sub.union or sub.subselects or sub.late_binds):
             return _group_to_spec(sub)
         if sub.binds or sub.values:
             return (sub.patterns, sub.filters or None,
@@ -1606,6 +1643,11 @@ def sparql_update(graph: DataFrame, text: str) -> DataFrame:
             "UNION / sub-SELECT / an all-rescoped GRAPH variable in an "
             "update WHERE is not supported — compose at the DataFrame "
             "level with apply_update")
+    if g.late_binds:
+        raise SparqlSyntaxError(
+            "BIND referencing OPTIONAL-bound variables in an update "
+            "WHERE is not supported — compose at the DataFrame level "
+            "with apply_update")
     return U.apply_update(
         graph, delete=u.delete, insert=u.insert,
         literal_consts=u.template_literals or None,
@@ -1661,7 +1703,8 @@ def parse_sparql(text: str) -> ParsedQuery:
             # template meaning.
             p.next()
             q.where = p.parse_group()
-            if (q.where.filters or q.where.binds or q.where.values
+            if (q.where.filters or q.where.binds or q.where.late_binds
+                    or q.where.values
                     or q.where.optionals or q.where.minus
                     or q.where.exists or q.where.not_exists
                     or q.where.union or q.where.subselects):
@@ -1806,7 +1849,8 @@ def _entry_vars(entry) -> set:
     mis-evaluate), recursing through nested :class:`bgp.GroupSpec`."""
     out = set()
     if isinstance(entry, GroupSpec):
-        parts = (entry.patterns, entry.filters, entry.binds,
+        parts = (entry.patterns, entry.filters,
+                 (entry.binds or []) + (entry.late_binds or []),
                  entry.values)
         for sub in ((entry.optionals or []) + (entry.minus or [])
                     + (entry.exists or []) + (entry.not_exists or [])
@@ -1850,7 +1894,7 @@ def _group_vars(g: Group) -> set:
     an over-approximation, harmless for guards."""
     out = {t[1:] for pat in g.patterns for t in pat
            if isinstance(t, str) and t.startswith("?")}
-    for name, _expr in g.binds:
+    for name, _expr in g.binds + g.late_binds:
         out.add(name)
     for row in g.values:
         out |= set(row)
@@ -1956,10 +2000,11 @@ def _compile_where(triples: DataFrame, g: Group,
             minus=g.minus or None,
             values=g.values or None,
             binds=g.binds or None,
+            late_binds=g.late_binds or None,
             exists=g.exists or None,
             not_exists=g.not_exists or None)
     elif subs:
-        if g.values or g.binds:
+        if g.values or g.binds or g.late_binds:
             raise SparqlSyntaxError(
                 "VALUES/BIND in a group whose only relation is a "
                 "sub-SELECT is not supported — add a triple pattern "

@@ -475,6 +475,44 @@ def test_exec_term_fn_nested_non_coalesce_raises(spark):
                 FILTER(LANG(COALESCE(STR(?n))) = "en") }""")
 
 
+def test_exec_bind_after_optional_coalesce(spark):
+    """§18.2.2.6 syntax order: a BIND after an OPTIONAL sees the
+    optional's bindings (Extend after the LeftJoin) — the classic
+    COALESCE-default idiom."""
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?label WHERE { ?x a schema:Article .
+            OPTIONAL { ?x schema:wordCount ?w . }
+            BIND(COALESCE(?w, "0") AS ?label) }
+        ORDER BY ?x""")
+    assert [(r.x, r.label) for r in got.collect()] == [
+        ("d1", "120"), ("d2", "0"), ("d3", "0")]
+
+
+def test_exec_bind_after_optional_nested_group(spark):
+    """The late-bind placement also applies INSIDE a nested group:
+    OPTIONAL { P OPTIONAL { Q } BIND(...?q...) }."""
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?has WHERE { ?x a schema:Article .
+            OPTIONAL { ?x schema:name ?n .
+                       OPTIONAL { ?x schema:wordCount ?w . }
+                       BIND(BOUND(?w) AS ?has) } }
+        ORDER BY ?x""")
+    assert [(r.x, r.has) for r in got.collect()] == [
+        ("d1", True), ("d2", False), ("d3", False)]
+
+
+def test_exec_bind_chain_into_filter(spark):
+    """A FILTER may reference the late-bound variable (filters apply
+    after late binds), and a second BIND may reference the first."""
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x WHERE { ?x a schema:Article .
+            OPTIONAL { ?x schema:wordCount ?w . }
+            BIND(BOUND(?w) AS ?has)
+            BIND(IF(?has, "y", "n") AS ?flag)
+            FILTER(?flag = "y") }""")
+    assert [r.x for r in got.collect()] == ["d1"]
+
+
 def test_exec_datatype_defaults_and_typed(spark):
     got = sparql_query(_kgm(spark), PFX + f"""
         SELECT ?x WHERE {{ ?x schema:wordCount ?w .
