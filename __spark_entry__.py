@@ -1794,22 +1794,34 @@ def q_kg_sparql_graph_range(spark, sf_dir):
 
 
 def q_kg_bind_expr(spark, sf_dir):
-    """SPARQL BIND (§18.4 Extend): each solution gains a
-    ``lang:name`` display label and an integer word-count decade,
-    computed in order (pure projection — Catalyst folds both
-    expressions into the pattern-join stage, no extra shuffle)."""
-    from rdfa_streaming_parser_js_spark.operators.bgp import bgp_match
+    """SPARQL BIND (§18.4 Extend) from query TEXT, exercising the
+    whole Extend-order surface: early BINDs over required variables
+    (display label, numeric decade), an OPTIONAL binding ?d only for
+    mid-March dateCreated pages, a LATE bind defaulting it via
+    COALESCE (§18.2.2.6 syntax order — Extend after the left join it
+    follows), and term introspection over COALESCE (§17.4.1.5
+    first-bound dispatch) yielding the coalesced term's datatype
+    (xsd:date when ?d bound, rdf:langString from ?name otherwise).
+    Pure projections around one left join — Catalyst folds every
+    expression into the join stage."""
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
     t = _triples_cut(spark, sf_dir)
-    return bgp_match(
-        t,
-        [("?doc", RDF_TYPE, f"{SCHEMA_ORG}Article"),
-         ("?doc", f"{SCHEMA_ORG}name", "?name"),
-         ("?doc", f"{SCHEMA_ORG}inLanguage", "?lang"),
-         ("?doc", f"{SCHEMA_ORG}wordCount", "?wc")],
-        binds=[("display", "concat(lang, ':', name)"),
-               ("wc_decade",
-                "CAST(CAST(wc AS BIGINT) DIV 10 AS BIGINT)")],
-        select=["doc", "display", "wc_decade"])
+    return sparql_query(t, f"""
+        PREFIX schema: <{SCHEMA_ORG}>
+        SELECT ?doc ?display ?wc_decade ?label ?labdt WHERE {{
+            ?doc a schema:Article ;
+                 schema:name ?name ;
+                 schema:inLanguage ?lang ;
+                 schema:wordCount ?wc .
+            BIND(CONCAT(?lang, ":", ?name) AS ?display)
+            BIND(FLOOR(?wc / 10) AS ?wc_decade)
+            OPTIONAL {{ ?doc schema:dateCreated ?d .
+                        FILTER(STRSTARTS(?d, "2024-03-1")) }}
+            BIND(COALESCE(?d, "undated") AS ?label)
+            BIND(DATATYPE(COALESCE(?d, ?name)) AS ?labdt)
+        }}
+    """)
 
 
 def q_kg_exists_filters(spark, sf_dir):
@@ -3550,20 +3562,31 @@ def oracle_sql() -> dict[str, str]:
                  ON d.lang = v.lang
         """,
         "kg_bind_expr": f"""
-            WITH exp AS ({expected_triples_sql()})
-            SELECT t.subj AS doc,
-                   l.obj_value || ':' || n.obj_value AS display,
-                   CAST(CAST(w.obj_value AS BIGINT) // 10 AS BIGINT)
-                     AS wc_decade
-            FROM exp t
-            JOIN exp n ON n.subj = t.subj
-            JOIN exp l ON l.subj = t.subj
-            JOIN exp w ON w.subj = t.subj
-            WHERE t.pred = '{RDF_TYPE}'
-              AND t.obj_value = '{SCHEMA_ORG}Article'
-              AND n.pred = '{SCHEMA_ORG}name'
-              AND l.pred = '{SCHEMA_ORG}inLanguage'
-              AND w.pred = '{SCHEMA_ORG}wordCount'
+            WITH exp AS ({expected_triples_sql()}),
+            req AS (SELECT t.subj AS doc, n.obj_value AS name,
+                           l.obj_value AS lang, w.obj_value AS wc
+                    FROM exp t
+                    JOIN exp n ON n.subj = t.subj
+                    JOIN exp l ON l.subj = t.subj
+                    JOIN exp w ON w.subj = t.subj
+                    WHERE t.pred = '{RDF_TYPE}'
+                      AND t.obj_value = '{SCHEMA_ORG}Article'
+                      AND n.pred = '{SCHEMA_ORG}name'
+                      AND l.pred = '{SCHEMA_ORG}inLanguage'
+                      AND w.pred = '{SCHEMA_ORG}wordCount'),
+            opt AS (SELECT req.*, d.obj_value AS d
+                    FROM req LEFT JOIN exp d
+                      ON d.subj = req.doc
+                     AND d.pred = '{SCHEMA_ORG}dateCreated'
+                     AND d.obj_value LIKE '2024-03-1%')
+            SELECT doc, lang || ':' || name AS display,
+                   CAST(floor(CAST(wc AS DOUBLE) / 10) AS BIGINT)
+                     AS wc_decade,
+                   coalesce(d, 'undated') AS label,
+                   CASE WHEN d IS NOT NULL THEN '{XSD}date'
+                        ELSE 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+                        END AS labdt
+            FROM opt
         """,
         "kg_exists_filters": f"""
             WITH exp AS ({expected_triples_sql()}),
