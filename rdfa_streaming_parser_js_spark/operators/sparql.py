@@ -35,7 +35,12 @@ Supported grammar (SPARQL 1.1 subset, keywords case-insensitive):
   sequence, ``|`` alternative, ``+`` ``*`` ``?`` closures,
   ``!(p1|^p2|...)`` negated property sets, parentheses.
 - ``FILTER`` (expression or ``[NOT] EXISTS {...}``), ``OPTIONAL``,
-  ``MINUS``, ``BIND (expr AS ?v)``, ``VALUES``, ``{...} UNION
+  ``MINUS``, ``BIND (expr AS ?v)``, ``VALUES`` (in-group, and the
+  query-final trailing ValuesClause — the parameterized-query idiom —
+  compiled onto the in-group machinery when every VALUES variable is
+  bound by the required patterns of each UNION branch, the condition
+  under which the §18.2 outer join provably commutes inward; grouped
+  queries and unbound-variable constraints raise), ``{...} UNION
   {...}`` as the entire group body, and mid-group ``{ SELECT ... }``
   sub-queries (§18.2) joined into the group on their shared
   variables — at the top level AND inside OPTIONAL / MINUS / EXISTS
@@ -1831,6 +1836,48 @@ def _parse_modifiers(p: _Parser, q: ParsedQuery) -> None:
             if t.kind != "NUMBER" or not t.text.lstrip("+-").isdigit():
                 p.fail("expected integer OFFSET count")
             q.offset = int(t.text)
+    if p.at_kw("values"):
+        p.next()
+        _attach_trailing_values(p, q)
+
+
+def _attach_trailing_values(p: "_Parser", q: ParsedQuery) -> None:
+    """Trailing ``VALUES`` block (the grammar's query-final
+    ValuesClause — the standard parameterized-query idiom).  §18.2
+    joins the inline data with the whole query pattern, which commutes
+    with pushing the join INTO the group exactly when every VALUES
+    variable is bound by the group's required triple patterns (then
+    ``Join(LeftJoin(P,O), V) = LeftJoin(Join(P,V), O)``, and the join
+    distributes over every UNION branch).  So the rows compile onto
+    the existing in-group VALUES machinery under that guard; grouping/
+    aggregates (where §18.2.4 puts the join AFTER aggregation) and
+    VALUES variables the required patterns don't bind raise rather
+    than silently mis-evaluate — put the VALUES inside WHERE there."""
+    rows = p._parse_values()
+    if q.group_by or q.having or any(
+            it.is_agg for it in (q.select or [])):
+        p.fail("a trailing VALUES block on a grouped/aggregated query "
+               "is not supported — put the VALUES block inside WHERE")
+    used = set()
+    for row in rows:
+        used |= set(row)
+
+    def _inject(g: Group) -> None:
+        if g.union:
+            for b in g.union:
+                _inject(b)
+            return
+        req = {t[1:] for pat in g.patterns for t in pat
+               if isinstance(t, str) and t.startswith("?")}
+        missing = used - req
+        if missing:
+            p.fail("trailing VALUES constrains "
+                   f"{sorted('?' + v for v in missing)} which the "
+                   "group's required triple patterns do not bind — "
+                   "put the VALUES block inside WHERE")
+        g.values.extend(rows)
+
+    _inject(q.where)
 
 
 # --------------------------------------------------------------------

@@ -475,6 +475,38 @@ def test_exec_term_fn_nested_non_coalesce_raises(spark):
                 FILTER(LANG(COALESCE(STR(?n))) = "en") }""")
 
 
+def test_exec_trailing_values_clause(spark):
+    """Query-final VALUES (the grammar's ValuesClause): constrains
+    the whole query; distributes over UNION branches (multiset);
+    UNDEF leaves the variable free in that row."""
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?n WHERE { ?x a schema:Article ; schema:name ?n }
+        ORDER BY ?x VALUES ?x { <d1> <d3> }""")
+    assert [(r.x, r.n) for r in got.collect()] == [
+        ("d1", "alpha"), ("d3", "gamma")]
+    got = sparql_query(_kgm(spark), PFX + """
+        SELECT ?x ?v WHERE {
+            { ?x schema:name ?v } UNION { ?x schema:wordCount ?v } }
+        VALUES (?x ?v) { (<d1> UNDEF) (<d2> "beta") }""")
+    assert sorted((r.x, r.v) for r in got.collect()) == [
+        ("d1", "120"), ("d1", "alpha"), ("d2", "beta")]
+
+
+def test_exec_trailing_values_guards(spark):
+    import pytest
+    from rdfa_streaming_parser_js_spark.operators.sparql import (
+        SparqlSyntaxError)
+    with pytest.raises(SparqlSyntaxError):  # grouped query
+        sparql_query(_kgm(spark), PFX + """
+            SELECT ?x (COUNT(?n) AS ?c) WHERE { ?x schema:name ?n }
+            GROUP BY ?x VALUES ?x { <d1> }""")
+    with pytest.raises(SparqlSyntaxError):  # OPTIONAL-only variable
+        sparql_query(_kgm(spark), PFX + """
+            SELECT ?x WHERE { ?x a schema:Article .
+                OPTIONAL { ?x schema:wordCount ?w } }
+            VALUES ?w { "120" }""")
+
+
 def test_exec_bind_after_optional_coalesce(spark):
     """§18.2.2.6 syntax order: a BIND after an OPTIONAL sees the
     optional's bindings (Extend after the LeftJoin) — the classic
