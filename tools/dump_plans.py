@@ -128,6 +128,31 @@ NOTES = {
         "WholeStageCodegen — the only Exchange is the graph-set "
         "distinct the sink consumes (and a pre-deduplicated graph "
         "table needs none)."),
+    "decontaminate_ngrams": (
+        "Benchmark decontamination: corpus grams stay map-side — the "
+        "distinct benchmark n-gram set is **BroadcastHashJoin "
+        "LeftSemi-shaped** (inner probe) into the exploded grams, so "
+        "the 100 TB side is never shuffled; the only Exchanges are "
+        "the benchmark distinct (eval-suite-sized) and the "
+        "map-side-combinable per-doc count."),
+    "text_pii_redaction": (
+        "Map-only: the four-detector regexp_replace chain and the "
+        "audit regexp_counts are one WholeStageCodegen projection "
+        "over the scan — zero Exchange, linear in corpus bytes."),
+    "sparql_results_roundtrip": (
+        "Results interchange: serializer (concat/CASE or to_json) and "
+        "reader (split+regexp or from_json) are both pure projections "
+        "in one codegen stage per format leg; the Exchanges belong to "
+        "the solution DISTINCT and the left join minting the unbound "
+        "?d column, not to the formats — a results dump of an "
+        "existing solution table is map-only."),
+    "kg_bind_expr": (
+        "Extend-order surface: early BINDs, the late "
+        "(after-OPTIONAL) COALESCE bind, and the §17.4.1.5 "
+        "introspection CASE all fold into projections around the one "
+        "**left join** for the OPTIONAL — Catalyst keeps the whole "
+        "Extend chain inside the join stage's codegen; no extra "
+        "Exchange for any BIND."),
 }
 
 
