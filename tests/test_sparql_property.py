@@ -140,6 +140,72 @@ def test_values_entries_roundtrip(rows):
                 assert var in q.meta_vars
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(_values_entry(), _values_entry()),
+                min_size=1, max_size=4))
+def test_trailing_values_equals_in_group(rows):
+    """The query-final ValuesClause compiles onto the in-group VALUES
+    machinery — for any data block the parsed group is identical to
+    writing the block inside WHERE (the documented provable-commute
+    compilation)."""
+    block = " ".join(
+        "(" + " ".join(_render_entry(v) for v in r) + ")" for r in rows)
+    inner = parse_sparql(
+        "SELECT * WHERE { ?u ?v <http://example.org/o> . "
+        f"VALUES (?u ?v) {{ {block} }} }}")
+    trailing = parse_sparql(
+        "SELECT * WHERE { ?u ?v <http://example.org/o> } "
+        f"VALUES (?u ?v) {{ {block} }}")
+    assert trailing.where.values == inner.where.values
+    assert trailing.where.patterns == inner.where.patterns
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(["opt_a", "opt_b", "bind_req",
+                                 "bind_a", "bind_chain"]),
+                min_size=1, max_size=5))
+def test_bind_routing_property(members):
+    """§18.2.2.6 routing invariant: a BIND lands in ``late_binds``
+    iff, at its syntax position, its expression references a variable
+    introduced by a PRECEDING optional or by an earlier late bind;
+    required-pattern-only BINDs stay early.  Relative order within
+    each list is syntax order."""
+    body = ["?s <http://example.org/p> ?x ."]
+    opt_seen = set()
+    late_names = set()
+    expect_early, expect_late = [], []
+    n = 0
+    for m in members:
+        if m == "opt_a":
+            body.append("OPTIONAL { ?s <http://example.org/a> ?a . }")
+            opt_seen.add("a")
+        elif m == "opt_b":
+            body.append("OPTIONAL { ?s <http://example.org/b> ?b . }")
+            opt_seen.add("b")
+        elif m == "bind_req":
+            v = f"v{n}"; n += 1
+            body.append(f"BIND(CONCAT(?x, \"!\") AS ?{v})")
+            expect_early.append(v)
+        elif m == "bind_a":
+            v = f"v{n}"; n += 1
+            body.append(f"BIND(COALESCE(?a, ?x) AS ?{v})")
+            # 'a' may be bound by a preceding optional or not at all;
+            # routing keys on what is OPTIONAL-introduced so far
+            (expect_late if "a" in opt_seen else expect_early).append(v)
+            if "a" in opt_seen:
+                late_names.add(v)
+        elif m == "bind_chain":
+            v = f"v{n}"; n += 1
+            ref = sorted(late_names)[0] if late_names else "x"
+            body.append(f"BIND(CONCAT(?{ref}, \"?\") AS ?{v})")
+            (expect_late if ref in late_names else expect_early).append(v)
+            if ref in late_names:
+                late_names.add(v)
+    q = parse_sparql("SELECT * WHERE { " + " ".join(body) + " }")
+    assert [v for v, _ in q.where.binds] == expect_early
+    assert [v for v, _ in q.where.late_binds] == expect_late
+
+
 # --------------------------------------------------------------------
 # quad templates (GRAPH wrappers in DELETE/INSERT) round-trip
 # --------------------------------------------------------------------
