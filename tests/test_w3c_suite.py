@@ -3,7 +3,7 @@
 The reference's conformance layer runs the rdfa.info manifests over the
 network (/root/reference/package.json:47-79, spec/parser.js:1-8), which
 is impossible in this sandbox.  This module vendors a curated subset of
-those public W3C test cases as offline fixtures (172 cases)
+those public W3C test cases as offline fixtures (179 cases)
 (tests/fixtures/w3c_cases.json): each case records its test-suite
 ``source`` URL, the markup is recreated offline from the published
 cases (byte-exact vendoring would require network access — see
