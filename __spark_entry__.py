@@ -920,21 +920,22 @@ def q_json_nodes_roundtrip(spark, sf_dir):
 
 
 def q_sparql_results_roundtrip(spark, sf_dir):
-    """W3C SPARQL 1.1 Query Results interchange (TSV + JSON — the
-    answer formats the reference's SPARQL-consumer stacks exchange):
+    """W3C SPARQL 1.1 Query Results interchange (TSV + JSON + XML —
+    the answer formats the reference's SPARQL-consumer stacks
+    exchange):
     project a three-variable solution table covering every term shape
     the engine produces — IRI and blank-node subjects (plain + rich
     corpora), IRI / bnode / language-tagged / typed-literal objects,
     and a maybe-UNBOUND variable (``?d``, bound only for mid-March
-    dateCreated pages) — serialize it to BOTH formats
+    dateCreated pages) — serialize it to ALL THREE formats
     (functions/results.py: codegen concat / ``to_json``, map-only) and
-    parse each back with the matching distributed reader.  Both round
-    trips must reproduce the solution table exactly, term metadata
+    parse each back with the matching distributed reader.  Every round
+    trip must reproduce the solution table exactly, term metadata
     included, so the oracle recomputes the solutions relationally and
-    crosses them with the two format tags."""
+    crosses them with the three format tags."""
     from rdfa_streaming_parser_js_spark.functions.results import (
-        parse_results_json, parse_results_tsv, results_json_bindings,
-        results_tsv)
+        parse_results_json, parse_results_tsv, parse_results_xml,
+        results_json_bindings, results_tsv, results_xml)
     from rdfa_streaming_parser_js_spark.sources.pages import (
         rich_pages_from_documents)
     allt = (_triples(spark, sf_dir)
@@ -959,8 +960,10 @@ def q_sparql_results_roundtrip(spark, sf_dir):
     vs = ["s", "o", "d"]
     tsv = parse_results_tsv(results_tsv(sol, vs), vs)
     js = parse_results_json(results_json_bindings(sol, vs), vs)
+    xml = parse_results_xml(results_xml(sol, vs), vs)
     return (tsv.withColumn("fmt", F.lit("tsv"))
-            .unionByName(js.withColumn("fmt", F.lit("json"))))
+            .unionByName(js.withColumn("fmt", F.lit("json")))
+            .unionByName(xml.withColumn("fmt", F.lit("xml"))))
 
 
 def q_ntriples_roundtrip(spark, sf_dir):
@@ -3300,8 +3303,9 @@ def oracle_sql() -> dict[str, str]:
             FROM dirty
         """,
         # Relational recompute of the solution table the results-format
-        # round trip must reproduce (both formats → same solutions,
-        # tagged 'tsv' / 'json'); unbound ?d for pages whose
+        # round trip must reproduce (all three formats → same
+        # solutions, tagged 'tsv' / 'json' / 'xml'); unbound ?d for
+        # pages whose
         # dateCreated is outside 2024-03-10..19 and for all rich-corpus
         # subjects.
         "sparql_results_roundtrip": f"""
@@ -3331,7 +3335,8 @@ def oracle_sql() -> dict[str, str]:
                               THEN '{XSD}date' END AS d__dt
                   FROM sol LEFT JOIN dd ON sol.s = dd.s)
             SELECT j.*, f.fmt
-            FROM j CROSS JOIN (VALUES ('tsv'), ('json')) AS f(fmt)
+            FROM j CROSS JOIN (VALUES ('tsv'), ('json'), ('xml'))
+                 AS f(fmt)
         """,
         "kg_property_coverage": f"""
             WITH exp AS ({expected_triples_sql()}),

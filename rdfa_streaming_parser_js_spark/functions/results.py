@@ -255,6 +255,161 @@ def parse_results_json_sql(line_expr: str, variables: list[str]) -> str:
     return ",".join(out)
 
 
+# --------------------------------------------------------------------------
+# XML results format (SPARQL Query Results XML Format, 2nd ed.)
+# --------------------------------------------------------------------------
+
+SPARQL_XMLNS = "http://www.w3.org/2005/sparql-results#"
+
+
+def _xml_escape(col: Column) -> Column:
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    return F.regexp_replace(out, '"', "&quot;")
+
+
+def _xml_unescape(col: Column) -> Column:
+    out = F.replace(col, F.lit("&quot;"), F.lit('"'))
+    out = F.replace(out, F.lit("&gt;"), F.lit(">"))
+    out = F.replace(out, F.lit("&lt;"), F.lit("<"))
+    return F.replace(out, F.lit("&amp;"), F.lit("&"))
+
+
+def results_xml(sol: DataFrame, variables: list[str]) -> DataFrame:
+    """Solution table → one ``<result>`` element per solution
+    (``line`` column) in the XML results vocabulary: ``<binding
+    name="v">`` wrapping ``<uri>`` / ``<bnode>`` / ``<literal>``
+    (with ``xml:lang`` / ``datatype``), unbound variables omitted.
+    Standard five-entity escaping; lexical forms go in verbatim
+    otherwise — a binary-unsafe form can exceed XML 1.0's character
+    range, the format's own well-known limitation.  Map-only
+    codegen, same shape as the other serializers."""
+    parts = []
+    for v in variables:
+        val = F.col(v)
+        kind = _meta(sol, v, "__kind")
+        lang, dt = _meta(sol, v, "__lang"), _meta(sol, v, "__dt")
+        shaped = F.when(val.startswith("_:"), "bnode") \
+            .otherwise(F.lit("iri"))
+        typ = (F.when(kind.isNotNull(), kind).otherwise(shaped))
+        esc = _xml_escape(val)
+        lit = F.concat(
+            F.lit("<literal"),
+            F.when(lang.isNotNull(),
+                   F.concat(F.lit(' xml:lang="'), lang, F.lit('"')))
+            .when(dt.isNotNull(),
+                  F.concat(F.lit(' datatype="'), _xml_escape(dt),
+                           F.lit('"')))
+            .otherwise(F.lit("")),
+            F.lit(">"), esc, F.lit("</literal>"))
+        term = (F.when(typ == "literal", lit)
+                .when(typ == "bnode",
+                      F.concat(F.lit("<bnode>"),
+                               F.substring(val, 3, 2 ** 30),
+                               F.lit("</bnode>")))
+                .otherwise(F.concat(F.lit("<uri>"), esc,
+                                    F.lit("</uri>"))))
+        parts.append(F.when(val.isNull(), F.lit("")).otherwise(
+            F.concat(F.lit(f'<binding name="{v}">'), term,
+                     F.lit("</binding>"))))
+    return sol.select(F.concat(F.lit("<result>"), *parts,
+                               F.lit("</result>")).alias("line"))
+
+
+def results_xml_document(sol: DataFrame,
+                         variables: list[str]) -> DataFrame:
+    """Full results document as ONE row (``document`` column) —
+    bounded results only, like :func:`results_json_document`."""
+    head = ('<?xml version="1.0"?>'
+            f'<sparql xmlns="{SPARQL_XMLNS}"><head>'
+            + "".join(f'<variable name="{v}"/>' for v in variables)
+            + "</head><results>")
+    lines = results_xml(sol, variables)
+    return lines.agg(
+        F.concat(F.lit(head),
+                 F.concat_ws("", F.sort_array(F.collect_list("line"))),
+                 F.lit("</results></sparql>")).alias("document"))
+
+
+def parse_results_xml(lines: DataFrame, variables: list[str],
+                      line_col: str = "line") -> DataFrame:
+    """``<result>`` elements → solution table with metadata
+    companions (inverse of :func:`results_xml`; restores the ``_:``
+    bnode prefix).  The reader targets the CANONICAL form this
+    module's serializer emits (single-quote-free attributes, no
+    insignificant whitespace) — one regexp per variable; arbitrary
+    third-party XML needs a real XML parser upstream."""
+    cols = []
+    for v in variables:
+        b = F.regexp_extract(
+            F.col(line_col),
+            f'<binding name="{v}">([\\s\\S]*?)</binding>', 1)
+        uri = F.regexp_extract(b, "^<uri>([\\s\\S]*)</uri>$", 1)
+        bnode = F.regexp_extract(b, "^<bnode>([\\s\\S]*)</bnode>$", 1)
+        lit = F.regexp_extract(
+            b, "^<literal[^>]*>([\\s\\S]*)</literal>$", 1)
+        lang = F.regexp_extract(b, '^<literal xml:lang="([^"]*)">', 1)
+        dt = F.regexp_extract(b, '^<literal datatype="([^"]*)">', 1)
+        is_uri = b.startswith("<uri>")
+        is_bn = b.startswith("<bnode>")
+        is_lit = b.startswith("<literal")
+        cols += [
+            F.when(is_uri, _xml_unescape(uri))
+            .when(is_bn, F.concat(F.lit("_:"), bnode))
+            .when(is_lit, _xml_unescape(lit)).alias(v),
+            F.when(is_uri, "iri").when(is_bn, "bnode")
+            .when(is_lit, "literal").alias(f"{v}__kind"),
+            F.when(is_lit & (lang != ""), lang).alias(f"{v}__lang"),
+            F.when(is_lit & (dt != ""), _xml_unescape(dt))
+            .alias(f"{v}__dt"),
+        ]
+    return lines.select(*cols)
+
+
+def parse_results_xml_sql(line_expr: str, variables: list[str]) -> str:
+    """DuckDB mirror of :func:`parse_results_xml`."""
+    unesc = (lambda x:
+             "replace(replace(replace(replace(" + x +
+             ", '&quot;', '\"'), '&gt;', '>'), '&lt;', '<'),"
+             " '&amp;', '&')")
+    out = []
+    for v in variables:
+        b = (f"regexp_extract({line_expr}, "
+             f"'<binding name=\"{v}\">([\\s\\S]*?)</binding>', 1)")
+        uri = f"regexp_extract({b}, '^<uri>([\\s\\S]*)</uri>$', 1)"
+        bno = f"regexp_extract({b}, '^<bnode>([\\s\\S]*)</bnode>$', 1)"
+        lit = (f"regexp_extract({b}, "
+               "'^<literal[^>]*>([\\s\\S]*)</literal>$', 1)")
+        lang = (f"regexp_extract({b}, "
+                "'^<literal xml:lang=\"([^\"]*)\">', 1)")
+        dt = (f"regexp_extract({b}, "
+              "'^<literal datatype=\"([^\"]*)\">', 1)")
+        out.append(f"""
+        CASE WHEN {b} LIKE '<uri>%' THEN {unesc(uri)}
+             WHEN {b} LIKE '<bnode>%' THEN '_:' || {bno}
+             WHEN {b} LIKE '<literal%' THEN {unesc(lit)} END AS {v},
+        CASE WHEN {b} LIKE '<uri>%' THEN 'iri'
+             WHEN {b} LIKE '<bnode>%' THEN 'bnode'
+             WHEN {b} LIKE '<literal%' THEN 'literal' END AS {v}__kind,
+        CASE WHEN {b} LIKE '<literal%' THEN nullif({lang}, '') END
+            AS {v}__lang,
+        CASE WHEN {b} LIKE '<literal%'
+             THEN nullif({unesc(dt)}, '') END AS {v}__dt""")
+    return ",".join(out)
+
+
+def ask_results_xml(ask_df: DataFrame,
+                    bool_col: str = "ask") -> DataFrame:
+    """Boolean results document in the XML vocabulary."""
+    return ask_df.select(
+        F.concat(F.lit('<?xml version="1.0"?>'
+                       f'<sparql xmlns="{SPARQL_XMLNS}">'
+                       "<head/><boolean>"),
+                 F.when(F.col(bool_col), "true").otherwise("false"),
+                 F.lit("</boolean></sparql>")).alias("document"))
+
+
 def ask_results_json(ask_df: DataFrame,
                      bool_col: str = "ask") -> DataFrame:
     """§3.2.3 boolean results document from the engine's one-row ASK

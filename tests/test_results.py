@@ -118,6 +118,48 @@ def test_csv_lossy(spark):
     assert results_csv_header(VS) == "s,o"
 
 
+def test_xml_lines(spark):
+    from rdfa_streaming_parser_js_spark.functions.results import (
+        results_xml)
+    lines = {r.line for r in results_xml(_sol(spark), VS).collect()}
+    assert ('<result><binding name="s"><uri>http://ex.org/a</uri>'
+            '</binding><binding name="o">'
+            '<literal xml:lang="fr">chat</literal></binding></result>'
+            in lines)
+    assert ('<result><binding name="s"><bnode>b0</bnode></binding>'
+            f'<binding name="o"><literal datatype="{XSD_INT}">5'
+            '</literal></binding></result>' in lines)
+    assert ('<result><binding name="s"><uri>http://ex.org/u</uri>'
+            '</binding></result>' in lines)  # unbound omitted
+
+
+def test_xml_roundtrip_and_mirror(spark):
+    from rdfa_streaming_parser_js_spark.functions.results import (
+        parse_results_xml, parse_results_xml_sql, results_xml)
+    sol = _sol(spark)
+    back = parse_results_xml(results_xml(sol, VS), VS)
+    assert _key(back) == _key(sol)
+    con = duckdb.connect()
+    con.execute("CREATE OR REPLACE TABLE x(line VARCHAR)")
+    con.executemany("INSERT INTO x VALUES (?)",
+                    [(r.line,) for r in results_xml(sol, VS).collect()])
+    got = sorted(con.execute(
+        f"SELECT {parse_results_xml_sql('line', VS)} FROM x")
+        .fetchall())
+    assert got == _key(sol)
+
+
+def test_xml_document_and_ask(spark):
+    from rdfa_streaming_parser_js_spark.functions.results import (
+        SPARQL_XMLNS, ask_results_xml, results_xml_document)
+    doc = results_xml_document(_sol(spark), VS).collect()[0].document
+    assert doc.startswith('<?xml version="1.0"?>')
+    assert SPARQL_XMLNS in doc and doc.count("<result>") == len(ROWS)
+    ask = spark.createDataFrame([(False,)], "ask boolean")
+    assert "<boolean>false</boolean>" in \
+        ask_results_xml(ask).collect()[0].document
+
+
 def test_ask_document_roundtrip(spark):
     from rdfa_streaming_parser_js_spark.functions.results import (
         ask_results_json, parse_ask_results_json)
@@ -162,3 +204,7 @@ def test_fuzz_roundtrips(spark, solutions):
         == _key(sol)
     assert _key(parse_results_json(
         results_json_bindings(sol, VS), VS)) == _key(sol)
+    from rdfa_streaming_parser_js_spark.functions.results import (
+        parse_results_xml, results_xml)
+    assert _key(parse_results_xml(results_xml(sol, VS), VS)) \
+        == _key(sol)
